@@ -1,0 +1,164 @@
+"""End-to-end engine parity: vectorized JAX engine vs scalar reference
+simulator on a synthetic multi-junction network with a reservoir and a
+gage, in both timestep modes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from troute_tpu.network import graph
+from troute_tpu.network.topology import from_connections
+from troute_tpu.ops.levelpool import LevelpoolParams
+from troute_tpu.routing.engine import (
+    ChannelParams, GageDA, RoutingConfig, network_arrays_from_topology, route)
+
+from reference_network import simulate_reference
+
+# Synthetic network: two headwater branches joining above a reservoir,
+# a mainstem below, plus an independent second basin.
+#
+#   1 -> 2 -> 3 ----\
+#                    v
+#   4 -> 5 ---------> 6 -> 900(lake) -> 7 -> 8(gage) -> 9
+#   10 -> 11 -> 12   (independent basin)
+CONN = {
+    1: [2], 2: [3], 3: [6], 4: [5], 5: [6], 6: [900],
+    900: [7], 7: [8], 8: [9], 9: [],
+    10: [11], 11: [12], 12: [],
+}
+LAKE_ID = 900
+
+LAKE = dict(area=1.5, max_depth=9.96, orifice_area=1.0, orifice_coeff=0.1,
+            orifice_elev=7.733, weir_coeff=0.4, weir_elev=9.626,
+            weir_length=10.0, dam_length=10.0, elev0=9.7)
+
+
+def _setup(nts=36, with_gage=True, seed=3):
+    rng = np.random.default_rng(seed)
+    ids = sorted(CONN.keys())
+    n = len(ids)
+    chan = {}
+    for i in ids:
+        chan[i] = dict(
+            dx=float(rng.uniform(500, 3000)), bw=float(rng.uniform(2, 20)),
+            tw=float(rng.uniform(25, 60)), twcc=float(rng.uniform(80, 200)),
+            n=0.055, ncc=0.11, cs=float(rng.uniform(0.3, 1.5)),
+            s0=float(rng.uniform(0.001, 0.02)))
+    q0 = {i: float(rng.uniform(0.5, 5.0)) for i in ids}
+    depth0 = {i: float(rng.uniform(0.05, 0.8)) for i in ids}
+    q0[LAKE_ID] = 1.0          # initial reservoir outflow
+    depth0[LAKE_ID] = LAKE["elev0"]
+    n_cols = nts // 4
+    qlat = {i: rng.uniform(0.1, 3.0, n_cols) for i in ids}
+
+    gages = None
+    if with_gage:
+        obs = np.full((nts + 1, 1), np.nan)
+        obs[2:20, 0] = rng.uniform(5.0, 15.0, 18)   # obs stop at t=19
+        gages = dict(rows=[8], obs=obs, lastobs_val=[np.nan],
+                     lastobs_time=[np.nan], decay_coeff=120.0)
+    return ids, chan, q0, depth0, qlat, gages
+
+
+def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
+                dtype=jnp.float64):
+    topo = from_connections(CONN, reservoir_ids=[LAKE_ID])
+    net = network_arrays_from_topology(topo, need_levels=not short)
+    perm = topo.ids  # row order
+    idx = {int(i): k for k, i in enumerate(perm)}
+
+    def col(name, default=1.0):
+        return jnp.asarray([chan[int(i)].get(name, default) if int(i) != LAKE_ID
+                            else default for i in perm], dtype)
+
+    cp = ChannelParams(dx=col("dx"), bw=col("bw"), tw=col("tw"),
+                       twcc=col("twcc"), n=col("n"), ncc=col("ncc"),
+                       cs=col("cs"), s0=col("s0"))
+    lp = LevelpoolParams(
+        area=jnp.asarray([LAKE["area"]], dtype),
+        max_depth=jnp.asarray([LAKE["max_depth"]], dtype),
+        orifice_area=jnp.asarray([LAKE["orifice_area"]], dtype),
+        orifice_coeff=jnp.asarray([LAKE["orifice_coeff"]], dtype),
+        orifice_elev=jnp.asarray([LAKE["orifice_elev"]], dtype),
+        weir_coeff=jnp.asarray([LAKE["weir_coeff"]], dtype),
+        weir_elev=jnp.asarray([LAKE["weir_elev"]], dtype),
+        weir_length=jnp.asarray([LAKE["weir_length"]], dtype),
+        dam_length=jnp.asarray([LAKE["dam_length"]], dtype))
+
+    q0_arr = jnp.asarray([q0[int(i)] for i in perm], dtype)
+    d0_arr = jnp.asarray([depth0[int(i)] for i in perm], dtype)
+    elev0 = jnp.asarray([LAKE["elev0"]], dtype)
+    n_cols = len(next(iter(qlat.values())))
+    qlat_arr = jnp.asarray(
+        np.stack([np.array([qlat[int(i)][c] for i in perm])
+                  for c in range(n_cols)]), dtype)
+
+    da = None
+    if gages is not None:
+        da = GageDA(rows=jnp.asarray([idx[r] for r in gages["rows"]], jnp.int32),
+                    obs=jnp.asarray(gages["obs"], dtype),
+                    lastobs_val=jnp.asarray(gages["lastobs_val"], dtype),
+                    lastobs_time=jnp.asarray(gages["lastobs_time"], dtype),
+                    decay_coeff=gages["decay_coeff"])
+
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=short)
+    out = route(net, cp, lp, cfg, q0_arr, d0_arr, elev0, qlat_arr, da)
+    return out, idx
+
+
+@pytest.mark.parametrize("short", [True, False])
+def test_engine_vs_reference(short):
+    nts, dt = 36, 300.0
+    ids, chan, q0, depth0, qlat, gages = _setup(nts)
+    gages_copy = None
+    if gages:
+        gages_copy = dict(gages, lastobs_val=list(gages["lastobs_val"]),
+                          lastobs_time=list(gages["lastobs_time"]))
+
+    fvd_ref, nudge_ref = simulate_reference(
+        CONN, chan, q0, depth0, qlat, nts, dt, qts_subdivisions=4,
+        assume_short_ts=short,
+        reservoirs={LAKE_ID: LAKE}, gages=gages_copy)
+
+    out, idx = _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short)
+    fvd = np.asarray(out["flowveldepth"])  # [nts, N, 3]
+
+    for node in CONN:
+        k = idx[node]
+        got = fvd[:, k, :]
+        want = fvd_ref[node][1:, :]
+        np.testing.assert_allclose(
+            got, want, rtol=1e-8, atol=1e-10,
+            err_msg=f"node {node} ({'short' if short else 'strict'} mode)")
+
+    nudge = np.asarray(out["nudge"])
+    np.testing.assert_allclose(nudge, nudge_ref[1:], rtol=1e-8, atol=1e-10)
+
+
+def test_mass_conservation_no_lake():
+    """With flat geometry and no reservoir, total outflow volume over a long
+    run approaches total lateral inflow volume (MC conserves mass)."""
+    conn = {1: [2], 2: [3], 3: []}
+    topo = from_connections(conn)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    n = topo.n_nodes
+    dtype = jnp.float64
+    one = jnp.ones(n, dtype)
+    cp = ChannelParams(dx=1000.0 * one, bw=10.0 * one, tw=30.0 * one,
+                       twcc=90.0 * one, n=0.05 * one, ncc=0.1 * one,
+                       cs=1.0 * one, s0=0.005 * one)
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    nts = 2000
+    dt = 300.0
+    ql_const = 1.0
+    qlat = jnp.full((1, n), ql_const, dtype)
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=1,
+                        assume_short_ts=True)
+    out = route(net, cp, lp, cfg, jnp.zeros(n, dtype), jnp.zeros(n, dtype),
+                jnp.zeros(1, dtype), qlat, None)
+    q_outlet = np.asarray(out["flowveldepth"])[:, topo.index_of[3], 0]
+    # steady state: outlet flow == 3 segments * 1 m3/s lateral
+    assert q_outlet[-1] == pytest.approx(3.0, rel=1e-3)
