@@ -1,0 +1,271 @@
+"""YAML control-file schema (pydantic).
+
+Shape-compatible with the reference's ``troute-config`` pydantic schema
+(``troute-config/troute/config/config.py`` and friends) so existing T-Route
+control files validate and drive this framework: the same four top-level
+blocks (log / network topology / compute / output), the same key names for
+the knobs this framework consumes, and permissive pass-through for the
+rest.  Cross-field rules implemented here mirror the reference root
+validators (waterbody file required when breaking at waterbodies, diffusive
+domain required for hybrid routing).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field, model_validator
+
+
+class _Permissive(BaseModel):
+    model_config = ConfigDict(extra="allow")
+
+
+class LogParameters(_Permissive):
+    showtiming: Optional[bool] = False
+    log_level: Optional[str] = "DEBUG"
+    log_directory: Optional[str] = None
+
+
+class ColumnMapping(_Permissive):
+    key: str = "link"
+    downstream: str = "to"
+    dx: str = "Length"
+    n: str = "n"
+    ncc: str = "nCC"
+    s0: str = "So"
+    bw: str = "BtmWdth"
+    tw: str = "TopWdth"
+    twcc: str = "TopWdthCC"
+    cs: str = "ChSlp"
+    waterbody: str = "NHDWaterbodyComID"
+    gages: str = "gages"
+    alt: str = "alt"
+    musk: str = "MusK"
+    musx: str = "MusX"
+
+
+class SupernetworkParameters(_Permissive):
+    geo_file_path: Optional[str] = None
+    mask_file_path: Optional[str] = None
+    network_type: str = "HYFeaturesNetwork"
+    columns: Optional[ColumnMapping] = None
+    terminal_code: int = 0
+    synthetic_wb_segments: Optional[List[int]] = None
+
+
+class LevelPoolParams(_Permissive):
+    level_pool_waterbody_parameter_file_path: Optional[str] = None
+    level_pool_waterbody_id: str = "lake_id"
+
+
+class WaterbodyParameters(_Permissive):
+    break_network_at_waterbodies: bool = False
+    level_pool: Optional[LevelPoolParams] = None
+    waterbody_null_code: int = -9999
+
+
+class NetworkTopologyParameters(_Permissive):
+    supernetwork_parameters: SupernetworkParameters
+    waterbody_parameters: WaterbodyParameters = Field(
+        default_factory=WaterbodyParameters)
+
+    @model_validator(mode="after")
+    def _check_waterbody_file(self):
+        # NHD networks need LAKEPARM; HYFeatures carries lake params in the
+        # geopackage (reference config.py check_levelpool_filepath)
+        wb = self.waterbody_parameters
+        if (wb.break_network_at_waterbodies
+                and self.supernetwork_parameters.network_type == "NHDNetwork"):
+            if not (wb.level_pool
+                    and wb.level_pool.level_pool_waterbody_parameter_file_path):
+                raise ValueError(
+                    "break_network_at_waterbodies requires "
+                    "level_pool_waterbody_parameter_file_path for NHDNetwork")
+        return self
+
+
+class RestartParameters(_Permissive):
+    start_datetime: Optional[str] = None
+    lite_channel_restart_file: Optional[str] = None
+    lite_waterbody_restart_file: Optional[str] = None
+    wrf_hydro_channel_restart_file: Optional[str] = None
+    wrf_hydro_waterbody_restart_file: Optional[str] = None
+    wrf_hydro_channel_ID_crosswalk_file: Optional[str] = None
+    wrf_hydro_waterbody_ID_crosswalk_file: Optional[str] = None
+    wrf_hydro_waterbody_crosswalk_filter_file: Optional[str] = None
+
+
+class HybridParameters(_Permissive):
+    run_hybrid_routing: bool = False
+    diffusive_domain: Optional[str] = None
+    use_natl_xsections: bool = False
+    topobathy_domain: Optional[str] = None
+    run_refactored_network: bool = False
+    refactored_domain: Optional[str] = None
+    refactored_topobathy_domain: Optional[str] = None
+    coastal_boundary_domain: Optional[str] = None
+
+    @model_validator(mode="after")
+    def _check_domain(self):
+        if self.run_hybrid_routing and not self.diffusive_domain:
+            raise ValueError("run_hybrid_routing requires diffusive_domain")
+        if self.use_natl_xsections and not self.topobathy_domain:
+            raise ValueError("use_natl_xsections requires topobathy_domain")
+        return self
+
+
+class ForcingParameters(_Permissive):
+    qts_subdivisions: int = 12
+    dt: float = 300.0
+    nts: Optional[int] = None
+    max_loop_size: float = 24.0
+    qlat_input_folder: Optional[str] = None
+    qlat_file_pattern_filter: Optional[str] = "*CHRTOUT_DOMAIN1"
+    qlat_file_index_col: str = "feature_id"
+    qlat_file_value_col: str = "q_lateral"
+    qlat_const: float = 0.0
+    nexus_input_folder: Optional[str] = None
+    coastal_boundary_input_file: Optional[str] = None
+
+
+class StreamflowDAParameters(_Permissive):
+    streamflow_nudging: bool = False
+    diffusive_streamflow_nudging: bool = False
+    gage_segID_crosswalk_file: Optional[str] = None
+    crosswalk_gage_field: Optional[str] = "gages"
+    crosswalk_segID_field: Optional[str] = "link"
+    lastobs_output_folder: Optional[str] = None
+    lastobs_file: Optional[str] = None
+
+
+class ReservoirPersistenceDA(_Permissive):
+    reservoir_persistence_usgs: bool = False
+    reservoir_persistence_usace: bool = False
+    reservoir_persistence_greatLake: bool = False
+    crosswalk_usgs_gage_field: str = "usgs_gage_id"
+    crosswalk_usace_gage_field: str = "usace_gage_id"
+
+
+class ReservoirRfcDA(_Permissive):
+    reservoir_rfc_forecasts: bool = False
+    reservoir_rfc_forecasts_time_series_path: Optional[str] = None
+    reservoir_rfc_forecasts_lookback_hours: int = 28
+    reservoir_rfc_forecasts_offset_hours: int = 28
+    reservoir_rfc_forecast_persist_days: int = 11
+
+
+class ReservoirDAParameters(_Permissive):
+    reservoir_persistence_da: Optional[ReservoirPersistenceDA] = None
+    reservoir_rfc_da: Optional[ReservoirRfcDA] = None
+    reservoir_parameter_file: Optional[str] = None
+
+
+class DataAssimilationParameters(_Permissive):
+    usgs_timeslices_folder: Optional[str] = None
+    usace_timeslices_folder: Optional[str] = None
+    canada_timeslices_folder: Optional[str] = None
+    LakeOntario_outflow: Optional[str] = None
+    timeslice_lookback_hours: Optional[int] = 24
+    interpolation_limit_min: Optional[int] = 59
+    qc_threshold: Optional[float] = 1.0
+    streamflow_da: Optional[StreamflowDAParameters] = None
+    reservoir_da: Optional[ReservoirDAParameters] = None
+
+
+class ComputeParameters(_Permissive):
+    parallel_compute_method: str = "by-subnetwork-jit-clustered"
+    compute_kernel: str = "V02-structured"
+    assume_short_ts: bool = False
+    subnetwork_target_size: int = 10000
+    cpu_pool: Optional[int] = None
+    return_courant: bool = False
+    restart_parameters: RestartParameters = Field(
+        default_factory=RestartParameters)
+    hybrid_parameters: HybridParameters = Field(
+        default_factory=HybridParameters)
+    forcing_parameters: ForcingParameters = Field(
+        default_factory=ForcingParameters)
+    data_assimilation_parameters: DataAssimilationParameters = Field(
+        default_factory=DataAssimilationParameters)
+
+
+class ChrtoutOutputParameters(_Permissive):
+    wrf_hydro_channel_output_source_folder: Optional[str] = None
+
+
+class ChanobsOutputParameters(_Permissive):
+    chanobs_output_directory: Optional[str] = None
+    chanobs_filepath: Optional[str] = None
+
+
+class StreamOutput(_Permissive):
+    stream_output_directory: Optional[str] = None
+    stream_output_time: float = 1.0
+    stream_output_type: str = ".nc"
+    stream_output_internal_frequency: int = 60
+
+
+class OutputParameters(_Permissive):
+    csv_output: Optional[Dict[str, Any]] = None
+    parquet_output: Optional[Dict[str, Any]] = None
+    chrtout_output: Optional[ChrtoutOutputParameters] = None
+    chanobs_output: Optional[ChanobsOutputParameters] = None
+    lite_restart: Optional[Dict[str, Any]] = None
+    lakeout_output: Optional[str] = None
+    stream_output: Optional[StreamOutput] = None
+    test_output: Optional[str] = None
+    wrf_hydro_parity_check: Optional[Dict[str, Any]] = None
+
+
+class BMIParameters(_Permissive):
+    flowpath_columns: Optional[List[str]] = None
+    attributes_columns: Optional[List[str]] = None
+    waterbody_columns: Optional[List[str]] = None
+    network_columns: Optional[List[str]] = None
+
+
+class Config(_Permissive):
+    log_parameters: LogParameters = Field(default_factory=LogParameters)
+    network_topology_parameters: Optional[NetworkTopologyParameters] = None
+    compute_parameters: ComputeParameters = Field(
+        default_factory=ComputeParameters)
+    output_parameters: OutputParameters = Field(
+        default_factory=OutputParameters)
+    bmi_parameters: Optional[BMIParameters] = None
+
+    @classmethod
+    def with_strict_mode(cls, data: dict, base: Path) -> "Config":
+        """Validate and additionally check that referenced paths exist."""
+        cfg = cls.model_validate(data)
+        missing = []
+        for p in cfg.referenced_paths():
+            if p and not (base / p).exists():
+                missing.append(str(p))
+        if missing:
+            raise FileNotFoundError(f"missing input paths: {missing}")
+        return cfg
+
+    def referenced_paths(self) -> List[str]:
+        out = []
+        if self.network_topology_parameters:
+            sp = self.network_topology_parameters.supernetwork_parameters
+            out.append(sp.geo_file_path)
+            wb = self.network_topology_parameters.waterbody_parameters
+            if wb.level_pool:
+                out.append(wb.level_pool.level_pool_waterbody_parameter_file_path)
+        fp = self.compute_parameters.forcing_parameters
+        out.append(fp.qlat_input_folder)
+        return [p for p in out if p]
+
+
+def load_config(path, strict: bool = False) -> Config:
+    """Load and validate a YAML control file (reference CLI entry parity)."""
+    path = Path(path)
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    if strict:
+        return Config.with_strict_mode(data, path.parent)
+    return Config.model_validate(data)

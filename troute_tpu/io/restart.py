@@ -1,0 +1,75 @@
+"""Warm-state (restart) I/O.
+
+Three warm-start paths matching the reference (``AbstractNetwork.py:673-735``):
+lite restart (pickled frames, ``nhd_io.write_lite_restart:1458``), WRF-Hydro
+HYDRO_RST NetCDF (``nhd_io.get_channel_restart_from_wrf_hydro:1368``), and
+cold start.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from troute_tpu.io.netcdf import NetCDFFile
+
+
+def read_wrf_hydro_channel_restart(restart_file, routelink_file,
+                                   crosswalk_link_field="link"):
+    """Channel warm state from a HYDRO_RST file.
+
+    The restart carries no ids; rows align with the RouteLink crosswalk
+    ordered by its ascendingIndex, per WRF-Hydro convention.  Returns
+    (ids, qu0, qd0, h0).
+    """
+    with NetCDFFile(routelink_file) as f:
+        ids = f.read(crosswalk_link_field).astype(np.int64)
+        if "ascendingIndex" in f.variables:
+            order = np.argsort(f.read("ascendingIndex").astype(np.int64))
+            ids = ids[order]
+    with NetCDFFile(restart_file) as f:
+        qlink1 = f.read("qlink1").astype(np.float32)   # flow into segment
+        qlink2 = f.read("qlink2").astype(np.float32)   # flow out of segment
+        hlink = f.read("hlink").astype(np.float32)     # depth
+    m = min(ids.size, qlink1.size)
+    return ids[:m], qlink1[:m], qlink2[:m], hlink[:m]
+
+
+def read_wrf_hydro_waterbody_restart(restart_file, lakeparm_file,
+                                     lake_id_field="lake_id"):
+    """Waterbody warm state (elevation, outflow) from HYDRO_RST.
+
+    Returns (lake_ids, water_elevation, outflow).
+    """
+    with NetCDFFile(lakeparm_file) as f:
+        lake_ids = f.read(lake_id_field).astype(np.int64)
+        if "ascendingIndex" in f.variables:
+            order = np.argsort(f.read("ascendingIndex").astype(np.int64))
+            lake_ids = lake_ids[order]
+    with NetCDFFile(restart_file) as f:
+        resht = f.read("resht").astype(np.float32)
+        qlakeo = f.read("qlakeo").astype(np.float32)
+    m = min(lake_ids.size, resht.size)
+    return lake_ids[:m], resht[:m], qlakeo[:m]
+
+
+def write_lite_restart(path_prefix, timestamp, q0_df, waterbody_df):
+    """Write lite channel/waterbody restarts (pickled DataFrames, matching
+    the reference's format so runs can resume across frameworks)."""
+    ts = timestamp.strftime("%Y%m%d%H%M")
+    chan_path = Path(str(path_prefix)) / f"channel_restart_{ts}"
+    wb_path = Path(str(path_prefix)) / f"waterbody_restart_{ts}"
+    with open(chan_path, "wb") as f:
+        pickle.dump(q0_df, f)
+    if waterbody_df is not None:
+        with open(wb_path, "wb") as f:
+            pickle.dump(waterbody_df, f)
+    return chan_path, wb_path
+
+
+def read_lite_restart(path):
+    """Read a lite restart pickle -> DataFrame."""
+    with open(path, "rb") as f:
+        return pickle.load(f)

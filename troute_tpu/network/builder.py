@@ -1,0 +1,183 @@
+"""Network assembly: config + domain files -> device-ready arrays.
+
+The array-first equivalent of the reference's ``NHDNetwork`` construction
+(``NHDNetwork.py:117-345`` + ``AbstractNetwork.__init__``): read RouteLink,
+apply the domain mask, collapse waterbodies to lake nodes, build the
+columnar topology, assemble channel/reservoir parameter arrays and the gage
+crosswalk, and resolve warm-start state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from troute_tpu.config.schema import Config
+from troute_tpu.io.routelink import read_lakeparm, read_routelink
+from troute_tpu.io.restart import (
+    read_wrf_hydro_channel_restart, read_wrf_hydro_waterbody_restart)
+from troute_tpu.network import graph
+from troute_tpu.network.topology import (
+    NODE_RESERVOIR, RoutingTopology, build_topology)
+from troute_tpu.ops.levelpool import LevelpoolParams
+
+
+@dataclass
+class BuiltNetwork:
+    """Everything the engine needs, in topology row order."""
+
+    topo: RoutingTopology
+    chan: dict                   # {dx..s0: float32 [N]} (lake rows: benign)
+    res_params: np.ndarray       # [n_res, 9] levelpool params incl. ifd col 8
+    res_elev0: np.ndarray        # [n_res] initial water elevation
+    res_outflow0: np.ndarray     # [n_res] initial outflow
+    q0: np.ndarray               # [N] initial flow (qd0)
+    qu0: np.ndarray              # [N] initial upstream flow (legacy)
+    depth0: np.ndarray           # [N] initial depth / lake elevation
+    gage_rows: np.ndarray        # int32 [n_gages] topo rows with gages
+    gage_ids: np.ndarray         # str  [n_gages]
+    lake_crosswalk: dict         # lake id -> outlet segment id
+    segment_rows: np.ndarray     # rows that are MC segments
+
+    @property
+    def n_nodes(self):
+        return self.topo.n_nodes
+
+
+def build_network(cfg: Config, base: Path) -> BuiltNetwork:
+    base = Path(base)
+    ntp = cfg.network_topology_parameters
+    sp = ntp.supernetwork_parameters
+    wbp = ntp.waterbody_parameters
+
+    columns = sp.columns.model_dump() if sp.columns else None
+    mask_ids = None
+    if sp.mask_file_path:
+        mask_ids = np.loadtxt(base / sp.mask_file_path, dtype=np.int64,
+                              ndmin=1)
+    rl = read_routelink(base / sp.geo_file_path, columns, mask_ids)
+
+    # waterbody mapping (only when simulating waterbodies)
+    waterbodies: dict[int, int] = {}
+    lake_params = None
+    if wbp.break_network_at_waterbodies and wbp.level_pool:
+        lp_file = wbp.level_pool.level_pool_waterbody_parameter_file_path
+        wb_mask = rl.waterbody != rl.waterbody_null
+        lake_ids_in_domain = set(np.unique(rl.waterbody[wb_mask]).tolist())
+        lake_params = read_lakeparm(
+            base / lp_file, wbp.level_pool.level_pool_waterbody_id,
+            lake_ids_in_domain)
+        known = set(lake_params.lake_ids.tolist())
+        for seg, lake in zip(rl.ids[wb_mask], rl.waterbody[wb_mask]):
+            if int(lake) in known:
+                waterbodies[int(seg)] = int(lake)
+
+    # connections with terminal handling: explicit terminal code plus
+    # off-domain pointers
+    terminals = {sp.terminal_code} | (
+        set(rl.downstream.tolist()) - set(rl.ids.tolist()))
+    conn = graph.extract_connections(rl.ids.tolist(), rl.downstream.tolist(),
+                                     terminals)
+    lake_crosswalk: dict = {}
+    if waterbodies:
+        conn, lake_crosswalk = graph.replace_waterbodies(conn, waterbodies)
+
+    # columnar topology from the collapsed graph
+    node_ids = np.fromiter(conn.keys(), np.int64, len(conn))
+    down = np.full(node_ids.size, -9999, np.int64)
+    for i, nid in enumerate(node_ids):
+        dsts = conn[int(nid)]
+        if dsts:
+            down[i] = dsts[0]
+    lake_set = set(lake_crosswalk)
+    node_type = np.array(
+        [NODE_RESERVOIR if int(i) in lake_set else 0 for i in node_ids],
+        np.int8)
+    topo = build_topology(node_ids, down, node_type,
+                          terminal_codes=(-9999,))
+
+    n = topo.n_nodes
+    row_of = topo.index_of
+    seg_pos = {int(s): k for k, s in enumerate(rl.ids)}
+
+    # channel parameters in row order (benign defaults on lake rows)
+    chan = {k: np.ones(n, np.float32) for k in
+            ("dx", "bw", "tw", "twcc", "n", "ncc", "cs", "s0")}
+    for k in chan:
+        src = rl.channel[k]
+        for nid in node_ids:
+            p = seg_pos.get(int(nid))
+            if p is not None:
+                chan[k][row_of[int(nid)]] = src[p]
+
+    # reservoir parameter block in topo.reservoir_rows order
+    res_rows = topo.reservoir_rows
+    n_res = res_rows.size
+    res_params = np.ones((max(n_res, 1), 9), np.float64)
+    if n_res and lake_params is not None:
+        lake_pos = {int(i): k for k, i in enumerate(lake_params.lake_ids)}
+        for slot, row in enumerate(res_rows):
+            lake_id = int(topo.ids[row])
+            res_params[slot] = lake_params.params[lake_pos[lake_id]]
+
+    # initial conditions (cold start default)
+    q0 = np.zeros(n, np.float32)
+    qu0 = np.zeros(n, np.float32)
+    depth0 = np.zeros(n, np.float32)
+    res_elev0 = np.full(max(n_res, 1), np.nan, np.float32)
+    res_outflow0 = np.zeros(max(n_res, 1), np.float32)
+
+    rp = cfg.compute_parameters.restart_parameters
+    if rp.wrf_hydro_channel_restart_file:
+        ids_r, qu, qd, h = read_wrf_hydro_channel_restart(
+            base / rp.wrf_hydro_channel_restart_file,
+            base / (rp.wrf_hydro_channel_ID_crosswalk_file
+                    or sp.geo_file_path))
+        for i, sid in enumerate(ids_r):
+            r = row_of.get(int(sid))
+            if r is not None:
+                qu0[r], q0[r], depth0[r] = qu[i], qd[i], h[i]
+    if rp.wrf_hydro_waterbody_restart_file and n_res:
+        lids, resht, qlakeo = read_wrf_hydro_waterbody_restart(
+            base / rp.wrf_hydro_waterbody_restart_file,
+            base / (rp.wrf_hydro_waterbody_ID_crosswalk_file or ""))
+        lake_slot = {int(topo.ids[r]): s for s, r in enumerate(res_rows)}
+        for i, lid in enumerate(lids):
+            s = lake_slot.get(int(lid))
+            if s is not None:
+                res_elev0[s] = resht[i]
+                res_outflow0[s] = qlakeo[i]
+
+    # cold-start elevation where no restart value
+    # (reference levelpool_structs.c:97-106)
+    if n_res:
+        cold = (res_params[:n_res, 4]
+                + (res_params[:n_res, 1] - res_params[:n_res, 4])
+                * res_params[:n_res, 8])
+        nanmask = ~np.isfinite(res_elev0[:n_res])
+        res_elev0[:n_res] = np.where(nanmask, cold, res_elev0[:n_res])
+        # engine convention: lake rows carry outflow/elevation in q/depth
+        for s, r in enumerate(res_rows):
+            q0[r] = res_outflow0[s]
+            depth0[r] = res_elev0[s]
+
+    # gage crosswalk (segments only; reaches split at gages happens
+    # implicitly at node granularity)
+    gage_rows, gage_ids = [], []
+    for k, sid in enumerate(rl.ids):
+        g = rl.gages[k]
+        if g and int(sid) in row_of:
+            gage_rows.append(row_of[int(sid)])
+            gage_ids.append(g)
+
+    seg_rows = np.flatnonzero(topo.node_type == 0).astype(np.int32)
+
+    return BuiltNetwork(
+        topo=topo, chan=chan, res_params=res_params,
+        res_elev0=res_elev0, res_outflow0=res_outflow0,
+        q0=q0, qu0=qu0, depth0=depth0,
+        gage_rows=np.asarray(gage_rows, np.int32),
+        gage_ids=np.asarray(gage_ids, dtype=object),
+        lake_crosswalk=lake_crosswalk, segment_rows=seg_rows)

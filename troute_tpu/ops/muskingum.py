@@ -172,7 +172,8 @@ class _SecantState(NamedTuple):
     it: jax.Array
     maxiter: jax.Array
     tries: jax.Array
-    active: jax.Array
+    active: jax.Array   # int32 0/1 (bool vectors can't be carried through
+                        # Mosaic while loops)
 
 
 def muskingum_cunge(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
@@ -186,10 +187,21 @@ def muskingum_cunge(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
     ``max_trips`` optionally caps the total secant trips (parity mode runs
     the full reference schedule, up to 100 + 4 retries of 125..200).
     """
-    qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0, depthp = (
-        jnp.broadcast_arrays(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc,
-                             cs, s0, depthp)
-    )
+    args = jnp.broadcast_arrays(qup, quc, qdp, ql, dx, bw, tw, twcc, n,
+                                ncc, cs, s0, depthp)
+    out = solve_block(*args, dt=dt, max_trips=max_trips)
+    return MCOutput(*out)
+
+
+def solve_block(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
+                depthp, dt, max_trips: int | None = None):
+    """Core solve on same-shaped arrays (also the Pallas per-block body).
+
+    Returns the tuple (qdc, velc, depthc, ck, cn, X).  The caller
+    guarantees all arrays share one shape; the single ``while_loop`` exits
+    when *every* lane in this batch has converged, so callers wanting
+    early exit should hand in small blocks (see ``muskingum_pallas``).
+    """
     dtype = jnp.result_type(qup)
     dt = jnp.asarray(dt, dtype)
 
@@ -216,7 +228,7 @@ def muskingum_cunge(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
         it=jnp.zeros(h_init.shape, jnp.int32),
         maxiter=jnp.full(h_init.shape, MAXITER_INIT, jnp.int32),
         tries=jnp.zeros(h_init.shape, jnp.int32),
-        active=has_flow,
+        active=has_flow.astype(jnp.int32),
     )
 
     def secant_args(h, interval, qj_in, c_in):
@@ -225,9 +237,10 @@ def muskingum_cunge(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
 
     def body(st: _SecantState) -> _SecantState:
         # top-of-loop check (reference do-while condition, .f90:83)
-        run = st.active & (st.rerror > 0.01) & (st.aerror >= MINDEPTH) \
+        active = st.active == 1
+        run = active & (st.rerror > 0.01) & (st.aerror >= MINDEPTH) \
             & (st.it <= st.maxiter)
-        finished_loop = st.active & ~run
+        finished_loop = active & ~run
 
         qj0_new, c1a, c2a, c3a, c4a, _x1 = secant_args(st.h_0, 1, st.qj0_slot, None)
         qj_new, c1b, c2b, c3b, c4b, x2 = secant_args(
@@ -267,17 +280,18 @@ def muskingum_cunge(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
         h_0 = jnp.where(retry, h_0 * 0.67, h_0)
         maxiter = jnp.where(retry, st.maxiter + 25, st.maxiter)
         it = jnp.where(retry, 0, it)
-        active = st.active & ~(at_111 & ~retry)
+        still_active = active & ~(at_111 & ~retry)
 
         return _SecantState(h, h_0, qj0_slot, c1, c2, c3, c4, x,
-                            rerror, aerror, it, maxiter, tries, active)
+                            rerror, aerror, it, maxiter, tries,
+                            still_active.astype(jnp.int32))
 
     if max_trips is None:
-        st = jax.lax.while_loop(lambda s: jnp.any(s.active), body, state)
+        st = jax.lax.while_loop(lambda s: jnp.any(s.active == 1), body, state)
     else:
         # fast mode: cap total secant trips (body is a no-op on inactive lanes)
         st, _ = jax.lax.while_loop(
-            lambda c: jnp.any(c[0].active) & (c[1] < max_trips),
+            lambda c: jnp.any(c[0].active == 1) & (c[1] < max_trips),
             lambda c: (body(c[0]), c[1] + 1),
             (state, jnp.asarray(0, jnp.int32)),
         )
@@ -327,4 +341,4 @@ def muskingum_cunge(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
     )
     cn = ck * (dt / dx)
 
-    return MCOutput(qdc=qdc, velc=velc, depthc=depthc, ck=ck, cn=cn, X=x_out)
+    return qdc, velc, depthc, ck, cn, x_out

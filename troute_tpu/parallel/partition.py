@@ -1,0 +1,186 @@
+"""Domain decomposition of the river network across a device mesh.
+
+The reference's only parallelism is a single-node joblib process pool over
+independent basins / JIT subnetworks with pickled-array hand-off
+(``compute.py:553-1396``).  Here the network is *sharded*: each device owns
+a contiguous padded block of nodes, and the few junction edges that cross
+device boundaries become a halo exchange (all-gather of exported boundary
+flows over ICI) fused into the routing step — the
+``flowveldepth_interorder`` dict replaced by device collectives.
+
+Partitioning is by independent drainage basin (connected components of the
+junction graph) with greedy size balancing; any explicit assignment can be
+supplied instead (e.g. to split the Mississippi at mainstem points or to
+force cut edges in tests).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from troute_tpu.network.topology import RoutingTopology
+
+
+@dataclass(frozen=True)
+class NetworkPartition:
+    """Host-side index plan for a sharded network.
+
+    Extended local array layout on each device: positions [0, n_local) are
+    owned nodes, positions [n_local, n_local + n_halo) are halo slots
+    holding imported remote upstream flows.
+    """
+
+    n_dev: int
+    n_local: int
+    n_halo: int
+    n_export: int
+    # [n_dev, n_local] global row held at each (device, slot); -1 pad
+    global_row: np.ndarray
+    # [N] owning device / local slot of each global row
+    owner: np.ndarray
+    local_slot: np.ndarray
+    # [n_dev, n_local, K] upstream indices into the extended local array; -1 pad
+    upstream_local: np.ndarray
+    # [n_dev, n_export] local slots whose flow is exported (clamped 0 pad)
+    export_slot: np.ndarray
+    # [n_dev, n_halo] source (device, export position) for each halo slot
+    halo_src_dev: np.ndarray
+    halo_src_pos: np.ndarray
+
+    @property
+    def cut_edges(self) -> int:
+        return int((self.halo_src_dev >= 0).sum())
+
+
+def _components(topo: RoutingTopology) -> np.ndarray:
+    """Connected-component label per node (union along downstream edges)."""
+    n = topo.n_nodes
+    parent = np.arange(n)
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:
+            parent[a], a = root, parent[a]
+        return root
+
+    for i in range(n):
+        d = topo.downstream[i]
+        if d >= 0:
+            ra, rb = find(i), find(int(d))
+            if ra != rb:
+                parent[ra] = rb
+    return np.array([find(i) for i in range(n)])
+
+
+def greedy_basin_assignment(topo: RoutingTopology, n_dev: int) -> np.ndarray:
+    """Assign whole basins to devices, largest first to the lightest bin."""
+    comp = _components(topo)
+    labels, counts = np.unique(comp, return_counts=True)
+    order = np.argsort(-counts)
+    load = np.zeros(n_dev, np.int64)
+    comp_dev = {}
+    for k in order:
+        d = int(np.argmin(load))
+        comp_dev[labels[k]] = d
+        load[d] += counts[k]
+    return np.array([comp_dev[c] for c in comp], np.int32)
+
+
+def partition_network(topo: RoutingTopology, n_dev: int,
+                      assignment: np.ndarray | None = None
+                      ) -> NetworkPartition:
+    """Build the sharded index plan.
+
+    Args:
+        assignment: optional [N] device id per node; defaults to greedy
+            basin packing (zero cut edges when basins fit).
+    """
+    n = topo.n_nodes
+    if assignment is None:
+        assignment = greedy_basin_assignment(topo, n_dev)
+    assignment = np.asarray(assignment, np.int32)
+
+    counts = np.bincount(assignment, minlength=n_dev)
+    n_local = max(int(counts.max()), 1)
+
+    global_row = np.full((n_dev, n_local), -1, np.int64)
+    local_slot = np.full(n, -1, np.int64)
+    for d in range(n_dev):
+        rows = np.flatnonzero(assignment == d)
+        global_row[d, :rows.size] = rows
+        local_slot[rows] = np.arange(rows.size)
+
+    # find cut edges: upstream u (on dev(u)) feeding node v (on dev(v) != dev(u))
+    exports: list[list[int]] = [[] for _ in range(n_dev)]   # local slots per dev
+    export_pos: dict[tuple[int, int], int] = {}             # (dev, slot) -> pos
+    imports: list[list[tuple[int, int]]] = [[] for _ in range(n_dev)]
+    halo_of: dict[tuple[int, int], int] = {}                # (dev_v, global_u) -> halo idx
+
+    K = topo.max_upstreams
+    upstream_local = np.full((n_dev, n_local, K), -1, np.int64)
+    for v in range(n):
+        dv = int(assignment[v])
+        sv = int(local_slot[v])
+        for k in range(K):
+            u = int(topo.upstream[v, k])
+            if u < 0:
+                continue
+            du = int(assignment[u])
+            if du == dv:
+                upstream_local[dv, sv, k] = local_slot[u]
+            else:
+                su = int(local_slot[u])
+                key = (du, su)
+                if key not in export_pos:
+                    export_pos[key] = len(exports[du])
+                    exports[du].append(su)
+                hkey = (dv, u)
+                if hkey not in halo_of:
+                    halo_of[hkey] = len(imports[dv])
+                    imports[dv].append((du, export_pos[key]))
+                upstream_local[dv, sv, k] = n_local + halo_of[hkey]
+
+    n_export = max((len(e) for e in exports), default=0)
+    n_halo = max((len(i) for i in imports), default=0)
+    n_export = max(n_export, 1)
+    n_halo = max(n_halo, 1)
+
+    export_slot = np.zeros((n_dev, n_export), np.int64)
+    halo_src_dev = np.full((n_dev, n_halo), -1, np.int64)
+    halo_src_pos = np.zeros((n_dev, n_halo), np.int64)
+    for d in range(n_dev):
+        for p, s in enumerate(exports[d]):
+            export_slot[d, p] = s
+        for h, (sd, sp) in enumerate(imports[d]):
+            halo_src_dev[d, h] = sd
+            halo_src_pos[d, h] = sp
+
+    return NetworkPartition(
+        n_dev=n_dev, n_local=n_local, n_halo=n_halo, n_export=n_export,
+        global_row=global_row, owner=assignment.astype(np.int64),
+        local_slot=local_slot, upstream_local=upstream_local,
+        export_slot=export_slot, halo_src_dev=halo_src_dev,
+        halo_src_pos=halo_src_pos)
+
+
+def scatter_to_shards(part: NetworkPartition, arr: np.ndarray,
+                      fill=0.0) -> np.ndarray:
+    """[N, ...] global array -> [n_dev, n_local, ...] padded shard layout."""
+    out_shape = (part.n_dev, part.n_local) + arr.shape[1:]
+    out = np.full(out_shape, fill, dtype=arr.dtype)
+    mask = part.global_row >= 0
+    out[mask] = arr[part.global_row[mask]]
+    return out
+
+
+def gather_from_shards(part: NetworkPartition, arr: np.ndarray) -> np.ndarray:
+    """[n_dev, n_local, ...] shard layout -> [N, ...] global array."""
+    n = part.owner.size
+    out = np.zeros((n,) + arr.shape[2:], dtype=arr.dtype)
+    mask = part.global_row >= 0
+    out[part.global_row[mask]] = arr[mask]
+    return out

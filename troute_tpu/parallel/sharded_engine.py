@@ -1,0 +1,189 @@
+"""Multi-device routing: shard_map over a basin-sharded device mesh.
+
+Each device advances its block of nodes; junction flows crossing device
+boundaries ride an ``all_gather`` of exported boundary values over ICI each
+timestep (see ``partition.py`` for the index plan).  This is the TPU-native
+replacement for the reference's joblib order-barrier + interorder dict
+hand-off (``compute.py:882-900``): the exchange is a device collective
+fused into the compiled scan, not host pickling.
+
+Production short-timestep mode only (timestep t reads only t-1 state, so
+one exchange per step suffices; a strict-mode multi-device variant would
+exchange per wavefront level).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from troute_tpu.ops.levelpool import LevelpoolParams, levelpool_step
+from troute_tpu.ops.muskingum import muskingum_cunge
+from troute_tpu.parallel.partition import NetworkPartition, scatter_to_shards
+from troute_tpu.routing.engine import ChannelParams
+
+AXIS = "basin"
+
+
+class ShardedInputs(NamedTuple):
+    """All [n_dev, ...] leading-axis-sharded device arrays for the run."""
+
+    upstream_local: jax.Array   # int32 [n_dev, n_local, K] into extended array
+    export_slot: jax.Array      # int32 [n_dev, E]
+    halo_src_dev: jax.Array     # int32 [n_dev, H]
+    halo_src_pos: jax.Array     # int32 [n_dev, H]
+    valid: jax.Array            # bool  [n_dev, n_local] (pad rows False)
+    is_reservoir: jax.Array     # bool  [n_dev, n_local]
+    res_slots: jax.Array        # int32 [n_dev, R] local slots of reservoirs, -1 pad
+    chan: ChannelParams         # [n_dev, n_local] each
+    res_params: LevelpoolParams  # [n_dev, R] each
+    q0: jax.Array               # [n_dev, n_local]
+    depth0: jax.Array           # [n_dev, n_local]
+    res_elev0: jax.Array        # [n_dev, R]
+    qlat: jax.Array             # [n_cols, n_dev, n_local]
+
+
+def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
+                         res_params_np: np.ndarray | None,
+                         q0, depth0, res_elev_by_row: dict,
+                         qlat_cols: np.ndarray,
+                         dtype=jnp.float32) -> ShardedInputs:
+    """Assemble sharded arrays from global host arrays.
+
+    Args:
+        chan_np: dict of [N] float arrays (dx, bw, tw, twcc, n, ncc, cs, s0)
+        res_params_np: [n_res_global, 9] levelpool params in row order of
+            ``topo.reservoir_rows`` (area..weir_length, dam_length)
+        res_elev_by_row: {global_row: initial elevation}
+        qlat_cols: [n_cols, N]
+    """
+    nd, nl = part.n_dev, part.n_local
+    valid = part.global_row >= 0
+
+    is_res_global = (topo.node_type == 1)
+    is_res = np.zeros((nd, nl), bool)
+    is_res[valid] = is_res_global[part.global_row[valid]]
+
+    # per-device reservoir slot lists
+    res_lists = [np.flatnonzero(is_res[d]) for d in range(nd)]
+    R = max((len(r) for r in res_lists), default=0)
+    R = max(R, 1)
+    res_slots = np.full((nd, R), -1, np.int64)
+    res_p = np.ones((nd, R, 9), np.float64)
+    res_e0 = np.zeros((nd, R), np.float64)
+    if res_params_np is not None:
+        slot_of_global = {int(r): i for i, r in enumerate(topo.reservoir_rows)}
+        for d in range(nd):
+            for i, s in enumerate(res_lists[d]):
+                g = int(part.global_row[d, s])
+                res_slots[d, i] = s
+                res_p[d, i] = res_params_np[slot_of_global[g]]
+                res_e0[d, i] = res_elev_by_row.get(g, 0.0)
+
+    def shard(a, fill=0.0):
+        return jnp.asarray(scatter_to_shards(part, np.asarray(a, np.float64),
+                                             fill), dtype)
+
+    chan = ChannelParams(**{k: shard(chan_np[k], 1.0)
+                            for k in ChannelParams._fields})
+    qlat_sh = jnp.stack([shard(qlat_cols[c]) for c in range(qlat_cols.shape[0])])
+
+    return ShardedInputs(
+        upstream_local=jnp.asarray(part.upstream_local, jnp.int32),
+        export_slot=jnp.asarray(part.export_slot, jnp.int32),
+        halo_src_dev=jnp.asarray(part.halo_src_dev, jnp.int32),
+        halo_src_pos=jnp.asarray(part.halo_src_pos, jnp.int32),
+        valid=jnp.asarray(valid),
+        is_reservoir=jnp.asarray(is_res),
+        res_slots=jnp.asarray(res_slots, jnp.int32),
+        chan=chan,
+        res_params=LevelpoolParams(
+            *[jnp.asarray(res_p[:, :, i], dtype) for i in range(9)]),
+        q0=shard(q0), depth0=shard(depth0),
+        res_elev0=jnp.asarray(res_e0, dtype),
+        qlat=qlat_sh,
+    )
+
+
+def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
+                  qts_subdivisions: int = 1):
+    """Compiled multi-device routing run (short-timestep mode).
+
+    Returns fvd [n_dev, nts, n_local, 3] sharded over the mesh.
+    """
+    dtype = inp.q0.dtype
+    dt_ = jnp.asarray(dt, dtype)
+
+    def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
+                   halo_src_pos, valid, is_res, res_slots, chan, res_params):
+        q, depth, res_elev = carry
+        qlat_t = xs
+
+        # halo exchange: export my boundary flows, all-gather, import
+        exported = q[export_slot]                     # [E]
+        all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
+        halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
+        halo = jnp.where(halo_src_dev >= 0, halo, 0.0)
+        q_ext = jnp.concatenate([q, halo])
+
+        up = upstream_local
+        vals = q_ext[jnp.maximum(up, 0)]
+        up_prev = jnp.where(up >= 0, vals, 0.0).sum(axis=1)
+
+        out = muskingum_cunge(up_prev, up_prev, q, qlat_t, chan.dx, chan.bw,
+                              chan.tw, chan.twcc, chan.n, chan.ncc, chan.cs,
+                              chan.s0, depth, dt_)
+        q_new = jnp.where(valid & ~is_res, out.qdc, q)
+        v_new = jnp.where(valid & ~is_res, out.velc, 0.0)
+        d_new = jnp.where(valid & ~is_res, out.depthc, depth)
+
+        # reservoirs: padded per-device slots
+        safe_slots = jnp.maximum(res_slots, 0)
+        inflow = up_prev[safe_slots]
+        lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
+                                         jnp.zeros_like(inflow), dt_,
+                                         res_params)
+        have = res_slots >= 0
+        scatter = jnp.where(have, safe_slots, q_new.shape[0])
+        q_new = q_new.at[scatter].set(lp_out, mode="drop")
+        d_new = d_new.at[scatter].set(lp_elev, mode="drop")
+        res_elev = jnp.where(have, lp_elev, res_elev)
+
+        fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
+        return (q_new, d_new, res_elev), fvd
+
+    def device_fn(upstream_local, export_slot, halo_src_dev, halo_src_pos,
+                  valid, is_res, res_slots, chan, res_params, q0, depth0,
+                  res_elev0, qlat):
+        # block shapes carry a leading size-1 device axis; drop it
+        sq = lambda a: a[0]
+        args = (sq(upstream_local), sq(export_slot), sq(halo_src_dev),
+                sq(halo_src_pos), sq(valid), sq(is_res), sq(res_slots),
+                jax.tree.map(sq, chan), jax.tree.map(sq, res_params))
+
+        cols = ((jnp.arange(nts) // qts_subdivisions)).astype(jnp.int32)
+        qlat_seq = qlat[:, 0][cols]   # [nts, n_local]
+
+        def step(c, x):
+            return local_step(c, x, *args)
+
+        (_, _, _), fvd = jax.lax.scan(
+            step, (sq(q0), sq(depth0), sq(res_elev0)), qlat_seq)
+        return fvd[None]   # [1, nts, n_local, 3]
+
+    specs = ShardedInputs(
+        upstream_local=P(AXIS), export_slot=P(AXIS), halo_src_dev=P(AXIS),
+        halo_src_pos=P(AXIS), valid=P(AXIS), is_reservoir=P(AXIS),
+        res_slots=P(AXIS),
+        chan=ChannelParams(*[P(AXIS)] * len(ChannelParams._fields)),
+        res_params=LevelpoolParams(*[P(AXIS)] * len(LevelpoolParams._fields)),
+        q0=P(AXIS), depth0=P(AXIS), res_elev0=P(AXIS),
+        qlat=P(None, AXIS))
+
+    fn = jax.shard_map(device_fn, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P(AXIS), check_vma=False)
+    return jax.jit(fn)(*inp)

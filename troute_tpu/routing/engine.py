@@ -87,6 +87,10 @@ class RoutingConfig(NamedTuple):
     qts_subdivisions: int = 1
     assume_short_ts: bool = False
     return_courant: bool = False
+    # "xla": one network-wide while_loop (best for small domains / strict
+    # mode); "pallas": TPU blocked kernel with per-block secant early exit
+    # (production choice at scale — see ops/muskingum_pallas.py)
+    kernel: str = "xla"
 
 
 class RoutingState(NamedTuple):
@@ -156,6 +160,26 @@ def route(net: NetworkArrays, chan: ChannelParams,
         'nudge' [nts, n_gages] (if da), 'courant' [nts, N, 3] (if enabled),
         and the final RoutingState.
     """
+    # Pad the node axis to a multiple of 1024 (8 sublanes x 128 lanes):
+    # unaligned gathers compile pathologically on TPU (minutes vs ~1s) and
+    # the Pallas kernel wants whole tiles.  Pad rows are isolated no-flow
+    # nodes; outputs are sliced back before returning.
+    n_real = q0.shape[0]
+    pad = (-n_real) % 1024
+    if pad:
+        pad1 = lambda a, fill=0.0: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+        q0, depth0 = pad1(q0), pad1(depth0)
+        chan = ChannelParams(*[pad1(c, 1.0) for c in chan])
+        qlat = jnp.concatenate(
+            [qlat, jnp.zeros((qlat.shape[0], pad), qlat.dtype)], axis=1)
+        net = net._replace(
+            upstream=jnp.concatenate(
+                [net.upstream,
+                 jnp.full((pad, net.upstream.shape[1]), -1, jnp.int32)]),
+            is_reservoir=jnp.concatenate(
+                [net.is_reservoir, jnp.zeros(pad, bool)]))
+
     dtype = q0.dtype
     n = q0.shape[0]
     have_da = da is not None and int(da.rows.shape[0]) > 0
@@ -179,6 +203,12 @@ def route(net: NetworkArrays, chan: ChannelParams,
         res_elev0 = jnp.zeros((1,), dtype)
 
     def mc_all(qup, quc, q_prev, d_prev, ql_t):
+        if cfg.kernel == "pallas":
+            from troute_tpu.ops.muskingum_pallas import muskingum_cunge_pallas
+            return muskingum_cunge_pallas(
+                qup, quc, q_prev, ql_t, chan.dx, chan.bw, chan.tw,
+                chan.twcc, chan.n, chan.ncc, chan.cs, chan.s0, d_prev,
+                float(cfg.dt), with_diagnostics=cfg.return_courant)
         out = muskingum_cunge(qup, quc, q_prev, ql_t, chan.dx, chan.bw,
                               chan.tw, chan.twcc, chan.n, chan.ncc,
                               chan.cs, chan.s0, d_prev, dt)
@@ -207,10 +237,14 @@ def route(net: NetworkArrays, chan: ChannelParams,
         q_new, d_new, res_elev = reservoirs(q_new, d_new, up_prev,
                                             state.res_elev)
 
-        t_seconds = t.astype(dtype) * dt
-        q_new, nudge, lo_val, lo_time = _apply_nudging(
-            q_new, t_seconds, da, state.lastobs_val, state.lastobs_time,
-            obs_t)
+        if have_da:
+            t_seconds = t.astype(dtype) * dt
+            q_new, nudge, lo_val, lo_time = _apply_nudging(
+                q_new, t_seconds, da, state.lastobs_val, state.lastobs_time,
+                obs_t)
+        else:
+            nudge = jnp.zeros((0,), dtype)
+            lo_val, lo_time = state.lastobs_val, state.lastobs_time
 
         new_state = RoutingState(q_new, d_new, res_elev, lo_val, lo_time)
         ys = {"fvd": jnp.stack([q_new, v_new, d_new], axis=-1),
@@ -341,8 +375,136 @@ def route(net: NetworkArrays, chan: ChannelParams,
     step = step_short if cfg.assume_short_ts else step_strict
     final_state, ys = jax.lax.scan(step, state0, (ts, qlat_cols, obs_seq))
 
+    if pad:
+        ys["fvd"] = ys["fvd"][:, :n_real]
+        if cfg.return_courant:
+            ys["courant"] = ys["courant"][:, :n_real]
+        final_state = final_state._replace(
+            q=final_state.q[:n_real], depth=final_state.depth[:n_real])
+
     out = {"flowveldepth": ys["fvd"], "nudge": ys["nudge"],
            "state": final_state}
     if cfg.return_courant:
         out["courant"] = ys["courant"]
+    return out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("decay_coeff", "dt"))
+def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
+                    t_seconds, upstream, chan: ChannelParams,
+                    res_params: LevelpoolParams, is_res, res_rows,
+                    gage_rows, decay_coeff, dt):
+    """One short-timestep routing step as a pure jitted function.
+
+    Used by ``route_stepped``: the Pallas MC kernel cannot currently live
+    inside ``lax.scan`` on this toolchain (Mosaic-in-scan compile hang), so
+    production stepping drives one compiled step per timestep from the
+    host.  All arrays are arguments — closing over network-sized constants
+    bakes them into the compile payload.
+    """
+    dtype = q.dtype
+    vals = q[jnp.maximum(upstream, 0)]
+    up_prev = jnp.where(upstream >= 0, vals, 0.0).sum(axis=1)
+
+    from troute_tpu.ops.muskingum_pallas import muskingum_cunge_pallas
+    out = muskingum_cunge_pallas(
+        up_prev, up_prev, q, ql_t, chan.dx, chan.bw, chan.tw, chan.twcc,
+        chan.n, chan.ncc, chan.cs, chan.s0, depth, float(dt),
+        with_diagnostics=False)
+
+    q_new = jnp.where(is_res, q, out.qdc)
+    v_new = jnp.where(is_res, 0.0, out.velc)
+    d_new = jnp.where(is_res, depth, out.depthc)
+
+    if res_rows.shape[0]:
+        inflow = up_prev[res_rows]
+        lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
+                                         jnp.zeros_like(inflow),
+                                         jnp.asarray(dt, dtype), res_params)
+        q_new = q_new.at[res_rows].set(lp_out)
+        d_new = d_new.at[res_rows].set(lp_elev)
+        res_elev = lp_elev
+
+    nudge = jnp.zeros((gage_rows.shape[0],), dtype)
+    if gage_rows.shape[0]:
+        da = GageDA(rows=gage_rows, obs=obs_t[None], lastobs_val=lo_val,
+                    lastobs_time=lo_time, decay_coeff=decay_coeff)
+        q_new, nudge, lo_val, lo_time = _apply_nudging(
+            q_new, t_seconds, da, lo_val, lo_time, obs_t)
+
+    return q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge
+
+
+def route_stepped(net: NetworkArrays, chan: ChannelParams,
+                  res_params: LevelpoolParams, cfg: RoutingConfig,
+                  q0, depth0, res_elev0, qlat, da: GageDA | None = None,
+                  collect: bool = True):
+    """Host-driven production routing (short-timestep + Pallas kernel).
+
+    Semantically identical to ``route(..., assume_short_ts=True)``; one
+    compiled step per timestep instead of a device-side scan.  Returns the
+    same dict; 'flowveldepth' is [nts, N, 3] (stacked on device) when
+    ``collect`` else None.
+    """
+    if not cfg.assume_short_ts:
+        raise ValueError("route_stepped supports short-timestep mode only")
+    dtype = q0.dtype
+    n_real = q0.shape[0]
+    pad = (-n_real) % 1024
+    if pad:
+        pad1 = lambda a, fill=0.0: jnp.concatenate(
+            [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)])
+        q0, depth0 = pad1(q0), pad1(depth0)
+        chan = ChannelParams(*[pad1(c, 1.0) for c in chan])
+        qlat = jnp.concatenate(
+            [qlat, jnp.zeros((qlat.shape[0], pad), qlat.dtype)], axis=1)
+        net = net._replace(
+            upstream=jnp.concatenate(
+                [net.upstream,
+                 jnp.full((pad, net.upstream.shape[1]), -1, jnp.int32)]),
+            is_reservoir=jnp.concatenate(
+                [net.is_reservoir, jnp.zeros(pad, bool)]))
+
+    have_da = da is not None and int(da.rows.shape[0]) > 0
+    gage_rows = da.rows if have_da else jnp.zeros((0,), jnp.int32)
+    lo_val = da.lastobs_val if have_da else jnp.zeros((0,), dtype)
+    lo_time = da.lastobs_time if have_da else jnp.zeros((0,), dtype)
+    decay = da.decay_coeff if have_da else 120.0
+    n_obs_t = da.obs.shape[0] if have_da else 0
+
+    q, depth, res_elev = q0, depth0, res_elev0
+    fvd_steps = []
+    nudges = []
+    last_col = -1
+    ql_t = None
+    for t in range(1, cfg.nts + 1):
+        col = (t - 1) // cfg.qts_subdivisions
+        if col != last_col:
+            ql_t = qlat[col]
+            last_col = col
+        if have_da and t < n_obs_t:
+            obs_t = da.obs[t]
+        else:
+            obs_t = jnp.full((gage_rows.shape[0],), jnp.nan, dtype)
+        t_seconds = jnp.asarray(t * cfg.dt, dtype)
+        q, v, d_new, res_elev, lo_val, lo_time, nudge = _stepped_kernel(
+            q, depth, res_elev, lo_val, lo_time, ql_t, obs_t, t_seconds,
+            net.upstream, chan, res_params, net.is_reservoir, net.res_rows,
+            gage_rows, decay, cfg.dt)
+        depth = d_new
+        if collect:
+            fvd_steps.append(jnp.stack([q[:n_real], v[:n_real],
+                                        d_new[:n_real]], axis=-1))
+            nudges.append(nudge)
+
+    state = RoutingState(q=q[:n_real], depth=depth[:n_real],
+                         res_elev=res_elev, lastobs_val=lo_val,
+                         lastobs_time=lo_time)
+    out = {"state": state, "flowveldepth": None, "nudge": None}
+    if collect:
+        out["flowveldepth"] = jnp.stack(fvd_steps)
+        out["nudge"] = jnp.stack(nudges)
     return out
