@@ -260,3 +260,132 @@ def levelpool_ref(H, qi0, qi1, ql, dt, ar, we, maxh, wc, wl, dl, oe, oc, oa,
 
         qo1 = discharge_at(H, H)
     return qo1, H
+
+
+def hybrid_da_ref(gage_obs, gage_time, now, prev_persisted, p_update_time,
+                  p_index, lp_outflow, inflow, dt, lake_area, max_depth,
+                  orifice_elev, init_elev, lookback_hrs, update_time):
+    """Scalar hybrid persistence DA (reference reservoir_hybrid_da.py:55)."""
+    limit = 11
+    new_p_idx = p_index
+    new_p_ut = p_update_time
+    new_ut = update_time
+    init_storage = (init_elev - orifice_elev) * (lake_area * 1e6)
+    max_storage = (max_depth - orifice_elev) * (lake_area * 1e6)
+
+    if now >= update_time:
+        obs = np.nan
+        t_diff = update_time - gage_time
+        t_idx = int(np.where(t_diff >= 0, t_diff, np.inf).argmin())
+        lookback_sec = None
+        for i in range(t_idx, -1, -1):
+            if not np.isnan(gage_obs[i]):
+                obs = gage_obs[i]
+                lookback_sec = update_time - gage_time[i]
+                new_ut = update_time + 3600.0
+                break
+        if np.isnan(obs):
+            persisted = prev_persisted
+            if now >= p_update_time:
+                new_p_idx = p_index + 1
+                new_p_ut = p_update_time + 86400.0
+        elif lookback_sec > lookback_hrs * 3600:
+            persisted = prev_persisted
+            if now >= p_update_time:
+                new_p_idx = p_index + 1
+                new_p_ut = p_update_time + 86400.0
+        else:
+            persisted = obs
+            new_p_idx = 1
+            new_p_ut = p_update_time + 86400.0
+    elif now >= p_update_time:
+        new_p_idx = p_index + 1
+        new_p_ut = p_update_time + 86400.0
+        if p_index <= limit:
+            persisted = prev_persisted
+        if p_index > limit:
+            persisted = lp_outflow
+            new_p_idx = 0
+    else:
+        persisted = prev_persisted
+
+    if np.isnan(persisted):
+        outflow = lp_outflow
+        new_p_idx = 0
+    else:
+        outflow = persisted
+
+    # storage modification
+    assess = outflow
+    out = assess
+    if assess < 0:
+        out = 0.0
+    projected = init_storage + (inflow - assess) * dt
+    max_reached = projected > max_storage
+    if projected <= 0:
+        out = inflow
+    if out < 0:
+        out = 0.0
+    if max_reached and out < lp_outflow:
+        out = lp_outflow
+
+    delta = (inflow - out) * dt
+    new_elev = init_elev + delta / (lake_area * 1e6)
+    return out, persisted, new_elev, new_ut, new_p_idx, new_p_ut
+
+
+def rfc_da_ref(use_rfc, series, ts_idx, total_counts, dt, now, update_time,
+               da_step, persist_seconds, rtype, inflow, water_elev,
+               lp_outflow, lp_elev, area_m2, max_elev):
+    """Scalar RFC forecast DA (reference reservoir_RFC_da.py:196)."""
+    if use_rfc and now <= persist_seconds:
+        if now >= update_time and ts_idx < total_counts:
+            update_time += da_step
+            ts_idx += 1
+        if rtype == 4:
+            outflow = series[ts_idx]
+        else:
+            outflow = inflow + series[ts_idx]
+        new_elev = water_elev + ((inflow - outflow) / area_m2) * dt
+        new_elev = min(max(new_elev, 0.0), max_elev)
+        if outflow < 0:
+            j = ts_idx
+            while outflow < 0 and j > 1:
+                j -= 1
+                outflow = series[j]
+            if outflow < 0:
+                outflow = lp_outflow if rtype == 4 else inflow
+                new_elev = lp_elev
+    else:
+        outflow = lp_outflow if rtype == 4 else inflow
+        new_elev = lp_elev
+    return outflow, new_elev, update_time, ts_idx
+
+
+def gl_da_ref(gage_obs, gage_time, prev_out, prev_time, update_time, now,
+              month_idx, climatology, limit_days=11.0):
+    """Scalar Great Lakes DA (reference reservoir_GL_da.py:6)."""
+    new_out, new_time, new_ut = prev_out, prev_time, update_time
+    clim = climatology[month_idx]
+    prev = clim if np.isnan(prev_out) else prev_out
+    limit_s = limit_days * 86400.0
+    if now >= update_time:
+        obs = np.nan
+        t_idxs = np.nonzero((now - gage_time) >= 0)[0]
+        if len(t_idxs):
+            i = t_idxs[-1]
+            obs = gage_obs[i]
+            lookback = now - gage_time[i]
+        if np.isnan(obs):
+            outflow = prev
+        elif lookback > limit_s:
+            outflow = clim
+        else:
+            outflow = obs
+            new_out, new_time = obs, gage_time[i]
+            new_ut = update_time + 3600.0
+    else:
+        outflow = prev
+        if (now - prev_time) > limit_s:
+            outflow = clim
+    return outflow, new_out, new_time, new_ut

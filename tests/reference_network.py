@@ -15,7 +15,8 @@ import math
 import numpy as np
 
 from troute_tpu.network import graph
-from reference_impl import levelpool_ref, muskingum_cunge_ref
+from reference_impl import (gl_da_ref, hybrid_da_ref, levelpool_ref,
+                            muskingum_cunge_ref, rfc_da_ref)
 
 
 def simulate_reference(conn, chan, q0, depth0, qlat, nts, dt,
@@ -54,6 +55,18 @@ def simulate_reference(conn, chan, q0, depth0, qlat, nts, dt,
         fvd[i][0, 2] = depth0.get(i, 0.0)
 
     elev = {k: float(v["elev0"]) for k, v in reservoirs.items()}
+    da_state = {}
+    for k, v in reservoirs.items():
+        wtype = v.get("wbody_type", 1)
+        if wtype in (2, 3):
+            da_state[k] = dict(persisted=np.nan, update_time=0.0,
+                               p_idx=0.0, p_ut=0.0)
+        elif wtype in (4, 5):
+            da_state[k] = dict(ts_idx=int(v.get("ts_idx0", 0)),
+                               update_time=0.0)
+        elif wtype == 6:
+            da_state[k] = dict(assim_out=np.nan, assim_time=0.0,
+                               update_time=0.0)
 
     n_gages = len(gages["rows"]) if gages else 0
     nudge = np.zeros((nts + 1, n_gages), dtype)
@@ -76,14 +89,44 @@ def simulate_reference(conn, chan, q0, depth0, qlat, nts, dt,
             if head in reservoirs:
                 assert len(reach) == 1, "reservoir reaches are singletons"
                 p = reservoirs[head]
-                out, new_elev = levelpool_ref(
-                    elev[head], upstream_flows, upstream_flows, 0.0, dt,
+                wtype = p.get("wbody_type", 1)
+                elev_prev = elev[head]
+                lp_out, lp_elev = levelpool_ref(
+                    elev_prev, upstream_flows, upstream_flows, 0.0, dt,
                     p["area"], p["weir_elev"], p["max_depth"],
                     p["weir_coeff"], p["weir_length"], p["dam_length"],
                     p["orifice_elev"], p["orifice_coeff"],
                     p["orifice_area"], dtype=dtype)
+                out, new_elev = lp_out, lp_elev
+                now = t * dt
+                if wtype in (2, 3):
+                    st = da_state[head]
+                    (out, st["persisted"], new_elev, st["update_time"],
+                     st["p_idx"], st["p_ut"]) = hybrid_da_ref(
+                        p["obs"], p["obs_time"], now, st["persisted"],
+                        st["p_ut"], st["p_idx"], lp_out, upstream_flows,
+                        dt, p["area"], p["max_depth"], p["orifice_elev"],
+                        elev_prev, 48.0, st["update_time"])
+                elif wtype in (4, 5):
+                    st = da_state[head]
+                    (out, new_elev, st["update_time"],
+                     st["ts_idx"]) = rfc_da_ref(
+                        p["use_rfc"], p["series"], st["ts_idx"],
+                        p["total_counts"], dt, now, st["update_time"],
+                        p["da_step"], p["persist_seconds"], wtype,
+                        upstream_flows, elev_prev, lp_out, lp_elev,
+                        p["area"] * 1e6, p["max_depth"])
+                elif wtype == 6:
+                    st = da_state[head]
+                    (out, st["assim_out"], st["assim_time"],
+                     st["update_time"]) = gl_da_ref(
+                        p["obs"], p["obs_time"], st["assim_out"],
+                        st["assim_time"], st["update_time"], now,
+                        p["month_idx"], p["climatology"])
+                    new_elev = elev_prev
                 elev[head] = new_elev
-                fvd[head][t] = (out, 0.0, new_elev)
+                depth_out = 0.0 if wtype == 6 else new_elev
+                fvd[head][t] = (out, 0.0, depth_out)
             else:
                 qup = prev_upstream
                 quc = upstream_flows

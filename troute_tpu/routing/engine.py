@@ -41,6 +41,9 @@ import numpy as np
 from troute_tpu.network.topology import NODE_RESERVOIR, RoutingTopology
 from troute_tpu.ops.levelpool import LevelpoolParams, levelpool_step
 from troute_tpu.ops.muskingum import muskingum_cunge
+from troute_tpu.ops.reservoir_da import (
+    GreatLakesDAState, HybridDAState, RfcDAState, great_lakes_da,
+    hybrid_persistence_da, rfc_forecast_da)
 
 
 class ChannelParams(NamedTuple):
@@ -81,6 +84,59 @@ class GageDA(NamedTuple):
     decay_coeff: float         # minutes
 
 
+class ReservoirDAData(NamedTuple):
+    """Pre-staged reservoir DA inputs, one lane per reservoir slot.
+
+    ``wbody_type`` codes follow the reference (``reservoir_index`` files):
+    1 = plain levelpool, 2 = USGS hybrid persistence, 3 = USACE hybrid
+    persistence, 4 = CONUS RFC forecast, 5 = Alaska glacier RFC,
+    6 = Great Lake (climatology + obs persistence, no levelpool).
+    """
+
+    wbody_type: jax.Array          # int32 [n_res]
+    hybrid_obs: jax.Array          # [n_res, n_hobs] (NaN = missing)
+    hybrid_obs_time: jax.Array     # [n_hobs] seconds since t0
+    hybrid_state0: HybridDAState   # [n_res] lanes
+    rfc_series: jax.Array          # [n_res, n_counts]
+    rfc_counts: jax.Array          # int32 [n_res]
+    rfc_use: jax.Array             # bool [n_res]
+    rfc_timestep: jax.Array        # [n_res] seconds
+    rfc_persist_seconds: jax.Array  # [n_res]
+    rfc_state0: RfcDAState
+    gl_obs: jax.Array              # [n_res, n_gobs]
+    gl_obs_time: jax.Array         # [n_res, n_gobs]
+    gl_climatology: jax.Array      # [n_res, 12]
+    gl_state0: GreatLakesDAState
+    month_idx: jax.Array           # int32 [nts+1] calendar month-1 per step
+    obs_lookback_hours: float = 48.0
+
+    @classmethod
+    def inactive(cls, n_res: int, nts: int, dtype=jnp.float32):
+        """All-levelpool placeholder (no DA)."""
+        n = max(n_res, 1)
+        f = lambda *s: jnp.zeros(s, dtype)
+        return cls(
+            wbody_type=jnp.ones(n, jnp.int32),
+            hybrid_obs=jnp.full((n, 1), jnp.nan, dtype),
+            hybrid_obs_time=jnp.zeros(1, dtype),
+            hybrid_state0=HybridDAState(
+                persisted_outflow=jnp.full(n, jnp.nan, dtype),
+                update_time=f(n), persistence_index=f(n),
+                persistence_update_time=f(n)),
+            rfc_series=f(n, 1), rfc_counts=jnp.zeros(n, jnp.int32),
+            rfc_use=jnp.zeros(n, bool), rfc_timestep=jnp.ones(n, dtype),
+            rfc_persist_seconds=f(n),
+            rfc_state0=RfcDAState(timeseries_idx=jnp.zeros(n, jnp.int32),
+                                  update_time=f(n)),
+            gl_obs=jnp.full((n, 1), jnp.nan, dtype),
+            gl_obs_time=jnp.zeros((n, 1), dtype),
+            gl_climatology=f(n, 12),
+            gl_state0=GreatLakesDAState(
+                assimilated_outflow=jnp.full(n, jnp.nan, dtype),
+                assimilated_time=f(n), update_time=f(n)),
+            month_idx=jnp.zeros(nts + 1, jnp.int32))
+
+
 class RoutingConfig(NamedTuple):
     dt: float
     nts: int
@@ -101,6 +157,9 @@ class RoutingState(NamedTuple):
     res_elev: jax.Array      # [n_res] reservoir water elevation
     lastobs_val: jax.Array   # [n_gages]
     lastobs_time: jax.Array  # [n_gages]
+    hybrid: HybridDAState | None = None
+    rfc: RfcDAState | None = None
+    gl: GreatLakesDAState | None = None
 
 
 def network_arrays_from_topology(topo: RoutingTopology,
@@ -145,7 +204,8 @@ def _apply_nudging(q, t_seconds, da: GageDA, lastobs_val, lastobs_time,
 def route(net: NetworkArrays, chan: ChannelParams,
           res_params: LevelpoolParams, cfg: RoutingConfig,
           q0: jax.Array, depth0: jax.Array, res_elev0: jax.Array,
-          qlat: jax.Array, da: GageDA | None = None):
+          qlat: jax.Array, da: GageDA | None = None,
+          res_da: ReservoirDAData | None = None):
     """Route the full network for ``cfg.nts`` timesteps.
 
     Args:
@@ -202,6 +262,15 @@ def route(net: NetworkArrays, chan: ChannelParams,
             *[jnp.ones((1,), dtype) for _ in LevelpoolParams._fields])
         res_elev0 = jnp.zeros((1,), dtype)
 
+    have_res_da = res_da is not None
+    if have_res_da and not cfg.assume_short_ts:
+        raise NotImplementedError(
+            "reservoir DA (hybrid/RFC/GL types) is implemented for the "
+            "production short-timestep mode")
+    if res_da is None:
+        res_da = ReservoirDAData.inactive(int(res_elev0.shape[0]), cfg.nts,
+                                          dtype)
+
     def mc_all(qup, quc, q_prev, d_prev, ql_t):
         if cfg.kernel == "pallas":
             from troute_tpu.ops.muskingum_pallas import muskingum_cunge_pallas
@@ -214,39 +283,92 @@ def route(net: NetworkArrays, chan: ChannelParams,
                               chan.cs, chan.s0, d_prev, dt)
         return out
 
-    def reservoirs(q_new, d_new, inflow_all, res_elev):
-        """Run all reservoirs; scatter outflow/elevation into node arrays."""
+    def reservoirs(q_new, d_new, inflow_all, state: RoutingState, now,
+                   month_i):
+        """Run all reservoirs (levelpool + per-type DA); scatter outflow and
+        elevation into the node arrays.  Mirrors the reference's
+        per-reservoir dispatch in ``mc_reach.pyx:507-717``."""
         if int(net.res_rows.shape[0]) == 0:
-            return q_new, d_new, res_elev
+            return q_new, d_new, state.res_elev, state.hybrid, state.rfc, \
+                state.gl
         inflow = inflow_all[net.res_rows]
-        outflow, elev = levelpool_step(res_elev, inflow, inflow,
-                                       jnp.zeros_like(inflow), dt, res_params)
+        elev_prev = state.res_elev
+        lp_out, lp_elev = levelpool_step(elev_prev, inflow, inflow,
+                                         jnp.zeros_like(inflow), dt,
+                                         res_params)
+        outflow, elev = lp_out, lp_elev
+        hyb, rfc, gl = state.hybrid, state.rfc, state.gl
+
+        if have_res_da:
+            wt = res_da.wbody_type
+            # USGS(2)/USACE(3) hybrid persistence
+            h_out, h_elev, hyb_n = hybrid_persistence_da(
+                state.hybrid, res_da.hybrid_obs, res_da.hybrid_obs_time,
+                now, lp_out, inflow, dt, res_params.area,
+                res_params.max_depth, res_params.orifice_elev, elev_prev,
+                res_da.obs_lookback_hours)
+            is_hyb = (wt == 2) | (wt == 3)
+            outflow = jnp.where(is_hyb, h_out, outflow)
+            elev = jnp.where(is_hyb, h_elev, elev)
+            hyb = jax.tree.map(
+                lambda new, old: jnp.where(is_hyb, new, old), hyb_n,
+                state.hybrid)
+
+            # RFC(4) / glacier(5) forecast DA
+            r_out, r_elev, rfc_n = rfc_forecast_da(
+                state.rfc, res_da.rfc_series, res_da.rfc_counts,
+                res_da.rfc_use, res_da.rfc_timestep,
+                res_da.rfc_persist_seconds, wt, now, inflow, elev_prev,
+                lp_out, lp_elev, res_params.area * 1.0e6,
+                res_params.max_depth, dt)
+            is_rfc = (wt == 4) | (wt == 5)
+            outflow = jnp.where(is_rfc, r_out, outflow)
+            elev = jnp.where(is_rfc, r_elev, elev)
+            rfc = jax.tree.map(
+                lambda new, old: jnp.where(is_rfc, new, old), rfc_n,
+                state.rfc)
+
+            # Great Lakes(6): climatology/persistence only, no levelpool
+            g_out, gl_n = great_lakes_da(
+                state.gl, res_da.gl_obs, res_da.gl_obs_time, now, month_i,
+                res_da.gl_climatology)
+            is_gl = wt == 6
+            outflow = jnp.where(is_gl, g_out, outflow)
+            elev = jnp.where(is_gl, elev_prev, elev)
+            gl = jax.tree.map(
+                lambda new, old: jnp.where(is_gl, new, old), gl_n, state.gl)
+
+            d_scatter = jnp.where(is_gl, 0.0, elev)
+        else:
+            d_scatter = elev
+
         q_new = q_new.at[net.res_rows].set(outflow)
-        d_new = d_new.at[net.res_rows].set(elev)
-        return q_new, d_new, elev
+        d_new = d_new.at[net.res_rows].set(d_scatter)
+        return q_new, d_new, elev, hyb, rfc, gl
 
     def step_short(state: RoutingState, xs):
-        t, qlat_col, obs_t = xs
+        t, qlat_col, obs_t, month_i = xs
         ql_t = qlat[qlat_col]
         up_prev = _upstream_sum(state.q, net.upstream)
+        now = t.astype(dtype) * dt
 
         out = mc_all(up_prev, up_prev, state.q, state.depth, ql_t)
         q_new = jnp.where(res_mask, state.q, out.qdc)
         v_new = jnp.where(res_mask, 0.0, out.velc)
         d_new = jnp.where(res_mask, state.depth, out.depthc)
-        q_new, d_new, res_elev = reservoirs(q_new, d_new, up_prev,
-                                            state.res_elev)
+        q_new, d_new, res_elev, hyb, rfc, gl = reservoirs(
+            q_new, d_new, up_prev, state, now, month_i)
 
         if have_da:
-            t_seconds = t.astype(dtype) * dt
             q_new, nudge, lo_val, lo_time = _apply_nudging(
-                q_new, t_seconds, da, state.lastobs_val, state.lastobs_time,
+                q_new, now, da, state.lastobs_val, state.lastobs_time,
                 obs_t)
         else:
             nudge = jnp.zeros((0,), dtype)
             lo_val, lo_time = state.lastobs_val, state.lastobs_time
 
-        new_state = RoutingState(q_new, d_new, res_elev, lo_val, lo_time)
+        new_state = RoutingState(q_new, d_new, res_elev, lo_val, lo_time,
+                                 hyb, rfc, gl)
         ys = {"fvd": jnp.stack([q_new, v_new, d_new], axis=-1),
               "nudge": nudge}
         if cfg.return_courant:
@@ -254,7 +376,7 @@ def route(net: NetworkArrays, chan: ChannelParams,
         return new_state, ys
 
     def step_strict(state: RoutingState, xs):
-        t, qlat_col, obs_t = xs
+        t, qlat_col, obs_t, _month_i = xs
         ql_t = qlat[qlat_col]
         up_prev = _upstream_sum(state.q, net.upstream)
         t_seconds = t.astype(dtype) * dt
@@ -329,7 +451,8 @@ def route(net: NetworkArrays, chan: ChannelParams,
                  jnp.zeros((n_g,), dtype), courant0),
                 (net.level_nodes, gage_level_active))
 
-        new_state = RoutingState(q_new, d_new, res_elev, lo_val, lo_time)
+        new_state = RoutingState(q_new, d_new, res_elev, lo_val, lo_time,
+                                 state.hybrid, state.rfc, state.gl)
         ys = {"fvd": jnp.stack([q_new, v_new, d_new], axis=-1),
               "nudge": nudge}
         if cfg.return_courant:
@@ -368,12 +491,18 @@ def route(net: NetworkArrays, chan: ChannelParams,
         da.obs[obs_idx] if n_obs_t > 0 else jnp.zeros((cfg.nts, 0), dtype),
         jnp.nan)
 
+    month_seq = res_da.month_idx[ts] if res_da.month_idx.shape[0] > cfg.nts \
+        else jnp.zeros(cfg.nts, jnp.int32)
+
     state0 = RoutingState(
         q=q0, depth=depth0, res_elev=res_elev0,
-        lastobs_val=da.lastobs_val, lastobs_time=da.lastobs_time)
+        lastobs_val=da.lastobs_val, lastobs_time=da.lastobs_time,
+        hybrid=res_da.hybrid_state0, rfc=res_da.rfc_state0,
+        gl=res_da.gl_state0)
 
     step = step_short if cfg.assume_short_ts else step_strict
-    final_state, ys = jax.lax.scan(step, state0, (ts, qlat_cols, obs_seq))
+    final_state, ys = jax.lax.scan(step, state0,
+                                   (ts, qlat_cols, obs_seq, month_seq))
 
     if pad:
         ys["fvd"] = ys["fvd"][:, :n_real]
