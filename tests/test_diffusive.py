@@ -1,0 +1,128 @@
+"""Diffusive-wave solver tests: cross-section table physics, steady-state
+convergence to normal depth, mass conservation, and junction hand-off."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from troute_tpu.diffusive.domain import build_domain
+from troute_tpu.diffusive.solver import (
+    CFL, DTINI_DIVISOR, DiffusiveState, Q_LLM, diffusive_step,
+    initialize_state, run_diffusive)
+from troute_tpu.diffusive.xsection import build_xsec_tables
+
+
+def _prism_reach(n_nodes=12, dx=1500.0, bo=20.0, traps=1.0, tw=60.0,
+                 twcc=180.0, mann=0.035, manncc=0.07, s0=0.0008, z0=100.0):
+    z = z0 - s0 * dx * np.arange(n_nodes)
+    ones = np.ones(n_nodes)
+    return dict(z=z, dx=np.full(n_nodes, dx), bo=bo * ones,
+                traps=traps * ones, tw=tw * ones, twcc=twcc * ones,
+                mann=mann * ones, manncc=manncc * ones)
+
+
+def test_xsec_table_matches_closed_form():
+    """Table area/perimeter/conveyance at bankfull equal trapezoid values."""
+    r = _prism_reach(n_nodes=3)
+    z = np.stack([r["z"]])[:, :3]
+    tab, z_adj = build_xsec_tables(
+        z, np.full((1, 3), 20.0), np.full((1, 3), 1.0),
+        np.full((1, 3), 60.0), np.full((1, 3), 180.0),
+        np.full((1, 3), 0.035), np.full((1, 3), 0.07),
+        np.full((1, 3), 1500.0))
+    assert tab.shape == (1, 3, 11, 501)
+    hbf = (60.0 - 20.0) / 2.0  # bankfull depth = 20 m
+    # find the table row closest to bankfull elevation at node 0
+    el = tab[0, 0, 0]
+    j = int(np.argmin(np.abs(el - (z[0, 0] + hbf))))
+    d = el[j] - z[0, 0]
+    a_expect = 20.0 * d + d ** 2          # trapezoid, traps=1
+    # notch adds 0.5 * bo * 0.01
+    a_expect += 0.5 * 20.0 * 0.01
+    assert tab[0, 0, 1, j] == pytest.approx(a_expect, rel=1e-3)
+    p_expect = 2.0 * d * np.sqrt(2.0) + 2 * np.sqrt(10.0 ** 2 + 0.01 ** 2)
+    assert tab[0, 0, 2, j] == pytest.approx(p_expect, rel=1e-3)
+    # top width just below bankfull = bo + 2*d
+    assert tab[0, 0, 5, j] == pytest.approx(20.0 + 2 * d, rel=1e-3)
+    # monotone area & conveyance
+    assert np.all(np.diff(tab[0, 0, 1]) > 0)
+    assert np.all(np.diff(tab[0, 0, 4]) >= 0)
+
+
+def _single_reach_domain(q_in=150.0, nts=48, dt=300.0):
+    r = _prism_reach()
+    n = len(r["z"])
+    qlat = np.zeros((nts, 1, n))
+    trib = np.full((nts, 1), q_in)
+    return build_domain([r], [-1], qlat, dt, trib, dt, dt)
+
+
+def test_steady_state_normal_depth():
+    """Constant inflow on a prismatic channel converges to uniform flow:
+    outflow == inflow and depth == normal depth everywhere."""
+    q_in = 150.0
+    dom = _single_reach_domain(q_in=q_in)
+    q0 = jnp.full((1, dom.n_cols), q_in, jnp.float64)
+    st = initialize_state(dom, q0, dtini_min=30.0)
+    st, saves = run_diffusive(dom, st, t_final=6 * 3600.0,
+                              save_interval=300.0)
+    q = np.asarray(st.q[0])
+    y = np.asarray(st.y[0])
+    z = np.asarray(dom.z[0])
+    assert np.all(np.isfinite(q)) and np.all(np.isfinite(y))
+    # discharge uniform along the reach at steady state
+    np.testing.assert_allclose(q, q_in, rtol=1e-3)
+    # depth ~ normal depth: Manning for the compound section; compare
+    # against the table's uniform-flow column inverse
+    depths = y - z
+    assert np.all(depths > 0)
+    np.testing.assert_allclose(depths, depths.mean(), rtol=0.05)
+
+
+def test_mass_conservation_pulse():
+    """A lateral-inflow pulse leaves the domain: outflow volume converges
+    to inflow volume (no mass created/destroyed beyond baseflow)."""
+    nts = 72
+    dt = 300.0
+    r = _prism_reach()
+    n = len(r["z"])
+    qlat = np.zeros((nts, 1, n))
+    qlat[8:16, 0, 4] = 0.05   # pulse at an interior node (m3/s per m)
+    trib = np.full((nts, 1), 50.0)
+    dom = build_domain([r], [-1], qlat, dt, trib, dt, dt)
+    q0 = jnp.full((1, dom.n_cols), 50.0, jnp.float64)
+    st = initialize_state(dom, q0, dtini_min=dt / DTINI_DIVISOR)
+    st, saves = run_diffusive(dom, st, t_final=nts * dt, save_interval=dt)
+    qs = np.stack([np.asarray(q[0]) for _, q, _ in saves])
+    assert np.all(np.isfinite(qs))
+    outflow = qs[:, -1]
+    # pulse raises outflow above baseflow and decays back
+    assert outflow.max() > 50.0 + 1.0
+    assert abs(outflow[-1] - 50.0) < 2.0
+
+
+def test_junction_handoff():
+    """Two tributary reaches joining a mainstem: downstream discharge equals
+    the sum of the upstream inflows at steady state."""
+    nts, dt = 60, 300.0
+    r1, r2 = _prism_reach(z0=120.0), _prism_reach(z0=121.0)
+    r3 = _prism_reach(n_nodes=16, z0=105.6, bo=30.0, tw=90.0, twcc=270.0)
+    qlat = np.zeros((nts, 3, 16))
+    trib = np.zeros((nts, 3))
+    trib[:, 0] = 60.0
+    trib[:, 1] = 40.0
+    dom = build_domain([r1, r2, r3], [2, 2, -1], qlat, dt, trib, dt, dt)
+    q0 = jnp.concatenate([
+        jnp.full((1, dom.n_cols), 60.0),
+        jnp.full((1, dom.n_cols), 40.0),
+        jnp.full((1, dom.n_cols), 100.0)]).astype(jnp.float64)
+    st = initialize_state(dom, q0, dtini_min=dt / DTINI_DIVISOR)
+    st, _ = run_diffusive(dom, st, t_final=8 * 3600.0, save_interval=dt)
+    q3 = np.asarray(st.q[2])
+    assert np.all(np.isfinite(q3))
+    assert q3[-1] == pytest.approx(100.0, rel=2e-2)
+    # upstream reaches hold their inflow
+    assert float(st.q[0, -1]) == pytest.approx(60.0, rel=2e-2)
+    assert float(st.q[1, -1]) == pytest.approx(40.0, rel=2e-2)

@@ -1,0 +1,111 @@
+"""Diffusive domain assembly: reach lists + geometry -> padded device arrays.
+
+The reference marshals this in ``diffusive_utils_v02.diffusive_input_data_v02``
+(frnw matrix, per-node geometry maps, qlat/boundary maps).  Here reaches are
+right-aligned into [R, C] arrays and the corrector wavefront levels are
+precomputed from the mainstem reach tree.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from troute_tpu.diffusive.solver import DiffusiveDomain
+from troute_tpu.diffusive.xsection import build_xsec_tables
+
+
+def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
+                 qlat_series: np.ndarray, dt_qlat: float,
+                 trib_series: np.ndarray, dt_trib: float,
+                 dtini_given: float, dtype=jnp.float64) -> DiffusiveDomain:
+    """Assemble a DiffusiveDomain.
+
+    Args:
+        reach_nodes: per reach, dict of 1-D node arrays
+            (z, dx, bo, traps, tw, twcc, mann, manncc); ``dx[i]`` is the
+            distance from node i to node i+1 (last entry ignored)
+        ds_reach: downstream reach index per reach (-1 = tailwater)
+        qlat_series: [n_t, R, C_ragged-aligned?] — pass per-reach node qlat
+            as a [n_t] x reach list via the same right-aligned layout:
+            [n_t, R, C] (caller aligns), or None for zeros
+        trib_series: [n_t, R] tributary inflow at each reach head
+    """
+    R = len(reach_nodes)
+    ncomp = np.array([len(r["z"]) for r in reach_nodes], np.int32)
+    C = int(ncomp.max())
+    head_col = (C - ncomp).astype(np.int32)
+
+    def right_align(key, fill):
+        out = np.full((R, C), fill, np.float64)
+        for j, r in enumerate(reach_nodes):
+            out[j, C - ncomp[j]:] = r[key]
+        return out
+
+    z = right_align("z", 0.0)
+    dx = right_align("dx", 1.0)
+    # pad dx so padded columns don't produce zero divisions
+    dx = np.where(dx <= 0, 1.0, dx)
+    bo = right_align("bo", 1.0)
+    traps = right_align("traps", 1.0)
+    tw = right_align("tw", 3.0)
+    twcc = right_align("twcc", 9.0)
+    mann = right_align("mann", 0.05)
+    manncc = right_align("manncc", 0.1)
+
+    tab, z_adj = build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx)
+
+    valid = np.zeros((R, C), bool)
+    for j in range(R):
+        valid[j, C - ncomp[j]:] = True
+
+    ds = np.asarray(ds_reach, np.int32)
+    # upstream lists
+    K = max(1, int(np.bincount(ds[ds >= 0], minlength=R).max()
+                   if (ds >= 0).any() else 1))
+    up = np.full((R, K), -1, np.int32)
+    fill = np.zeros(R, np.int32)
+    for j, d in enumerate(ds):
+        if d >= 0:
+            up[d, fill[d]] = j
+            fill[d] += 1
+
+    # corrector wavefront: level = distance to tailwater along the tree
+    level = np.zeros(R, np.int32)
+    for j in range(R):
+        d, l = ds[j], 0
+        while d >= 0:
+            l += 1
+            d = ds[d]
+        level[j] = l
+    n_levels = int(level.max()) + 1
+    bwd_levels = np.zeros((n_levels, R), bool)
+    for j in range(R):
+        bwd_levels[level[j], j] = True
+
+    if qlat_series is None:
+        qlat_series = np.zeros((2, R, C))
+    # duplicate the first row: the reference's qlat time array starts with
+    # the first value held constant over [t0, t0+dt] (diffusive.f90:494-499)
+    qlat_series = np.concatenate([qlat_series[:1], qlat_series], axis=0)
+    if trib_series is None:
+        trib_series = np.zeros((2, R))
+
+    return DiffusiveDomain(
+        z=jnp.asarray(z_adj, dtype),
+        dx=jnp.asarray(dx, dtype),
+        ncomp=jnp.asarray(ncomp),
+        head_col=jnp.asarray(head_col),
+        valid=jnp.asarray(valid),
+        xsec=jnp.asarray(tab, dtype),
+        ds_reach=jnp.asarray(ds),
+        up_reaches=jnp.asarray(up),
+        bwd_levels=jnp.asarray(bwd_levels),
+        trib_q=jnp.asarray(trib_series, dtype),
+        dt_trib=float(dt_trib),
+        qlat=jnp.asarray(qlat_series, dtype),
+        dt_qlat=float(dt_qlat),
+        dtini_given=float(dtini_given),
+    )

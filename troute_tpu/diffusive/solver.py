@@ -1,0 +1,528 @@
+"""Batched Crank-Nicolson diffusive-wave solver (JAX).
+
+Reproduces the reference's Tulane diffusive core
+(``kernel/diffusive/diffusive.f90:diffnw``, ``:75-940``) as fused vector
+steps over ALL mainstem reaches at once, in a padded ``[R, C]`` layout:
+
+* reaches are **right-aligned**: node i of a reach with ``ncomp`` nodes
+  lives at column ``C - ncomp + i``.  This makes both the forward
+  elimination (predictor) and the downstream-up substitution start at a
+  uniform column for every reach, so the per-reach sequential recurrences
+  become lane-parallel scans over the node axis.
+* the predictor (``mesh_diffusive_forward``) is *fully reach-parallel*: the
+  eei/ffi/exi/fxi double sweep never reads the current-step upstream
+  inflow — junction hand-off only overwrites the head-node discharge after
+  the sweep, so one vector pass handles the whole domain with a gather for
+  junction inflows.
+* the corrector (``mesh_diffusive_backward``) chains water-surface
+  elevations downstream-to-upstream through junctions, which is a wavefront
+  over the *reach tree* (typically a handful of levels for NWM mainstems):
+  a masked scan over reverse levels, each level solving all its reaches'
+  node chains with a vectorized Newton/bisection (``rtsafe``) per node.
+* adaptive internal timestep from the global CFL bound
+  (``calculateDT``), driven host-side (the step returns max celerity/dx).
+
+Double precision, like the reference solver.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# solver parameters (reference defaults, diffusive_utils_v02.py:742-753)
+CFL = 0.95
+C_LLM = 0.5
+D_LLM = 10.0
+D_ULM = 10000.0
+Q_LLM = 0.02831
+SO_LLM = 0.0001
+THETA = 1.0
+DTINI_DIVISOR = 10.0
+
+COL_ELEV, COL_AREA, COL_PERI, COL_RADI, COL_CONV, COL_TOPW = 0, 1, 2, 3, 4, 5
+COL_I1, COL_DPDA, COL_DKDA, COL_UNIFORM, COL_SKK = 6, 7, 8, 9, 10
+
+
+class DiffusiveDomain(NamedTuple):
+    """Static domain arrays (device).  [R, C] node arrays right-aligned."""
+
+    z: jax.Array            # bed elevation (notch-adjusted datum)
+    dx: jax.Array           # [R, C] dx[i] = length node i -> i+1 (pad 1.0)
+    ncomp: jax.Array        # int32 [R]
+    head_col: jax.Array     # int32 [R] = C - ncomp
+    valid: jax.Array        # bool [R, C]
+    xsec: jax.Array         # [R, C, 11, nel]
+    ds_reach: jax.Array     # int32 [R] downstream mainstem reach (-1 = TW)
+    up_reaches: jax.Array   # int32 [R, K] upstream mainstem reaches (-1 pad)
+    bwd_levels: jax.Array   # bool [L, R] corrector wavefront membership
+    trib_q: jax.Array       # [n_tq, R] tributary inflow series per reach head
+    dt_trib: float          # tributary series timestep (s)
+    qlat: jax.Array         # [n_ql, R, C] lateral inflow series
+    dt_qlat: float          # qlat series timestep (s)
+    dtini_given: float      # routing dt (s)
+
+    @property
+    def n_reaches(self):
+        return self.z.shape[0]
+
+    @property
+    def n_cols(self):
+        return self.z.shape[1]
+
+
+class DiffusiveState(NamedTuple):
+    q: jax.Array            # [R, C] discharge
+    y: jax.Array            # [R, C] water-surface elevation
+    qpx: jax.Array          # [R, C] dQ/dx term
+    celerity: jax.Array     # [R, C]
+    diffusivity: jax.Array  # [R, C]
+    t: jax.Array            # model time (s since t0)
+
+
+def _interp_series(series, dt_series, t, start_offset=0.0):
+    """Linear interpolation of a [n_t, ...] series at time t (seconds)."""
+    n = series.shape[0]
+    pos = jnp.clip((t - start_offset) / dt_series, 0.0, n - 1.0)
+    i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
+    w = pos - i0
+    return series[i0] * (1.0 - w) + series[i0 + 1] * w
+
+
+def _table_interp(xsec, xcol, ycol, x):
+    """Linear table interpolation per node: xsec [R, C, 11, nel], x [R, C]."""
+    xarr = xsec[:, :, xcol, :]
+    yarr = xsec[:, :, ycol, :]
+    idx = jnp.sum(xarr <= x[..., None], axis=-1) - 1
+    idx = jnp.clip(idx, 0, xarr.shape[-1] - 2)
+    x1 = jnp.take_along_axis(xarr, idx[..., None], -1)[..., 0]
+    x2 = jnp.take_along_axis(xarr, (idx + 1)[..., None], -1)[..., 0]
+    y1 = jnp.take_along_axis(yarr, idx[..., None], -1)[..., 0]
+    y2 = jnp.take_along_axis(yarr, (idx + 1)[..., None], -1)[..., 0]
+    denom = jnp.where(x2 != x1, x2 - x1, 1.0)
+    return y1 + (y2 - y1) * (x - x1) / denom
+
+
+def _table_interp_sq_depth(xsec, ycol, z, y_elev):
+    """Conveyance-style interpolation against squared depth
+    (reference ``mesh_diffusive_backward``, diffusive.f90:1437-1443)."""
+    el = xsec[:, :, COL_ELEV, :]
+    yarr = xsec[:, :, ycol, :]
+    xarr = (el - z[..., None]) ** 2
+    x = (y_elev - z) ** 2
+    idx = jnp.sum(xarr <= x[..., None], axis=-1) - 1
+    idx = jnp.clip(idx, 0, xarr.shape[-1] - 2)
+    x1 = jnp.take_along_axis(xarr, idx[..., None], -1)[..., 0]
+    x2 = jnp.take_along_axis(xarr, (idx + 1)[..., None], -1)[..., 0]
+    y1 = jnp.take_along_axis(yarr, idx[..., None], -1)[..., 0]
+    y2 = jnp.take_along_axis(yarr, (idx + 1)[..., None], -1)[..., 0]
+    denom = jnp.where(x2 != x1, x2 - x1, 1.0)
+    return y1 + (y2 - y1) * (x - x1) / denom
+
+
+def _hermite_coeffs(cour2, dxm):
+    a1 = 3.0 * cour2 ** 2 - 2.0 * cour2 ** 3
+    a2 = 1.0 - a1
+    a3 = (cour2 ** 2 - cour2 ** 3) * dxm
+    a4 = (-cour2 + 2.0 * cour2 ** 2 - cour2 ** 3) * dxm
+    b1 = (6.0 * cour2 - 6.0 * cour2 ** 2) / (-dxm)
+    b2 = -b1
+    b3 = -(2.0 * cour2 - 3.0 * cour2 ** 2)
+    b4 = -(-1.0 + 4.0 * cour2 - 3.0 * cour2 ** 2)
+    dd1 = (6.0 - 12.0 * cour2) / dxm ** 2
+    dd2 = -dd1
+    dd3 = (2.0 - 6.0 * cour2) / dxm
+    dd4 = (4.0 - 6.0 * cour2) / dxm
+    h1 = 12.0 / dxm ** 3
+    h2 = -h1
+    h3 = 6.0 / dxm ** 2
+    h4 = h3
+    return (a1, a2, a3, a4), (b1, b2, b3, b4), (dd1, dd2, dd3, dd4), \
+        (h1, h2, h3, h4)
+
+
+def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
+    """One forward (discharge) step for all reaches; returns qp, qpx_new."""
+    R, C = dom.n_reaches, dom.n_cols
+    oldQ, qpx = st.q, st.qpx
+
+    def row(i, prev):
+        """CN-Hermite forward-elimination row at node column i (all reaches).
+
+        prev = (eei, ffi, exi, fxi) at column i-1.
+        """
+        dxm = dom.dx[:, i - 1]
+        cour = dtini / dxm
+        cour2 = jnp.abs(st.celerity[:, i]) * cour
+        A, B, D, H = _hermite_coeffs(cour2, dxm)
+        alpha = jnp.where(i == C - 1, 1.0, dom.dx[:, i] / dxm)
+
+        qy = A[0] * oldQ[:, i - 1] + A[1] * oldQ[:, i] \
+            + A[2] * qpx[:, i - 1] + A[3] * qpx[:, i]
+        qxy = B[0] * oldQ[:, i - 1] + B[1] * oldQ[:, i] \
+            + B[2] * qpx[:, i - 1] + B[3] * qpx[:, i]
+        qxxy = D[0] * oldQ[:, i - 1] + D[1] * oldQ[:, i] \
+            + D[2] * qpx[:, i - 1] + D[3] * qpx[:, i]
+        qxxxy = H[0] * oldQ[:, i - 1] + H[1] * oldQ[:, i] \
+            + H[2] * qpx[:, i - 1] + H[3] * qpx[:, i]
+
+        ppi = -THETA * st.diffusivity[:, i] * dtini / dxm ** 2 \
+            * 2.0 / (alpha * (alpha + 1.0)) * alpha
+        qqi = 1.0 - ppi * (alpha + 1.0) / alpha
+        rri = ppi / alpha
+        ssi = qy + dtini * st.diffusivity[:, i] * (1.0 - THETA) * qxxy
+        sxi = qxy + dtini * st.diffusivity[:, i] * (1.0 - THETA) * qxxxy
+
+        eei_p, ffi_p, exi_p, fxi_p = prev
+        den1 = ppi * eei_p + qqi
+        den2 = ppi * exi_p + qqi
+        den1 = jnp.where(jnp.abs(den1) > 1e-30, den1, 1e-30)
+        den2 = jnp.where(jnp.abs(den2) > 1e-30, den2, 1e-30)
+        eei = -rri / den1
+        ffi = (ssi - ppi * ffi_p) / den1
+        exi = -rri / den2
+        fxi = (sxi - ppi * fxi_p) / den2
+        return eei, ffi, exi, fxi, (ssi, sxi)
+
+    def scan_fwd(carry, i):
+        eei_p, ffi_p, exi_p, fxi_p = carry
+        eei, ffi, exi, fxi, _ = row(i, (eei_p, ffi_p, exi_p, fxi_p))
+        # at each reach's head column the recurrence (re)initializes
+        is_head = dom.head_col == i
+        eei = jnp.where(is_head, 1.0, eei)
+        ffi = jnp.where(is_head, 0.0, ffi)
+        exi = jnp.where(is_head, 0.0, exi)
+        fxi = jnp.where(is_head, 0.0, fxi)
+        new = (eei, ffi, exi, fxi)
+        return new, new
+
+    ones = jnp.ones((R,), oldQ.dtype)
+    zeros = jnp.zeros((R,), oldQ.dtype)
+    init = (ones, zeros, zeros, zeros)
+    _, rows = jax.lax.scan(scan_fwd, init, jnp.arange(1, C))
+    # assemble [R, C]: column 0 rows are the init values
+    eei = jnp.concatenate([ones[:, None], rows[0].T], axis=1)
+    ffi = jnp.concatenate([zeros[:, None], rows[1].T], axis=1)
+    exi = jnp.concatenate([zeros[:, None], rows[2].T], axis=1)
+    fxi = jnp.concatenate([zeros[:, None], rows[3].T], axis=1)
+    # reaches whose head is column 0 need init there (already ones/zeros)
+
+    # ghost-node row beyond the last column (reference :1233-1283)
+    i = C - 1
+    dxm = dom.dx[:, i - 1]
+    cour = dtini / dxm
+    cour2 = jnp.abs(st.celerity[:, i - 1]) * cour
+    A, B, D, H = _hermite_coeffs(cour2, dxm)
+    qy = A[0] * oldQ[:, i] + A[1] * oldQ[:, i - 1] \
+        + A[2] * qpx[:, i] + A[3] * qpx[:, i - 1]
+    qxy = B[0] * oldQ[:, i] + B[1] * oldQ[:, i - 1] \
+        + B[2] * qpx[:, i] + B[3] * qpx[:, i - 1]
+    qxxy = D[0] * oldQ[:, i] + D[1] * oldQ[:, i - 1] \
+        + D[2] * qpx[:, i] + D[3] * qpx[:, i - 1]
+    qxxxy = H[0] * oldQ[:, i] + H[1] * oldQ[:, i - 1] \
+        + H[2] * qpx[:, i] + H[3] * qpx[:, i - 1]
+    ppi = -THETA * st.diffusivity[:, i] * dtini / dxm ** 2 * 2.0 / 2.0
+    qqi = 1.0 - ppi * 2.0
+    rri = ppi
+    ssi = qy + dtini * st.diffusivity[:, i - 1] * (1.0 - THETA) * qxxy
+    sxi = qxy + dtini * st.diffusivity[:, i - 1] * (1.0 - THETA) * qxxxy
+    den1 = ppi * eei[:, i] + qqi
+    den2 = ppi * exi[:, i] + qqi
+    den1 = jnp.where(jnp.abs(den1) > 1e-30, den1, 1e-30)
+    den2 = jnp.where(jnp.abs(den2) > 1e-30, den2, 1e-30)
+    eei_g = -rri / den1
+    ffi_g = (ssi - ppi * ffi[:, i]) / den1
+    exi_g = -rri / den2
+    fxi_g = (sxi - ppi * fxi[:, i]) / den2
+    del eei_g, exi_g  # ghost coefficients beyond the last node are unused
+    qp_ghost = oldQ[:, i - 1]
+    qpx_ghost = jnp.zeros_like(qp_ghost)
+
+    qp_last = eei[:, i] * qp_ghost + ffi[:, i]
+    qpx_last = exi[:, i] * qpx_ghost + fxi[:, i]
+
+    # backward substitution, uniform from the last column
+    def scan_bwd(carry, i):
+        qp_next, qpx_next = carry
+        qp_i = eei[:, i] * qp_next + ffi[:, i]
+        qpx_i = exi[:, i] * qpx_next + fxi[:, i]
+        return (qp_i, qpx_i), (qp_i, qpx_i)
+
+    (_, _), (qp_rows, qpx_rows) = jax.lax.scan(
+        scan_bwd, (qp_last, qpx_last), jnp.arange(C - 2, -1, -1))
+    qp = jnp.concatenate([qp_rows[::-1].T, qp_last[:, None]], axis=1)
+    qpx_new = jnp.concatenate([qpx_rows[::-1].T, qpx_last[:, None]], axis=1)
+
+    # junction hand-off: head-node inflow = sum of upstream mainstem bottom
+    # discharges (this step) + tributary series + total reach lateral flow
+    up = dom.up_reaches
+    bottoms = qp[:, C - 1]
+    q_usrch = jnp.where(up >= 0, bottoms[jnp.maximum(up, 0)], 0.0).sum(axis=1)
+    tf0 = t + dtini
+    q_trib = _interp_series(dom.trib_q, dom.dt_trib, tf0)
+    ql_now = _interp_series(dom.qlat, dom.dt_qlat, t, start_offset=0.0)
+    # sum of lateral flow over interior nodes (reference applies the whole
+    # reach's qlat at the head, :1152-1168,1318-1320)
+    interior = dom.valid & (jnp.arange(C)[None, :] > dom.head_col[:, None]) \
+        & (jnp.arange(C)[None, :] < C - 1)
+    allqlat = jnp.where(interior, ql_now * dom.dx, 0.0).sum(axis=1)
+    head_ql = ql_now[jnp.arange(R), dom.head_col] \
+        * dom.dx[jnp.arange(R), dom.head_col]
+    new_head_q = q_usrch + q_trib + head_ql + allqlat
+
+    qp = qp.at[jnp.arange(R), dom.head_col].set(new_head_q)
+    qp = jnp.where(jnp.abs(qp) < Q_LLM, Q_LLM, qp)
+    return qp, qpx_new
+
+
+def _rtsafe_vec(dom, qp, y_ds_elev, i_cur, q_cur, q_ds, z_cur, z_ds, dx_cur,
+                y_old_depth):
+    """Vectorized Newton/bisection depth solve at one node column
+    (reference ``rtsafe``/``funcd_diffdepth``, diffusive.f90:1568-1711).
+
+    All args are [R] lanes; ``i_cur`` is the static current column.
+    Returns the new depth at the current node.
+    """
+    xsec_cur = dom.xsec[:, i_cur]
+    xsec_ds = dom.xsec[:, i_cur + 1]
+
+    def tab(xs, xcol, ycol, x):
+        xarr = xs[:, xcol, :]
+        yarr = xs[:, ycol, :]
+        idx = jnp.clip(jnp.sum(xarr <= x[..., None], axis=-1) - 1, 0,
+                       xarr.shape[-1] - 2)
+        x1 = jnp.take_along_axis(xarr, idx[:, None], -1)[:, 0]
+        x2 = jnp.take_along_axis(xarr, (idx + 1)[:, None], -1)[:, 0]
+        y1 = jnp.take_along_axis(yarr, idx[:, None], -1)[:, 0]
+        y2 = jnp.take_along_axis(yarr, (idx + 1)[:, None], -1)[:, 0]
+        den = jnp.where(x2 != x1, x2 - x1, 1.0)
+        return y1 + (y2 - y1) * (x - x1) / den
+
+    y_ds = jnp.maximum(y_ds_elev - z_ds, 0.005)
+    slope = jnp.maximum((z_cur - z_ds) / dx_cur, SO_LLM)
+
+    conv_ds = tab(xsec_ds, COL_ELEV, COL_CONV, y_ds + z_ds)
+    sf_ds = jnp.abs(q_ds) * q_ds / jnp.maximum(conv_ds, 1e-12) ** 2
+
+    def f_df(y_cur):
+        elv = y_cur + z_cur
+        conv = jnp.maximum(tab(xsec_cur, COL_ELEV, COL_CONV, elv), 1e-12)
+        sf_cur = jnp.abs(q_cur) * q_cur / conv ** 2
+        f = y_cur - y_ds + slope * dx_cur \
+            - 0.5 * (sf_cur + sf_ds) * dx_cur
+        dkda = tab(xsec_cur, COL_ELEV, COL_DKDA, elv)
+        topw = tab(xsec_cur, COL_ELEV, COL_TOPW, elv)
+        df = 1.0 + (jnp.abs(q_cur) * q_cur / conv ** 3) * dx_cur * topw * dkda
+        return f, df
+
+    elv_norm = tab(xsec_cur, COL_UNIFORM, COL_ELEV, jnp.abs(q_cur))
+    y_norm = elv_norm - z_cur
+    x1 = 0.5 * (y_norm + y_old_depth) * 0.1
+    x2 = 0.5 * (y_norm + y_old_depth) * 2.0
+
+    fl, _ = f_df(x1)
+    fh, _ = f_df(x2)
+    no_bracket = ((fl > 0) & (fh > 0)) | ((fl < 0) & (fh < 0))
+
+    xl = jnp.where(fl < 0, x1, x2)
+    xh = jnp.where(fl < 0, x2, x1)
+    root = 0.5 * (x1 + x2)
+    dxold = jnp.abs(x2 - x1)
+    dxx = dxold
+    f, df = f_df(root)
+    done = jnp.zeros_like(root, bool)
+
+    def body(k, carry):
+        root, xl, xh, dxold, dxx, f, df, done = carry
+        use_bisect = (((root - xh) * df - f) * ((root - xl) * df - f) > 0.0) \
+            | (jnp.abs(2.0 * f) > jnp.abs(dxold * df))
+        dxold_n = dxx
+        dxx_bis = 0.5 * (xh - xl)
+        root_bis = xl + dxx_bis
+        dxx_newt = f / jnp.where(df != 0.0, df, 1.0)
+        root_newt = root - dxx_newt
+        root_n = jnp.where(use_bisect, root_bis, root_newt)
+        dxx_n = jnp.where(use_bisect, dxx_bis, dxx_newt)
+        stalled = jnp.where(use_bisect, xl == root_n, root == root_n)
+        conv_now = jnp.abs(dxx_n) < 1e-4
+        f_n, df_n = f_df(root_n)
+        xl_n = jnp.where(f_n < 0, root_n, xl)
+        xh_n = jnp.where(f_n < 0, xh, root_n)
+
+        new_done = done | stalled | conv_now
+        root = jnp.where(done, root, root_n)
+        xl = jnp.where(done, xl, xl_n)
+        xh = jnp.where(done, xh, xh_n)
+        dxold = jnp.where(done, dxold, dxold_n)
+        dxx = jnp.where(done, dxx, dxx_n)
+        f = jnp.where(done, f, f_n)
+        df = jnp.where(done, df, df_n)
+        return root, xl, xh, dxold, dxx, f, df, new_done
+
+    root, *_, done = jax.lax.fori_loop(
+        0, 40, body, (root, xl, xh, dxold, dxx, f, df, done))
+    # unconverged or unbracketed -> normal depth (reference fallback)
+    root = jnp.where(no_bracket | ~done, y_norm, root)
+    root = jnp.where(fl == 0.0, x1, root)
+    root = jnp.where(fh == 0.0, x2, root)
+    return root
+
+
+def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min):
+    """Depth/WSE sweep for all reaches over the reverse wavefront levels.
+
+    Returns (newY, celerity, diffusivity) arrays [R, C].
+    """
+    R, C = dom.n_reaches, dom.n_cols
+    newY = st.y
+    oldY = st.y
+    dtype = qp.dtype
+
+    def do_level(newY, level_mask):
+        # bottom boundary: junction -> downstream reach head elevation;
+        # tailwater -> normal depth (dsbc_option == 2)
+        ds = dom.ds_reach
+        ds_head_col = dom.head_col[jnp.maximum(ds, 0)]
+        y_junc = newY[jnp.maximum(ds, 0), ds_head_col]
+        elv_norm = _table_interp(
+            dom.xsec, COL_UNIFORM, COL_ELEV,
+            jnp.abs(qp))[:, C - 1]
+        y_bot = jnp.where(ds >= 0, y_junc, elv_norm)
+        newY = jnp.where(level_mask[:, None]
+                         & (jnp.arange(C)[None, :] == C - 1),
+                         y_bot[:, None], newY)
+
+        cel2 = jnp.zeros((R, C), dtype)
+        dif2 = jnp.zeros((R, C), dtype)
+
+        def node_step(carry, i):
+            newY, cel2, dif2 = carry
+            # hydraulics at node i from its (already computed) elevation
+            y_i = newY[:, i]
+            co = _table_interp_sq_depth(
+                dom.xsec, COL_CONV, dom.z, newY)[:, i]
+            co = jnp.maximum(co, 1e-12)
+            bo = _table_interp(dom.xsec, COL_ELEV, COL_TOPW, newY)[:, i]
+            bo = jnp.maximum(bo, 1e-3)
+            sk = _table_interp(dom.xsec, COL_ELEV, COL_SKK, newY)[:, i]
+            q_i = qp[:, i]
+            sfi = q_i * jnp.abs(q_i) / co ** 2
+
+            cel_i = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
+                * jnp.abs(q_i) ** 0.4 / bo ** 0.4 \
+                / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
+            dx_ref = jnp.where(i > 0, dom.dx[:, jnp.maximum(i - 1, 0)],
+                               dom.dx[:, i])
+            c_ulm = CFL * dx_ref / dtini_min
+            cel_i = jnp.minimum(cel_i, c_ulm)
+            dif_i = jnp.abs(q_i) / 2.0 / bo / jnp.maximum(jnp.abs(sfi),
+                                                          1e-12)
+
+            cel2 = cel2.at[:, i].set(cel_i)
+            dif2 = dif2.at[:, i].set(dif_i)
+
+            # depth at the upstream neighbor i-1 via Newton/bisection
+            def solve():
+                y_up = _rtsafe_vec(
+                    dom, qp, y_i, i - 1, qp[:, i - 1], q_i,
+                    dom.z[:, i - 1], dom.z[:, i], dom.dx[:, i - 1],
+                    oldY[:, i - 1] - dom.z[:, i - 1])
+                elev_up = jnp.minimum(y_up + dom.z[:, i - 1], 1.0e5)
+                return elev_up
+
+            active = level_mask & (i - 1 >= dom.head_col) & (i > 0)
+            elev_up = solve()
+            newY = newY.at[:, jnp.maximum(i - 1, 0)].set(
+                jnp.where(active, elev_up, newY[:, jnp.maximum(i - 1, 0)]))
+            return (newY, cel2, dif2), None
+
+        (newY, cel2, dif2), _ = jax.lax.scan(
+            node_step, (newY, cel2, dif2), jnp.arange(C - 1, -1, -1))
+        return newY, cel2, dif2
+
+    celerity = st.celerity
+    diffusivity = st.diffusivity
+    n_levels = dom.bwd_levels.shape[0]
+    for lvl in range(n_levels):
+        level_mask = dom.bwd_levels[lvl]
+        newY, cel2, dif2 = do_level(newY, level_mask)
+        # reach-average celerity/diffusivity (reference :1540-1551)
+        nvalid = jnp.maximum(dom.valid.sum(axis=1), 1)
+        cel_mean = jnp.where(dom.valid, cel2, 0.0).sum(axis=1) / nvalid
+        dif_mean = jnp.where(dom.valid, dif2, 0.0).sum(axis=1) / nvalid
+        cel_mean = jnp.maximum(cel_mean, C_LLM)
+        dif_mean = jnp.clip(dif_mean, D_LLM, D_ULM)
+        celerity = jnp.where(level_mask[:, None], cel_mean[:, None],
+                             celerity)
+        diffusivity = jnp.where(level_mask[:, None], dif_mean[:, None],
+                                diffusivity)
+
+    return newY, celerity, diffusivity
+
+
+@functools.partial(jax.jit, static_argnames=("dtini_min",))
+def diffusive_step(dom: DiffusiveDomain, st: DiffusiveState, dtini,
+                   dtini_min: float):
+    """One internal CN timestep: predictor + corrector + CFL info."""
+    qp, qpx_new = predictor(dom, st, dtini, st.t)
+    newY, celerity, diffusivity = corrector(dom, st, qp, dtini_min)
+    new_state = DiffusiveState(q=qp, y=newY, qpx=qpx_new, celerity=celerity,
+                               diffusivity=diffusivity, t=st.t + dtini)
+    # max celerity/dx over valid interior nodes, for the next adaptive dt
+    interior = dom.valid & (jnp.arange(dom.n_cols)[None, :] < dom.n_cols - 1)
+    cel_dx = jnp.where(interior, celerity / dom.dx, 0.0)
+    max_cel_dx = jnp.maximum(cel_dx.max(), 1e-12)
+    return new_state, max_cel_dx
+
+
+def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float):
+    """Initial elevations: normal depth at tailwater bottoms, junction
+    hand-up, then one corrector pass (reference diffusive.f90:530-585)."""
+    R, C = dom.n_reaches, dom.n_cols
+    dtype = q_init.dtype
+    q = jnp.maximum(jnp.abs(q_init), Q_LLM)
+    # start from normal-depth elevation at every node
+    elv_norm = _table_interp(dom.xsec, COL_UNIFORM, COL_ELEV, jnp.abs(q))
+    st = DiffusiveState(
+        q=q, y=elv_norm, qpx=jnp.zeros((R, C), dtype),
+        celerity=jnp.ones((R, C), dtype),
+        diffusivity=jnp.full((R, C), 10.0, dtype),
+        t=jnp.asarray(0.0, dtype))
+    newY, celerity, diffusivity = corrector(dom, st, q, dtini_min)
+    return st._replace(y=newY, celerity=celerity, diffusivity=diffusivity)
+
+
+def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
+                  save_interval: float):
+    """Host-driven adaptive time loop (reference ``calculateDT`` logic).
+
+    Returns (final state, saved {t: DiffusiveState.q/.y snapshots}).
+    """
+    dtini_min = float(dom.dtini_given) / DTINI_DIVISOR
+    t = float(st.t)
+    saves = []
+    # initial CFL estimate
+    max_cel_dx = 1.0 / 100.0
+    eps = 1e-6
+    while t < t_final - eps:
+        dtini = CFL / max_cel_dx
+        # snap to save-interval boundaries
+        a = int(np.floor(t / save_interval))
+        b = int(np.floor((t + dtini) / save_interval))
+        if b > a:
+            dtini = (a + 1) * save_interval - t
+        dtini = min(dtini, t_final - t)
+        dtini = max(dtini, 1e-3)
+        st, mcd = diffusive_step(dom, st, jnp.asarray(dtini, st.q.dtype),
+                                 dtini_min)
+        max_cel_dx = float(mcd)
+        t += dtini
+        if abs(t % save_interval) < 1e-6 or abs(
+                t % save_interval - save_interval) < 1e-6 \
+                or t >= t_final - eps:
+            saves.append((t, st.q, st.y))
+    return st, saves
