@@ -1,0 +1,80 @@
+"""End-to-end CLI test on the reference LowerColorado domain (NHD,
+MC + levelpool + streamflow nudging DA), exercising the full pipeline:
+config -> network build -> forcing sets -> routing -> DA -> outputs."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+import h5py
+
+from troute_tpu.cli import build_forcing_sets, main_v04
+
+REF = Path("/root/reference/test/LowerColorado_TX")
+
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference domain not available")
+
+
+@pytest.fixture()
+def lc_config(tmp_path):
+    cfg = yaml.safe_load(open(REF / "test_AnA_V4_NHD.yaml"))
+    fp = cfg["compute_parameters"]["forcing_parameters"]
+    fp["nts"] = 36
+    fp["qlat_input_folder"] = str(REF / "channel_forcing")
+    sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+    sp["geo_file_path"] = str(REF / "domain/RouteLink.nc")
+    sp["mask_file_path"] = str(REF / "domain/coastal_subset.txt")
+    cfg["network_topology_parameters"]["waterbody_parameters"]["level_pool"][
+        "level_pool_waterbody_parameter_file_path"] = \
+        str(REF / "domain/LAKEPARM.nc")
+    cfg["compute_parameters"]["restart_parameters"][
+        "wrf_hydro_channel_ID_crosswalk_file"] = \
+        str(REF / "domain/RouteLink.nc")
+    cfg["compute_parameters"]["data_assimilation_parameters"][
+        "usgs_timeslices_folder"] = str(REF / "usgs_TimeSlice")
+    cfg["output_parameters"] = {
+        "csv_output": {"csv_output_folder": str(tmp_path / "out")},
+        "stream_output": {"stream_output_directory": str(tmp_path / "out")},
+        "chanobs_output": {"chanobs_output_directory": str(tmp_path / "out")},
+    }
+    p = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    return p
+
+
+def test_cli_end_to_end(lc_config, tmp_path):
+    res = main_v04(["-f", str(lc_config)])
+    fvd = res["fvd"]
+    assert fvd.shape == (36, 10907, 3)
+    assert np.isfinite(fvd).all()
+    assert fvd[:, :, 0].min() >= 0.0
+
+    # outputs written and readable
+    out = tmp_path / "out"
+    ncs = sorted(out.glob("*.nc"))
+    assert len(ncs) == 2
+    with h5py.File(next(p for p in ncs if "chanobs" in p.name)) as f:
+        assert f["streamflow"].shape == (76, 36)
+    with h5py.File(next(p for p in ncs if "troute_output" in p.name)) as f:
+        assert f["flow"].shape == (10907, 36)
+        assert np.isfinite(f["flow"][...]).all()
+    assert len(list(out.glob("*.csv"))) == 1
+
+    # warm state is returned for the next loop
+    qf, df, ef = res["final_state"]
+    assert qf.shape == (10907,) and np.isfinite(ef).all()
+
+
+def test_forcing_set_grouping():
+    files = [f"f{i}" for i in range(24)]
+    sets = build_forcing_sets(files, dt=300.0, qts_subdivisions=12, nts=288,
+                              max_loop_size_hrs=12)
+    # 12 hrs / (300s * 12 subdivisions) = 12 files per set
+    assert [len(s["qlat_files"]) for s in sets] == [12, 12]
+    assert [s["nts"] for s in sets] == [144, 144]
+    # nts caps the last set
+    sets = build_forcing_sets(files, 300.0, 12, 200, 12)
+    assert [s["nts"] for s in sets] == [144, 56]
