@@ -137,7 +137,18 @@ def main_v04(argv=None) -> dict:
 
     # ---- network construction ----
     t_start = time.time()
-    built = build_network(cfg, base)
+    hyb = None
+    exclude = None
+    hp = cfg.compute_parameters.hybrid_parameters
+    if hp.run_hybrid_routing and hp.diffusive_domain:
+        # the diffusive solver runs in double precision like the reference
+        jax.config.update("jax_enable_x64", True)
+        from troute_tpu.routing.hybrid import HybridDomain
+        hyb = HybridDomain(cfg, base)
+        exclude = hyb.mainstem_set
+        LOG.info("hybrid routing: %d mainstem segments in %d reaches",
+                 len(hyb.mainstem_set), hyb.n_reaches)
+    built = build_network(cfg, base, exclude_ids=exclude)
     topo = built.topo
     net = network_arrays_from_topology(topo, need_levels=False)
     dtype = jnp.float32
@@ -195,6 +206,45 @@ def main_v04(argv=None) -> dict:
 
     fvd = np.concatenate(all_fvd) if all_fvd else np.zeros((0, built.n_nodes, 3))
 
+    # ---- diffusive mainstem routing (hybrid coupling) ----
+    diffusive_out = None
+    if hyb is not None and fvd.shape[0]:
+        t_start = time.time()
+        from troute_tpu.diffusive.solver import initialize_state, run_diffusive
+        from troute_tpu.io.forcing import read_qlat_chrtout
+
+        total_steps = fvd.shape[0]
+        # tributary MC flows at the boundary segments (prepend t0 state)
+        trib_rows = np.array([topo.index_of[s] for s in hyb.trib_segments],
+                             np.int64)
+        trib_q = np.concatenate([
+            built.q0[trib_rows][None, :],
+            fvd[:, trib_rows, 0]])                      # [nts+1, n_trib]
+
+        # mainstem lateral inflows straight from the forcing files
+        all_files = [f for r in run_sets for f in r["qlat_files"]]
+        ms_ids = np.asarray(sorted(hyb.mainstem_set), np.int64)
+        ql_ms = read_qlat_chrtout(all_files, ms_ids)    # [n_files, M]
+        qlat_rows = {int(s): ql_ms[:, k] for k, s in enumerate(ms_ids)}
+
+        dom = hyb.build_diffusive_domain(
+            qlat_rows, dt_qlat=dt * qts, trib_q=trib_q, dt_trib=dt,
+            dtini=dt)
+        q_init = jnp.asarray(
+            np.maximum(np.broadcast_to(
+                trib_q[0].sum() / max(dom.n_reaches, 1),
+                (dom.n_reaches, dom.n_cols)), 0.1), jnp.float64)
+        dst = initialize_state(dom, q_init, dtini_min=dt / 10.0)
+        dst, saves = run_diffusive(dom, dst, t_final=total_steps * dt,
+                                   save_interval=dt)
+        q_seg, d_seg = hyb.saves_to_segments(saves, dom)
+        diffusive_out = {"ids": np.asarray(list(q_seg.keys()), np.int64),
+                         "q": np.stack(list(q_seg.values()), axis=1),
+                         "depth": np.stack(list(d_seg.values()), axis=1)}
+        task_times["route_time"] += time.time() - t_start
+        LOG.info("diffusive mainstem: %d reaches, %d saves",
+                 hyb.n_reaches, len(saves))
+
     # ---- outputs ----
     t_start = time.time()
     op = cfg.output_parameters
@@ -239,5 +289,6 @@ def main_v04(argv=None) -> dict:
 
     return {"fvd": fvd, "ids": topo.ids, "built": built,
             "task_times": task_times, "written": written,
+            "diffusive": diffusive_out,
             "final_state": (np.asarray(q0), np.asarray(d0),
                             np.asarray(elev0))}

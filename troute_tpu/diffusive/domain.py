@@ -72,18 +72,25 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
             up[d, fill[d]] = j
             fill[d] += 1
 
-    # corrector wavefront: level = distance to tailwater along the tree
-    level = np.zeros(R, np.int32)
+    # corrector node schedule: reach r starts after its downstream reach
+    # has finished its full node chain; one node per reach per global step
+    start = np.zeros(R, np.int64)
+
+    def _start(j):
+        d = ds[j]
+        if d < 0:
+            return 0
+        return _start(d) + int(ncomp[d])
+
     for j in range(R):
-        d, l = ds[j], 0
-        while d >= 0:
-            l += 1
-            d = ds[d]
-        level[j] = l
-    n_levels = int(level.max()) + 1
-    bwd_levels = np.zeros((n_levels, R), bool)
+        start[j] = _start(j)
+    D = int((start + ncomp).max())
+    bwd_active = np.zeros((D, R), bool)
+    bwd_col = np.zeros((D, R), np.int32)
     for j in range(R):
-        bwd_levels[level[j], j] = True
+        for k in range(int(ncomp[j])):
+            bwd_active[start[j] + k, j] = True
+            bwd_col[start[j] + k, j] = C - 1 - k
 
     if qlat_series is None:
         qlat_series = np.zeros((2, R, C))
@@ -102,7 +109,8 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
         xsec=jnp.asarray(tab, dtype),
         ds_reach=jnp.asarray(ds),
         up_reaches=jnp.asarray(up),
-        bwd_levels=jnp.asarray(bwd_levels),
+        bwd_active=jnp.asarray(bwd_active),
+        bwd_col=jnp.asarray(bwd_col),
         trib_q=jnp.asarray(trib_series, dtype),
         dt_trib=float(dt_trib),
         qlat=jnp.asarray(qlat_series, dtype),

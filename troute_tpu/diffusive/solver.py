@@ -59,7 +59,12 @@ class DiffusiveDomain(NamedTuple):
     xsec: jax.Array         # [R, C, 11, nel]
     ds_reach: jax.Array     # int32 [R] downstream mainstem reach (-1 = TW)
     up_reaches: jax.Array   # int32 [R, K] upstream mainstem reaches (-1 pad)
-    bwd_levels: jax.Array   # bool [L, R] corrector wavefront membership
+    # corrector node schedule: at global step k, reach r (where active)
+    # processes node column col[k, r] — one node per reach per step, ordered
+    # so every node runs after its downstream dependency (including the
+    # junction hand-up from the downstream reach's head node)
+    bwd_active: jax.Array   # bool [D, R]
+    bwd_col: jax.Array      # int32 [D, R]
     trib_q: jax.Array       # [n_tq, R] tributary inflow series per reach head
     dt_trib: float          # tributary series timestep (s)
     qlat: jax.Array         # [n_ql, R, C] lateral inflow series
@@ -279,22 +284,24 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     return qp, qpx_new
 
 
-def _rtsafe_vec(dom, qp, y_ds_elev, i_cur, q_cur, q_ds, z_cur, z_ds, dx_cur,
-                y_old_depth):
-    """Vectorized Newton/bisection depth solve at one node column
+def _rtsafe_vec(xsec_cur, xsec_ds, y_ds_elev, q_cur, q_ds, z_cur, z_ds,
+                dx_cur, y_old_depth):
+    """Vectorized Newton/bisection depth solve
     (reference ``rtsafe``/``funcd_diffdepth``, diffusive.f90:1568-1711).
 
-    All args are [R] lanes; ``i_cur`` is the static current column.
-    Returns the new depth at the current node.
+    ``xsec_cur``/``xsec_ds`` are per-reach gathered tables [R, 11, nel];
+    all other args are [R] lanes.  Returns the new depth at the current
+    (upstream) node.
     """
-    xsec_cur = dom.xsec[:, i_cur]
-    xsec_ds = dom.xsec[:, i_cur + 1]
+
+    vsearch = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
 
     def tab(xs, xcol, ycol, x):
+        """O(log nel) single-column interpolation (grids are sorted)."""
         xarr = xs[:, xcol, :]
         yarr = xs[:, ycol, :]
-        idx = jnp.clip(jnp.sum(xarr <= x[..., None], axis=-1) - 1, 0,
-                       xarr.shape[-1] - 2)
+        idx = jnp.clip(vsearch(xarr, x) - 1, 0, xarr.shape[-1] - 2)
         x1 = jnp.take_along_axis(xarr, idx[:, None], -1)[:, 0]
         x2 = jnp.take_along_axis(xarr, (idx + 1)[:, None], -1)[:, 0]
         y1 = jnp.take_along_axis(yarr, idx[:, None], -1)[:, 0]
@@ -308,14 +315,33 @@ def _rtsafe_vec(dom, qp, y_ds_elev, i_cur, q_cur, q_ds, z_cur, z_ds, dx_cur,
     conv_ds = tab(xsec_ds, COL_ELEV, COL_CONV, y_ds + z_ds)
     sf_ds = jnp.abs(q_ds) * q_ds / jnp.maximum(conv_ds, 1e-12) ** 2
 
+    el_grid = xsec_cur[:, COL_ELEV, :]
+
     def f_df(y_cur):
+        """Diffusive-momentum residual + derivative; one elevation-grid
+        search shared by the conveyance/dKdA/topwidth interpolations."""
         elv = y_cur + z_cur
-        conv = jnp.maximum(tab(xsec_cur, COL_ELEV, COL_CONV, elv), 1e-12)
+        idx = jnp.clip(vsearch(el_grid, elv) - 1, 0, el_grid.shape[-1] - 2)
+
+        def col(c):
+            arr = xsec_cur[:, c, :]
+            y1 = jnp.take_along_axis(arr, idx[:, None], -1)[:, 0]
+            y2 = jnp.take_along_axis(arr, (idx + 1)[:, None], -1)[:, 0]
+            return y1, y2
+
+        x1 = jnp.take_along_axis(el_grid, idx[:, None], -1)[:, 0]
+        x2 = jnp.take_along_axis(el_grid, (idx + 1)[:, None], -1)[:, 0]
+        w = (elv - x1) / jnp.where(x2 != x1, x2 - x1, 1.0)
+        c1, c2 = col(COL_CONV)
+        conv = jnp.maximum(c1 + (c2 - c1) * w, 1e-12)
+        k1, k2 = col(COL_DKDA)
+        dkda = k1 + (k2 - k1) * w
+        t1, t2 = col(COL_TOPW)
+        topw = t1 + (t2 - t1) * w
+
         sf_cur = jnp.abs(q_cur) * q_cur / conv ** 2
         f = y_cur - y_ds + slope * dx_cur \
             - 0.5 * (sf_cur + sf_ds) * dx_cur
-        dkda = tab(xsec_cur, COL_ELEV, COL_DKDA, elv)
-        topw = tab(xsec_cur, COL_ELEV, COL_TOPW, elv)
         df = 1.0 + (jnp.abs(q_cur) * q_cur / conv ** 3) * dx_cur * topw * dkda
         return f, df
 
@@ -372,95 +398,119 @@ def _rtsafe_vec(dom, qp, y_ds_elev, i_cur, q_cur, q_ds, z_cur, z_ds, dx_cur,
     return root
 
 
-def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min):
-    """Depth/WSE sweep for all reaches over the reverse wavefront levels.
+def _col_interp(xs_col, z_col, xcol, ycol, x, squared=False):
+    """Per-node table interpolation: xs_col [R, 11, nel], x [R].
 
-    Returns (newY, celerity, diffusivity) arrays [R, C].
+    ``squared=True`` interpolates against squared depth like the reference
+    conveyance lookup (``mesh_diffusive_backward``, diffusive.f90:1437).
+    """
+    if squared:
+        xarr = (xs_col[:, COL_ELEV, :] - z_col[:, None]) ** 2
+        x = (x - z_col) ** 2
+    else:
+        xarr = xs_col[:, xcol, :]
+    yarr = xs_col[:, ycol, :]
+    idx = jnp.clip(jnp.sum(xarr <= x[:, None], axis=-1) - 1, 0,
+                   xarr.shape[-1] - 2)
+    x1 = jnp.take_along_axis(xarr, idx[:, None], -1)[:, 0]
+    x2 = jnp.take_along_axis(xarr, (idx + 1)[:, None], -1)[:, 0]
+    y1 = jnp.take_along_axis(yarr, idx[:, None], -1)[:, 0]
+    y2 = jnp.take_along_axis(yarr, (idx + 1)[:, None], -1)[:, 0]
+    den = jnp.where(x2 != x1, x2 - x1, 1.0)
+    return y1 + (y2 - y1) * (x - x1) / den
+
+
+def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min):
+    """Depth/WSE sweep over the flattened global node wavefront.
+
+    One scan step processes at most ONE node per reach (the schedule in
+    ``dom.bwd_active``/``bwd_col``), so total sequential depth equals the
+    longest downstream node path — the same critical path the reference's
+    reach-by-reach recursion walks, but with all parallel branches solved
+    simultaneously.  Returns (newY, celerity, diffusivity) [R, C].
     """
     R, C = dom.n_reaches, dom.n_cols
-    newY = st.y
     oldY = st.y
     dtype = qp.dtype
+    rr = jnp.arange(R)
 
-    def do_level(newY, level_mask):
-        # bottom boundary: junction -> downstream reach head elevation;
-        # tailwater -> normal depth (dsbc_option == 2)
+    def gather_cols(arr, col):
+        """arr [R, C(, ...)] -> [R(, ...)] at per-reach column."""
+        return arr[rr, col]
+
+    def node_step(carry, xs):
+        newY, cel2, dif2 = carry
+        active, col = xs
+        safe = jnp.clip(col, 0, C - 1)
+
+        # bottom boundary when entering a reach (col == C-1):
+        # junction -> downstream reach head elevation; tailwater -> normal
+        # depth (dsbc_option == 2)
         ds = dom.ds_reach
         ds_head_col = dom.head_col[jnp.maximum(ds, 0)]
         y_junc = newY[jnp.maximum(ds, 0), ds_head_col]
-        elv_norm = _table_interp(
-            dom.xsec, COL_UNIFORM, COL_ELEV,
-            jnp.abs(qp))[:, C - 1]
-        y_bot = jnp.where(ds >= 0, y_junc, elv_norm)
-        newY = jnp.where(level_mask[:, None]
-                         & (jnp.arange(C)[None, :] == C - 1),
-                         y_bot[:, None], newY)
+        elv_norm_bot = _col_interp(
+            dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
+            jnp.abs(qp[:, C - 1]))
+        y_bot = jnp.where(ds >= 0, y_junc, elv_norm_bot)
+        entering = active & (safe == C - 1)
+        newY = newY.at[rr, C - 1].set(
+            jnp.where(entering, y_bot, newY[:, C - 1]))
 
-        cel2 = jnp.zeros((R, C), dtype)
-        dif2 = jnp.zeros((R, C), dtype)
+        # hydraulics at the scheduled node
+        xs_i = gather_cols(dom.xsec, safe)       # [R, 11, nel]
+        z_i = gather_cols(dom.z, safe)
+        y_i = gather_cols(newY, safe)
+        q_i = gather_cols(qp, safe)
+        co = jnp.maximum(_col_interp(xs_i, z_i, COL_ELEV, COL_CONV, y_i,
+                                     squared=True), 1e-12)
+        bo = jnp.maximum(_col_interp(xs_i, z_i, COL_ELEV, COL_TOPW, y_i),
+                         1e-3)
+        sk = _col_interp(xs_i, z_i, COL_ELEV, COL_SKK, y_i)
+        sfi = q_i * jnp.abs(q_i) / co ** 2
 
-        def node_step(carry, i):
-            newY, cel2, dif2 = carry
-            # hydraulics at node i from its (already computed) elevation
-            y_i = newY[:, i]
-            co = _table_interp_sq_depth(
-                dom.xsec, COL_CONV, dom.z, newY)[:, i]
-            co = jnp.maximum(co, 1e-12)
-            bo = _table_interp(dom.xsec, COL_ELEV, COL_TOPW, newY)[:, i]
-            bo = jnp.maximum(bo, 1e-3)
-            sk = _table_interp(dom.xsec, COL_ELEV, COL_SKK, newY)[:, i]
-            q_i = qp[:, i]
-            sfi = q_i * jnp.abs(q_i) / co ** 2
+        cel_i = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
+            * jnp.abs(q_i) ** 0.4 / bo ** 0.4 \
+            / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
+        dx_ref = jnp.where(safe > 0, gather_cols(dom.dx,
+                                                 jnp.maximum(safe - 1, 0)),
+                           gather_cols(dom.dx, safe))
+        cel_i = jnp.minimum(cel_i, CFL * dx_ref / dtini_min)
+        dif_i = jnp.abs(q_i) / 2.0 / bo / jnp.maximum(jnp.abs(sfi), 1e-12)
 
-            cel_i = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
-                * jnp.abs(q_i) ** 0.4 / bo ** 0.4 \
-                / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
-            dx_ref = jnp.where(i > 0, dom.dx[:, jnp.maximum(i - 1, 0)],
-                               dom.dx[:, i])
-            c_ulm = CFL * dx_ref / dtini_min
-            cel_i = jnp.minimum(cel_i, c_ulm)
-            dif_i = jnp.abs(q_i) / 2.0 / bo / jnp.maximum(jnp.abs(sfi),
-                                                          1e-12)
+        cel2 = cel2.at[rr, safe].set(jnp.where(active, cel_i,
+                                               gather_cols(cel2, safe)))
+        dif2 = dif2.at[rr, safe].set(jnp.where(active, dif_i,
+                                               gather_cols(dif2, safe)))
 
-            cel2 = cel2.at[:, i].set(cel_i)
-            dif2 = dif2.at[:, i].set(dif_i)
+        # depth at the upstream neighbor via Newton/bisection
+        up_col = jnp.maximum(safe - 1, 0)
+        solve_mask = active & (safe > 0) & (safe - 1 >= dom.head_col)
+        y_up = _rtsafe_vec(
+            gather_cols(dom.xsec, up_col), xs_i, y_i,
+            gather_cols(qp, up_col), q_i,
+            gather_cols(dom.z, up_col), z_i,
+            gather_cols(dom.dx, up_col),
+            gather_cols(oldY, up_col) - gather_cols(dom.z, up_col))
+        elev_up = jnp.minimum(y_up + gather_cols(dom.z, up_col), 1.0e5)
+        newY = newY.at[rr, up_col].set(
+            jnp.where(solve_mask, elev_up, gather_cols(newY, up_col)))
+        return (newY, cel2, dif2), None
 
-            # depth at the upstream neighbor i-1 via Newton/bisection
-            def solve():
-                y_up = _rtsafe_vec(
-                    dom, qp, y_i, i - 1, qp[:, i - 1], q_i,
-                    dom.z[:, i - 1], dom.z[:, i], dom.dx[:, i - 1],
-                    oldY[:, i - 1] - dom.z[:, i - 1])
-                elev_up = jnp.minimum(y_up + dom.z[:, i - 1], 1.0e5)
-                return elev_up
+    cel2_0 = jnp.zeros((R, C), dtype)
+    dif2_0 = jnp.zeros((R, C), dtype)
+    (newY, cel2, dif2), _ = jax.lax.scan(
+        node_step, (st.y, cel2_0, dif2_0),
+        (dom.bwd_active, dom.bwd_col))
 
-            active = level_mask & (i - 1 >= dom.head_col) & (i > 0)
-            elev_up = solve()
-            newY = newY.at[:, jnp.maximum(i - 1, 0)].set(
-                jnp.where(active, elev_up, newY[:, jnp.maximum(i - 1, 0)]))
-            return (newY, cel2, dif2), None
-
-        (newY, cel2, dif2), _ = jax.lax.scan(
-            node_step, (newY, cel2, dif2), jnp.arange(C - 1, -1, -1))
-        return newY, cel2, dif2
-
-    celerity = st.celerity
-    diffusivity = st.diffusivity
-    n_levels = dom.bwd_levels.shape[0]
-    for lvl in range(n_levels):
-        level_mask = dom.bwd_levels[lvl]
-        newY, cel2, dif2 = do_level(newY, level_mask)
-        # reach-average celerity/diffusivity (reference :1540-1551)
-        nvalid = jnp.maximum(dom.valid.sum(axis=1), 1)
-        cel_mean = jnp.where(dom.valid, cel2, 0.0).sum(axis=1) / nvalid
-        dif_mean = jnp.where(dom.valid, dif2, 0.0).sum(axis=1) / nvalid
-        cel_mean = jnp.maximum(cel_mean, C_LLM)
-        dif_mean = jnp.clip(dif_mean, D_LLM, D_ULM)
-        celerity = jnp.where(level_mask[:, None], cel_mean[:, None],
-                             celerity)
-        diffusivity = jnp.where(level_mask[:, None], dif_mean[:, None],
-                                diffusivity)
-
+    # reach-average celerity/diffusivity (reference :1540-1551)
+    nvalid = jnp.maximum(dom.valid.sum(axis=1), 1)
+    cel_mean = jnp.where(dom.valid, cel2, 0.0).sum(axis=1) / nvalid
+    dif_mean = jnp.where(dom.valid, dif2, 0.0).sum(axis=1) / nvalid
+    cel_mean = jnp.maximum(cel_mean, C_LLM)
+    dif_mean = jnp.clip(dif_mean, D_LLM, D_ULM)
+    celerity = jnp.broadcast_to(cel_mean[:, None], (R, C))
+    diffusivity = jnp.broadcast_to(dif_mean[:, None], (R, C))
     return newY, celerity, diffusivity
 
 

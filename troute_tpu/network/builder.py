@@ -15,7 +15,8 @@ from pathlib import Path
 import numpy as np
 
 from troute_tpu.config.schema import Config
-from troute_tpu.io.routelink import read_lakeparm, read_routelink
+from troute_tpu.io.routelink import (RouteLinkData, read_lakeparm,
+                                     read_routelink)
 from troute_tpu.io.restart import (
     read_wrf_hydro_channel_restart, read_wrf_hydro_waterbody_restart)
 from troute_tpu.network import graph
@@ -46,7 +47,11 @@ class BuiltNetwork:
         return self.topo.n_nodes
 
 
-def build_network(cfg: Config, base: Path) -> BuiltNetwork:
+def build_network(cfg: Config, base: Path,
+                  exclude_ids=None) -> BuiltNetwork:
+    """``exclude_ids``: segment ids carved out of the MC domain (the
+    diffusive mainstem — reference ``AbstractRouting.update_routing_domain``,
+    ``AbstractRouting.py:209-327``)."""
     base = Path(base)
     ntp = cfg.network_topology_parameters
     sp = ntp.supernetwork_parameters
@@ -58,6 +63,14 @@ def build_network(cfg: Config, base: Path) -> BuiltNetwork:
         mask_ids = np.loadtxt(base / sp.mask_file_path, dtype=np.int64,
                               ndmin=1)
     rl = read_routelink(base / sp.geo_file_path, columns, mask_ids)
+    if exclude_ids is not None:
+        keep = ~np.isin(rl.ids, np.asarray(list(exclude_ids), np.int64))
+        rl = RouteLinkData(
+            ids=rl.ids[keep], downstream=rl.downstream[keep],
+            channel={k: v[keep] for k, v in rl.channel.items()},
+            waterbody=rl.waterbody[keep], waterbody_null=rl.waterbody_null,
+            gages=rl.gages[keep],
+            alt=rl.alt[keep] if rl.alt is not None else None)
 
     # waterbody mapping (only when simulating waterbodies)
     waterbodies: dict[int, int] = {}

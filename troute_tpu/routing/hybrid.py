@@ -1,0 +1,201 @@
+"""Hybrid MC + diffusive-wave routing.
+
+The reference's one-directional coupling (``compute.py:1740-1884``,
+``AbstractRouting.py:209-327``): the diffusive mainstem domain is carved
+out of the MC network; MC routes everything else first; MC flows at the
+junctions draining into the mainstem become tributary boundary series
+(``qtrib_g``) for the diffusive solver, which then routes the mainstem
+with its own lateral inflows.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from troute_tpu.network import graph
+from troute_tpu.io.routelink import read_routelink
+
+
+class HybridDomain:
+    """Preprocessed diffusive mainstem + coupling metadata."""
+
+    def __init__(self, cfg, base: Path):
+        hp = cfg.compute_parameters.hybrid_parameters
+        sp = cfg.network_topology_parameters.supernetwork_parameters
+        with open(base / hp.diffusive_domain) as f:
+            dd = yaml.safe_load(f)
+        self.mainstem_ids: list[int] = []
+        for tw, spec in dd.items():
+            links = spec["links"] if isinstance(spec, dict) else spec
+            self.mainstem_ids.extend(int(x) for x in links)
+        self.mainstem_set = set(self.mainstem_ids)
+
+        columns = sp.columns.model_dump() if sp.columns else None
+        mask_ids = None
+        if sp.mask_file_path:
+            mask_ids = np.loadtxt(base / sp.mask_file_path, dtype=np.int64,
+                                  ndmin=1)
+        rl = read_routelink(base / sp.geo_file_path, columns, mask_ids)
+        self._build(rl)
+
+    def _build(self, rl):
+        pos = {int(s): k for k, s in enumerate(rl.ids)}
+        ms = [s for s in self.mainstem_ids if s in pos]
+        ms_set = set(ms)
+
+        # mainstem sub-graph -> junction-break reaches in topological order.
+        # Junctions are counted on the FULL network so a node receiving an
+        # external (MC) tributary starts a new reach — matching the
+        # reference, whose reach decomposition happens before the domain
+        # split, making tributaries upstream *reaches* in frnw.
+        conn_all = dict(zip(rl.ids.tolist(), rl.downstream.tolist()))
+        full_indeg: dict[int, int] = {}
+        for s, d in conn_all.items():
+            full_indeg[d] = full_indeg.get(d, 0) + 1
+        conn = {s: ([conn_all[s]] if conn_all[s] in ms_set else [])
+                for s in ms}
+        rconn = graph.reverse_network(conn)
+        keep = lambda path, n: full_indeg.get(n, 0) == 1
+        reaches = graph.dfs_reach_decomposition(rconn, keep_going=keep)
+        self.reaches = reaches
+        seg_reach = {}
+        for ri, r in enumerate(reaches):
+            for s in r:
+                seg_reach[s] = ri
+        R = len(reaches)
+
+        # reach topology
+        ds_reach = np.full(R, -1, np.int32)
+        for ri, r in enumerate(reaches):
+            d = conn[r[-1]]
+            if d:
+                ds_reach[ri] = seg_reach[d[0]]
+        self.ds_reach = ds_reach
+
+        # adjusted altitudes (reference adj_alt1): interior nodes use their
+        # own alt; a reach's bottom node takes the downstream reach-head alt
+        # (or slope-extrapolates at the tailwater)
+        alt = rl.alt if rl.alt is not None else np.zeros(rl.ids.size,
+                                                        np.float32)
+
+        def seg(k, s):
+            return float(rl.channel[k][pos[s]])
+
+        self.reach_nodes = []
+        for ri, r in enumerate(reaches):
+            n_seg = len(r)
+            ncomp = n_seg + 1
+            z = np.zeros(ncomp)
+            geo = {k: np.zeros(ncomp) for k in
+                   ("dx", "bo", "traps", "tw", "twcc", "mann", "manncc")}
+            for i, s in enumerate(r):
+                z[i] = alt[pos[s]]
+                geo["dx"][i] = seg("dx", s)
+                geo["bo"][i] = seg("bw", s)
+                cs = max(seg("cs", s), 1e-6)
+                geo["traps"][i] = 1.0 / cs
+                geo["tw"][i] = seg("tw", s)
+                geo["twcc"][i] = seg("twcc", s)
+                geo["mann"][i] = seg("n", s)
+                geo["manncc"][i] = seg("ncc", s)
+            # bottom (ghost/junction) node duplicates the last segment's
+            # geometry (reference fp_chgeo_map: segID = seg_list[ncomp-2])
+            for k in geo:
+                geo[k][-1] = geo[k][-2]
+            last = r[-1]
+            d = conn[last]
+            if d:
+                z[-1] = alt[pos[d[0]]]
+            else:
+                z[-1] = z[-2] - seg("s0", last) * seg("dx", last)
+            self.reach_nodes.append(dict(z=z, **geo))
+
+        # tributary MC segments draining into each reach head
+        trib_of_reach: dict[int, list[int]] = {ri: [] for ri in range(R)}
+        ms_head = {r[0]: ri for ri, r in enumerate(reaches)}
+        # also mid-reach entry can't happen (junction breaks), but tributary
+        # junctions into non-head mainstem segments would violate that —
+        # reaches were split at junctions of the FULL graph upstream count?
+        # rconn above is mainstem-only; recompute entries from the full graph
+        self.trib_segments = []
+        trib_entry = []
+        for k, s in enumerate(rl.ids):
+            s = int(s)
+            if s in ms_set:
+                continue
+            d = int(rl.downstream[k])
+            if d in ms_set:
+                self.trib_segments.append(s)
+                trib_entry.append(d)
+        self.trib_entry = trib_entry
+        # entry node: (reach, node index within reach)
+        self.trib_reach = np.array([seg_reach[d] for d in trib_entry],
+                                   np.int32)
+        self.trib_node = np.array(
+            [reaches[seg_reach[d]].index(d) for d in trib_entry], np.int32)
+
+        self.seg_reach = seg_reach
+        self.n_reaches = R
+
+    def build_diffusive_domain(self, qlat_rows, dt_qlat, trib_q, dt_trib,
+                               dtini):
+        """Assemble the solver domain.
+
+        Args:
+            qlat_rows: {segment id: [n_tq] lateral inflow (m3/s)}
+            dt_qlat: spacing of the qlat series (s)
+            trib_q: [n_tt, n_trib] MC flows at tributary segments
+            dt_trib: spacing of the tributary series (s)
+        """
+        from troute_tpu.diffusive.domain import build_domain
+
+        R = self.n_reaches
+        C = max(len(r["z"]) for r in self.reach_nodes)
+        n_ql = (len(next(iter(qlat_rows.values()))) if qlat_rows else 2)
+
+        qlat = np.zeros((n_ql, R, C))
+        for ri, r in enumerate(self.reaches):
+            ncomp = len(r) + 1
+            off = C - ncomp
+            for i, s in enumerate(r):
+                series = qlat_rows.get(int(s))
+                if series is not None:
+                    # convert segment inflow (m3/s) to per-meter rate
+                    qlat[:, ri, off + i] = np.asarray(series)[:n_ql] \
+                        / max(float(self.reach_nodes[ri]["dx"][i]), 1e-6)
+
+        n_tt = trib_q.shape[0] if trib_q is not None else 2
+        trib = np.zeros((n_tt, R))
+        if trib_q is not None and len(self.trib_segments):
+            # tributaries enter at reach heads (full-network junction breaks)
+            for ti, ri in enumerate(self.trib_reach):
+                trib[:, ri] += trib_q[:, ti]
+
+        return build_domain(self.reach_nodes, self.ds_reach, qlat,
+                            dt_qlat, trib, dt_trib, dtini)
+
+    def saves_to_segments(self, saves, dom):
+        """Map solver snapshots to per-mainstem-segment series.
+
+        Returns ({segment id: q [n_saves]}, {segment id: depth [n_saves]}).
+        The reference maps node i of reach j back to ``seg_list[i]``
+        (``diffusive_utils_v02.unpack_output``).
+        """
+        C = int(dom.n_cols)
+        n_saves = len(saves)
+        q_out = {}
+        d_out = {}
+        z = np.asarray(dom.z)
+        for ri, r in enumerate(self.reaches):
+            ncomp = len(r) + 1
+            off = C - ncomp
+            for i, s in enumerate(r):
+                q_out[s] = np.array([float(saves[k][1][ri, off + i])
+                                     for k in range(n_saves)])
+                d_out[s] = np.array(
+                    [float(saves[k][2][ri, off + i]) - z[ri, off + i]
+                     for k in range(n_saves)])
+        return q_out, d_out
