@@ -1,0 +1,99 @@
+// Native topology preprocessing kernels.
+//
+// Host-side graph preprocessing is the one place the TPU framework does
+// sequential pointer-chasing work (the reference does the analogous work in
+// Cython/C structs: troute-network's reach_structs.c + nhd_network.py).
+// At CONUS scale (2.7M nodes) the NumPy fallbacks take tens of seconds;
+// these O(N+E) kernels run in milliseconds.  Exposed via ctypes (see
+// troute_tpu/native.py) — plain C ABI, no Python dependency.
+
+#include <cstdint>
+#include <vector>
+
+extern "C" {
+
+// Longest-path-from-headwater wavefront level per node.
+// downstream[i] = index of downstream node or -1.  Returns 0 on success,
+// 1 if a cycle is detected (levels then undefined).
+int wavefront_levels(const int32_t* downstream, int64_t n, int32_t* levels) {
+    std::vector<int32_t> indeg(n, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t d = downstream[i];
+        if (d >= 0) indeg[d]++;
+    }
+    std::vector<int64_t> queue;
+    queue.reserve(n);
+    for (int64_t i = 0; i < n; ++i) {
+        levels[i] = 0;
+        if (indeg[i] == 0) queue.push_back(i);
+    }
+    int64_t processed = 0;
+    for (int64_t head = 0; head < (int64_t)queue.size(); ++head) {
+        int64_t u = queue[head];
+        ++processed;
+        int32_t d = downstream[u];
+        if (d >= 0) {
+            int32_t cand = levels[u] + 1;
+            if (cand > levels[d]) levels[d] = cand;
+            if (--indeg[d] == 0) queue.push_back(d);
+        }
+    }
+    return processed == n ? 0 : 1;
+}
+
+// Connected-component label per node (union along downstream edges).
+// Labels are root indices remapped to 0..k-1 in first-appearance order.
+int connected_components(const int32_t* downstream, int64_t n,
+                         int32_t* labels) {
+    std::vector<int64_t> parent(n);
+    for (int64_t i = 0; i < n; ++i) parent[i] = i;
+
+    // iterative find with path halving
+    auto find = [&](int64_t a) {
+        while (parent[a] != a) {
+            parent[a] = parent[parent[a]];
+            a = parent[a];
+        }
+        return a;
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t d = downstream[i];
+        if (d >= 0) {
+            int64_t ra = find(i), rb = find(d);
+            if (ra != rb) parent[ra] = rb;
+        }
+    }
+    std::vector<int32_t> remap(n, -1);
+    int32_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t r = find(i);
+        if (remap[r] < 0) remap[r] = next++;
+        labels[i] = remap[r];
+    }
+    return next;
+}
+
+// Padded upstream (reverse) adjacency: for each node, up to k upstream
+// node indices (-1 padded).  Returns the max in-degree; if it exceeds k
+// the caller must retry with a larger k (nothing is written then).
+int32_t invert_downstream(const int32_t* downstream, int64_t n, int32_t k,
+                          int32_t* upstream /* [n*k], -1 initialized */) {
+    std::vector<int32_t> count(n, 0);
+    int32_t maxdeg = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t d = downstream[i];
+        if (d >= 0) {
+            int32_t c = ++count[d];
+            if (c > maxdeg) maxdeg = c;
+        }
+    }
+    if (maxdeg > k) return maxdeg;
+    for (int64_t i = 0; i < n; ++i) count[i] = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t d = downstream[i];
+        if (d >= 0) upstream[(int64_t)d * k + count[d]++] = (int32_t)i;
+    }
+    return maxdeg;
+}
+
+}  // extern "C"

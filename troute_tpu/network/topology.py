@@ -166,6 +166,10 @@ def from_connections(conn: Mapping, node_type: Mapping | None = None,
 
 def _invert_downstream(downstream: np.ndarray, n: int) -> np.ndarray:
     """Padded [N, K] upstream lists from the downstream pointer array."""
+    from troute_tpu import native
+    up = native.invert_downstream(downstream)
+    if up is not None:
+        return up
     has_ds = downstream >= 0
     srcs = np.flatnonzero(has_ds).astype(np.int32)
     dsts = downstream[srcs]
@@ -187,9 +191,13 @@ def _invert_downstream(downstream: np.ndarray, n: int) -> np.ndarray:
 def _wavefront_levels(downstream: np.ndarray, upstream: np.ndarray) -> np.ndarray:
     """Longest-path-from-headwater level per node, via frontier sweeps.
 
-    One vectorized sweep per level; CONUS depth is ~2.2k sweeps over int32
-    arrays, a one-time preprocessing cost.
+    Native O(N+E) kernel when available; otherwise one vectorized NumPy
+    sweep per level (CONUS depth ~2.2k sweeps, a one-time cost).
     """
+    from troute_tpu import native
+    lv = native.wavefront_levels(downstream)
+    if lv is not None:
+        return lv
     n = downstream.size
     indeg = (upstream >= 0).sum(axis=1).astype(np.int64)
     level = np.zeros(n, np.int32)

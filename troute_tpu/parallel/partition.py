@@ -56,6 +56,10 @@ class NetworkPartition:
 
 def _components(topo: RoutingTopology) -> np.ndarray:
     """Connected-component label per node (union along downstream edges)."""
+    from troute_tpu import native
+    labels = native.connected_components(topo.downstream)
+    if labels is not None:
+        return labels
     n = topo.n_nodes
     parent = np.arange(n)
 
