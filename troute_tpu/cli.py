@@ -94,6 +94,158 @@ def assemble_gage_da(cfg, built, base, t0, nts, dt, dtype):
         decay_coeff=120.0)
 
 
+def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
+    """Reservoir persistence/RFC DA inputs from the reservoir parameter
+    file + TimeSlice folders (reference ``PersistenceDA.__init__`` +
+    ``_prep_reservoir_da_dataframes``), or None when disabled."""
+    import jax.numpy as jnp
+    from troute_tpu.io.netcdf import NetCDFFile
+    from troute_tpu.io.timeslice import get_obs_from_timeslices
+    from troute_tpu.ops.reservoir_da import HybridDAState
+    from troute_tpu.routing.engine import ReservoirDAData
+
+    dap = cfg.compute_parameters.data_assimilation_parameters
+    rda = dap.reservoir_da
+    if rda is None or not rda.reservoir_parameter_file:
+        return None
+    pda = rda.reservoir_persistence_da
+    use_usgs = bool(pda and pda.reservoir_persistence_usgs)
+    use_usace = bool(pda and pda.reservoir_persistence_usace)
+    rfc = rda.reservoir_rfc_da
+    use_rfc = bool(rfc and rfc.reservoir_rfc_forecasts)
+    if not (use_usgs or use_usace or use_rfc):
+        return None
+    res_rows = built.topo.reservoir_rows
+    n_res = res_rows.size
+    if n_res == 0:
+        return None
+
+    with NetCDFFile(base / rda.reservoir_parameter_file) as f:
+        lake_ids = f.read("lake_id").astype(np.int64)
+        res_type = f.read("reservoir_type").astype(np.int32)
+        usgs_lakes = f.read("usgs_lake_id").astype(np.int64)
+        usgs_gages = f.read_strings("usgs_gage_id")
+        usace_lakes = f.read("usace_lake_id").astype(np.int64)
+        usace_gages = f.read_strings("usace_gage_id")
+        rfc_lakes = f.read("rfc_lake_id").astype(np.int64)
+        rfc_gages = f.read_strings("rfc_gage_id")
+
+    type_of = dict(zip(lake_ids.tolist(), res_type.tolist()))
+    gage_of = {}
+    if use_usgs:
+        gage_of.update({int(l): g for l, g in zip(usgs_lakes, usgs_gages)})
+    if use_usace:
+        gage_of.update({int(l): g for l, g in zip(usace_lakes, usace_gages)})
+    rfc_gage_of = {int(l): g for l, g in zip(rfc_lakes, rfc_gages)}
+
+    wtypes = np.ones(n_res, np.int32)
+    res_gages = {}
+    rfc_slots = {}
+    for slot, row in enumerate(res_rows):
+        lk = int(built.topo.ids[row])
+        t = type_of.get(lk, 1)
+        if (t == 2 and use_usgs) or (t == 3 and use_usace):
+            wtypes[slot] = t
+            if lk in gage_of:
+                res_gages[slot] = gage_of[lk]
+        elif t in (4, 5) and use_rfc and lk in rfc_gage_of:
+            wtypes[slot] = t
+            rfc_slots[slot] = rfc_gage_of[lk]
+
+    # assemble gage observations at 15-min resolution on [0, nts*dt]
+    obs_freq = 900.0
+    n_obs = int(nts * dt / obs_freq) + 1
+    obs = np.full((n_res, n_obs), np.nan, np.float32)
+    obs_time = np.arange(n_obs) * obs_freq
+    lookback = pd.Timedelta(hours=dap.timeslice_lookback_hours or 24)
+
+    def _collect(folder, pattern, slots):
+        if not folder or not slots:
+            return
+        files = sorted((base / folder).glob(pattern))
+        files = [f for f in files
+                 if t0 - lookback
+                 <= pd.to_datetime(f.name.split(".")[0],
+                                   format="%Y-%m-%d_%H:%M:%S")
+                 <= t0 + pd.Timedelta(seconds=nts * dt)]
+        if not files:
+            return
+        gids = np.asarray([res_gages[s] for s in slots])
+        df = get_obs_from_timeslices(
+            gids, files, qc_threshold=dap.qc_threshold or 1.0,
+            interpolation_limit=dap.interpolation_limit_min or 59,
+            frequency_secs=obs_freq, t0=t0, nts=n_obs - 1)
+        if df.empty:
+            return
+        for slot in slots:
+            g = res_gages[slot]
+            if g in df.index:
+                vals = df.loc[g].to_numpy(np.float64)[:n_obs]
+                obs[slot, :vals.size] = vals
+
+    usgs_slots = [s for s, g in res_gages.items() if wtypes[s] == 2]
+    usace_slots = [s for s, g in res_gages.items() if wtypes[s] == 3]
+    _collect(dap.usgs_timeslices_folder, "*.usgsTimeSlice.ncdf", usgs_slots)
+    _collect(dap.usace_timeslices_folder, "*.usaceTimeSlice.ncdf",
+             usace_slots)
+
+    # RFC forecast series (reference preprocess_RFC_data)
+    rfc_fields = {}
+    if rfc_slots:
+        from troute_tpu.io.rfc import preprocess_rfc_data
+        from troute_tpu.ops.reservoir_da import RfcDAState
+        loaded = {}
+        for slot, gage in rfc_slots.items():
+            r = preprocess_rfc_data(
+                t0, rfc.reservoir_rfc_forecasts_offset_hours, gage,
+                base / rfc.reservoir_rfc_forecasts_time_series_path, dt)
+            if r is not None:
+                loaded[slot] = r
+            else:
+                wtypes[slot] = 1    # no file -> plain levelpool
+        if loaded:
+            n_counts = max(r["series"].size for r in loaded.values())
+            series = np.zeros((n_res, n_counts))
+            counts = np.zeros(n_res, np.int32)
+            userfc = np.zeros(n_res, bool)
+            step = np.full(n_res, 3600.0)
+            idx0 = np.zeros(n_res, np.int32)
+            ut0 = np.zeros(n_res)
+            for slot, r in loaded.items():
+                series[slot, :r["series"].size] = r["series"]
+                counts[slot] = r["total_counts"]
+                userfc[slot] = r["use_rfc"]
+                step[slot] = r["time_step_seconds"]
+                idx0[slot] = r["timeseries_idx"]
+                ut0[slot] = r["update_time"]
+            rfc_fields = dict(
+                rfc_series=jnp.asarray(series, dtype),
+                rfc_counts=jnp.asarray(counts),
+                rfc_use=jnp.asarray(userfc),
+                rfc_timestep=jnp.asarray(step, dtype),
+                rfc_persist_seconds=jnp.full(
+                    n_res, rfc.reservoir_rfc_forecast_persist_days * 86400.0,
+                    dtype),
+                rfc_state0=RfcDAState(
+                    timeseries_idx=jnp.asarray(idx0),
+                    update_time=jnp.asarray(ut0, dtype)))
+
+    base_da = ReservoirDAData.inactive(n_res, nts, dtype)
+    months = pd.date_range(t0, periods=nts + 1,
+                           freq=pd.Timedelta(seconds=dt)).month - 1
+    return base_da._replace(
+        wbody_type=jnp.asarray(wtypes),
+        hybrid_obs=jnp.asarray(obs, dtype),
+        hybrid_obs_time=jnp.asarray(obs_time, dtype),
+        hybrid_state0=HybridDAState(
+            persisted_outflow=jnp.full(n_res, jnp.nan, dtype),
+            update_time=jnp.zeros(n_res, dtype),
+            persistence_index=jnp.zeros(n_res, dtype),
+            persistence_update_time=jnp.zeros(n_res, dtype)),
+        month_idx=jnp.asarray(np.asarray(months), jnp.int32),
+        **rfc_fields)
+
+
 def main_v04(argv=None) -> dict:
     """Run a full simulation; returns a results dict (also used by tests)."""
     import jax
@@ -171,6 +323,11 @@ def main_v04(argv=None) -> dict:
     # ---- data assimilation ----
     total_nts = sum(r["nts"] for r in run_sets)
     da = assemble_gage_da(cfg, built, base, t0, total_nts, dt, dtype)
+    res_da = assemble_reservoir_da(cfg, built, base, t0, total_nts, dt,
+                                   dtype)
+    if res_da is not None:
+        n_hyb = int((np.asarray(res_da.wbody_type) > 1).sum())
+        LOG.info("reservoir DA: %d hybrid-persistence reservoirs", n_hyb)
 
     # ---- run-set loop with warm-state hand-off ----
     q0 = jnp.asarray(built.q0, dtype)
@@ -186,18 +343,37 @@ def main_v04(argv=None) -> dict:
         set_da = da
         if da is not None and step_offset:
             set_da = da._replace(obs=da.obs[step_offset:])
+        set_res_da = res_da
+        if res_da is not None and step_offset:
+            # re-base observation/update clocks to this run set's t0
+            # (reference hand-off: mc_reach.pyx:822-836 subtracts the
+            # elapsed seconds from all DA update-time state)
+            off = step_offset * dt
+            set_res_da = res_da._replace(
+                hybrid_obs_time=res_da.hybrid_obs_time - off,
+                month_idx=res_da.month_idx[step_offset:])
         t_start = time.time()
         rcfg = RoutingConfig(
             dt=dt, nts=run["nts"], qts_subdivisions=qts,
             assume_short_ts=cfg.compute_parameters.assume_short_ts,
             return_courant=cfg.compute_parameters.return_courant)
         out = route(net, cp, lp, rcfg, q0, d0, elev0,
-                    jnp.asarray(ql, dtype), set_da)
+                    jnp.asarray(ql, dtype), set_da, set_res_da)
         state = out["state"]
         q0, d0, elev0 = state.q, state.depth, state.res_elev
+        set_seconds = run["nts"] * dt
         if da is not None:
             da = da._replace(lastobs_val=state.lastobs_val,
-                             lastobs_time=state.lastobs_time)
+                             lastobs_time=state.lastobs_time - set_seconds)
+        if res_da is not None:
+            hyb_state = state.hybrid._replace(
+                update_time=state.hybrid.update_time - set_seconds,
+                persistence_update_time=(
+                    state.hybrid.persistence_update_time - set_seconds))
+            rfc_state = state.rfc._replace(
+                update_time=state.rfc.update_time - set_seconds)
+            res_da = res_da._replace(hybrid_state0=hyb_state,
+                                     rfc_state0=rfc_state)
         all_fvd.append(np.asarray(out["flowveldepth"]))
         task_times["route_time"] += time.time() - t_start
         step_offset += run["nts"]
