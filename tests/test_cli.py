@@ -33,8 +33,19 @@ def lc_config(tmp_path):
     cfg["compute_parameters"]["restart_parameters"][
         "wrf_hydro_channel_ID_crosswalk_file"] = \
         str(REF / "domain/RouteLink.nc")
-    cfg["compute_parameters"]["data_assimilation_parameters"][
-        "usgs_timeslices_folder"] = str(REF / "usgs_TimeSlice")
+    dap = cfg["compute_parameters"]["data_assimilation_parameters"]
+    dap["usgs_timeslices_folder"] = str(REF / "usgs_TimeSlice")
+    dap["usace_timeslices_folder"] = str(REF / "usace_TimeSlice")
+    dap["reservoir_da"]["reservoir_parameter_file"] = \
+        str(REF / "domain/reservoir_index_AnA.nc")
+    dap["reservoir_da"]["reservoir_rfc_da"] = {
+        "reservoir_rfc_forecasts": True,
+        "reservoir_rfc_forecasts_time_series_path":
+            str(REF / "rfc_TimeSeries"),
+        "reservoir_rfc_forecasts_lookback_hours": 48,
+        "reservoir_rfc_forecasts_offset_hours": 28,
+        "reservoir_rfc_forecast_persist_days": 11,
+    }
     cfg["output_parameters"] = {
         "csv_output": {"csv_output_folder": str(tmp_path / "out")},
         "stream_output": {"stream_output_directory": str(tmp_path / "out")},
