@@ -86,11 +86,25 @@ def assemble_gage_da(cfg, built, base, t0, nts, dt, dtype):
         m = min(vals.size, nts + 1)
         obs[:m, gi] = vals[:m]
 
+    # warm-start lastobs state from a nudgingLastObs file if provided
+    lo_val = np.full(n_g, np.nan, np.float64)
+    lo_time = np.full(n_g, np.nan, np.float64)
+    if sda.lastobs_file:
+        from troute_tpu.io.restart import read_lastobs_file
+        gids, disch, offs = read_lastobs_file(base / sda.lastobs_file)
+        pos = {g: i for i, g in enumerate(gids)}
+        for gi, g in enumerate(built.gage_ids):
+            k = pos.get(str(g))
+            if k is not None and np.isfinite(disch[k]) \
+                    and disch[k] > -9000 and np.isfinite(offs[k]):
+                lo_val[gi] = disch[k]
+                lo_time[gi] = offs[k]
+
     return GageDA(
         rows=jnp.asarray(built.gage_rows),
         obs=jnp.asarray(obs, dtype),
-        lastobs_val=jnp.full((n_g,), jnp.nan, dtype),
-        lastobs_time=jnp.full((n_g,), jnp.nan, dtype),
+        lastobs_val=jnp.asarray(lo_val, dtype),
+        lastobs_time=jnp.asarray(lo_time, dtype),
         decay_coeff=120.0)
 
 
@@ -443,6 +457,43 @@ def main_v04(argv=None) -> dict:
         written.append(write_chanobs_nc(
             p, built.gage_ids, topo.ids[built.gage_rows],
             fvd[:, built.gage_rows], t0, dt))
+    if op.parquet_output and op.parquet_output.get("parquet_output_folder"):
+        from troute_tpu.io.output import flowveldepth_dataframe
+        out_dir = base / op.parquet_output["parquet_output_folder"]
+        out_dir.mkdir(parents=True, exist_ok=True)
+        df = flowveldepth_dataframe(topo.ids, fvd, t0, dt)
+        df.columns = [f"{ts.isoformat()}_{v}" for ts, v in df.columns]
+        p = out_dir / f"troute_output_{t0.strftime('%Y%m%d%H%M')}.parquet"
+        df.to_parquet(p)
+        written.append(p)
+    if op.lite_restart and op.lite_restart.get("lite_restart_output_directory"):
+        from troute_tpu.io.restart import write_lite_restart
+        out_dir = base / op.lite_restart["lite_restart_output_directory"]
+        out_dir.mkdir(parents=True, exist_ok=True)
+        end_time = t0 + pd.Timedelta(seconds=total_nts * dt)
+        q0_df = pd.DataFrame(
+            {"qu0": np.zeros(built.n_nodes, np.float32),
+             "qd0": np.asarray(q0), "h0": np.asarray(d0)},
+            index=np.asarray(topo.ids))
+        wb_df = None
+        if topo.reservoir_rows.size:
+            wb_df = pd.DataFrame(
+                {"qd0": np.asarray(q0)[topo.reservoir_rows],
+                 "h0": np.asarray(elev0)[:topo.reservoir_rows.size]},
+                index=np.asarray(topo.ids)[topo.reservoir_rows])
+        written.extend(write_lite_restart(out_dir, end_time, q0_df, wb_df))
+    if da is not None and cfg.compute_parameters \
+            .data_assimilation_parameters.streamflow_da.lastobs_output_folder:
+        from troute_tpu.io.output import write_lastobs_nc
+        out_dir = base / cfg.compute_parameters.data_assimilation_parameters \
+            .streamflow_da.lastobs_output_folder
+        out_dir.mkdir(parents=True, exist_ok=True)
+        end_time = t0 + pd.Timedelta(seconds=total_nts * dt)
+        p = out_dir / ("nudgingLastObs."
+                       + end_time.strftime("%Y-%m-%d_%H:%M:%S") + ".nc")
+        written.append(write_lastobs_nc(
+            p, built.gage_ids, np.asarray(da.lastobs_time),
+            np.asarray(da.lastobs_val), end_time))
     if op.lakeout_output and topo.reservoir_rows.size:
         out_dir = base / str(op.lakeout_output)
         out_dir.mkdir(parents=True, exist_ok=True)

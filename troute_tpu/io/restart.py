@@ -73,3 +73,34 @@ def read_lite_restart(path):
     """Read a lite restart pickle -> DataFrame."""
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def read_lastobs_file(path):
+    """Warm-start lastobs state (reference nudgingLastObs format).
+
+    Returns (gage_ids [n], lastobs_discharge [n], lastobs_time_offset [n])
+    where the time offset is seconds relative to the file's model time
+    (non-positive: observations were at or before the output time).
+    """
+    import pandas as pd
+
+    from troute_tpu.io.netcdf import NetCDFFile
+
+    with NetCDFFile(path) as f:
+        gages = f.read_strings("stationId")
+        discharge = np.asarray(f.read("discharge"), np.float64)
+        times = f.raw("time")
+        model_time = f.attrs().get("modelTimeAtOutput", "")
+    if discharge.ndim > 1:
+        discharge = discharge[:, -1]
+    obs_times = []
+    t0 = pd.to_datetime(str(model_time), format="%Y-%m-%d_%H:%M:%S")
+    for row in times:
+        s = b"".join(row.ravel()).decode("utf-8", "replace").strip()
+        try:
+            obs_times.append((pd.to_datetime(
+                s, format="%Y-%m-%d_%H:%M:%S") - t0).total_seconds())
+        except ValueError:
+            obs_times.append(np.nan)
+    return (np.asarray(gages), discharge,
+            np.asarray(obs_times, np.float64))

@@ -143,6 +143,24 @@ def build_network(cfg: Config, base: Path,
     res_outflow0 = np.zeros(max(n_res, 1), np.float32)
 
     rp = cfg.compute_parameters.restart_parameters
+    if rp.lite_channel_restart_file:
+        from troute_tpu.io.restart import read_lite_restart
+        df = read_lite_restart(base / rp.lite_channel_restart_file)
+        for sid, r_ in df.iterrows():
+            r = row_of.get(int(sid))
+            if r is not None:
+                qu0[r] = r_.get("qu0", 0.0)
+                q0[r] = r_.get("qd0", 0.0)
+                depth0[r] = r_.get("h0", 0.0)
+    if rp.lite_waterbody_restart_file and n_res:
+        from troute_tpu.io.restart import read_lite_restart
+        df = read_lite_restart(base / rp.lite_waterbody_restart_file)
+        lake_slot = {int(topo.ids[r]): s for s, r in enumerate(res_rows)}
+        for lid, r_ in df.iterrows():
+            s = lake_slot.get(int(lid))
+            if s is not None:
+                res_elev0[s] = r_.get("h0", np.nan)
+                res_outflow0[s] = r_.get("qd0", 0.0)
     if rp.wrf_hydro_channel_restart_file:
         ids_r, qu, qd, h = read_wrf_hydro_channel_restart(
             base / rp.wrf_hydro_channel_restart_file,
