@@ -20,15 +20,13 @@ def read_wrf_hydro_channel_restart(restart_file, routelink_file,
                                    crosswalk_link_field="link"):
     """Channel warm state from a HYDRO_RST file.
 
-    The restart carries no ids; rows align with the RouteLink crosswalk
-    ordered by its ascendingIndex, per WRF-Hydro convention.  Returns
-    (ids, qu0, qd0, h0).
+    The restart carries no ids; rows align positionally with the RouteLink
+    file order (reference ``get_channel_restart_from_wrf_hydro`` — "the
+    order is simply the same as that found in the Route-Link files", NOT
+    the CHRTOUT order).  Returns (ids, qu0, qd0, h0).
     """
     with NetCDFFile(routelink_file) as f:
         ids = f.read(crosswalk_link_field).astype(np.int64)
-        if "ascendingIndex" in f.variables:
-            order = np.argsort(f.read("ascendingIndex").astype(np.int64))
-            ids = ids[order]
     with NetCDFFile(restart_file) as f:
         qlink1 = f.read("qlink1").astype(np.float32)   # flow into segment
         qlink2 = f.read("qlink2").astype(np.float32)   # flow out of segment
