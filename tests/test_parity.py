@@ -47,8 +47,10 @@ def test_parity_vs_nwm_chrtout(tmp_path):
         str(REF / "domain/LAKEPARM.nc")
     cfg["compute_parameters"]["restart_parameters"] = {
         "start_datetime": "2021-08-23_13:00"}
-    cfg["compute_parameters"]["data_assimilation_parameters"][
-        "usgs_timeslices_folder"] = str(REF / "usgs_TimeSlice")
+    dap = cfg["compute_parameters"]["data_assimilation_parameters"]
+    dap["usgs_timeslices_folder"] = str(REF / "usgs_TimeSlice")
+    dap["reservoir_da"]["reservoir_parameter_file"] = \
+        str(REF / "domain/reservoir_index_AnA.nc")
     cfg["output_parameters"] = {}
     p = tmp_path / "cfg.yaml"
     yaml.safe_dump(cfg, open(p, "w"))
