@@ -298,8 +298,11 @@ def main_v04(argv=None) -> dict:
     dt = float(fp.dt)
     qts = int(fp.qts_subdivisions)
     nts = int(fp.nts or 0)
-    t0 = pd.to_datetime(rp.start_datetime, format="%Y-%m-%d_%H:%M") \
-        if rp.start_datetime else pd.Timestamp("2000-01-01")
+    if rp.start_datetime:
+        s = str(rp.start_datetime).replace("_", " ")
+        t0 = pd.to_datetime(s)
+    else:
+        t0 = pd.Timestamp("2000-01-01")
 
     # ---- network construction ----
     t_start = time.time()
@@ -328,8 +331,16 @@ def main_v04(argv=None) -> dict:
 
     # ---- forcing run sets ----
     t_start = time.time()
-    qlat_folder = base / fp.qlat_input_folder
-    pattern = (fp.qlat_file_pattern_filter or "*CHRTOUT_DOMAIN1").strip("*")
+    nexus_mode = built.nexus_of_wb is not None and bool(
+        fp.nexus_input_folder or fp.qlat_input_folder)
+    if nexus_mode:
+        qlat_folder = base / (fp.nexus_input_folder or fp.qlat_input_folder)
+        nex_pattern = getattr(fp, "nexus_file_pattern_filter",
+                              None) or "*NEXOUT*"
+        pattern = str(nex_pattern).strip("*")
+    else:
+        qlat_folder = base / fp.qlat_input_folder
+        pattern = (fp.qlat_file_pattern_filter or "*CHRTOUT_DOMAIN1").strip("*")
     files = sorted(f for f in qlat_folder.iterdir() if pattern in f.name)
     run_sets = build_forcing_sets(files, dt, qts, nts, fp.max_loop_size)
     task_times["forcing_time"] += time.time() - t_start
@@ -351,7 +362,12 @@ def main_v04(argv=None) -> dict:
     step_offset = 0
     for s, run in enumerate(run_sets):
         t_start = time.time()
-        ql = read_qlat_chrtout(run["qlat_files"], topo.ids)
+        if nexus_mode:
+            from troute_tpu.network.hyfeatures import read_qlat_nexout
+            ql = read_qlat_nexout(run["qlat_files"], topo.ids,
+                                  built.nexus_of_wb)
+        else:
+            ql = read_qlat_chrtout(run["qlat_files"], topo.ids)
         task_times["forcing_time"] += time.time() - t_start
 
         set_da = da

@@ -41,6 +41,7 @@ class BuiltNetwork:
     gage_ids: np.ndarray         # str  [n_gages]
     lake_crosswalk: dict         # lake id -> outlet segment id
     segment_rows: np.ndarray     # rows that are MC segments
+    nexus_of_wb: dict | None = None   # HYFeatures: wb id -> upstream nexus
 
     @property
     def n_nodes(self):
@@ -62,7 +63,22 @@ def build_network(cfg: Config, base: Path,
     if sp.mask_file_path:
         mask_ids = np.loadtxt(base / sp.mask_file_path, dtype=np.int64,
                               ndmin=1)
-    rl = read_routelink(base / sp.geo_file_path, columns, mask_ids)
+    geo = base / sp.geo_file_path
+    nexus_of_wb = None
+    is_hyfeatures = str(geo).endswith(".gpkg")
+    if is_hyfeatures:
+        from troute_tpu.network.hyfeatures import read_geopkg
+        rl, nexus_of_wb = read_geopkg(geo)
+        if mask_ids is not None:
+            keep = np.isin(rl.ids, mask_ids)
+            rl = RouteLinkData(
+                ids=rl.ids[keep], downstream=rl.downstream[keep],
+                channel={k: v[keep] for k, v in rl.channel.items()},
+                waterbody=rl.waterbody[keep],
+                waterbody_null=rl.waterbody_null, gages=rl.gages[keep],
+                alt=None)
+    else:
+        rl = read_routelink(geo, columns, mask_ids)
     if exclude_ids is not None:
         keep = ~np.isin(rl.ids, np.asarray(list(exclude_ids), np.int64))
         rl = RouteLinkData(
@@ -77,15 +93,28 @@ def build_network(cfg: Config, base: Path,
     lake_params = None
     if wbp.break_network_at_waterbodies and wbp.level_pool:
         lp_file = wbp.level_pool.level_pool_waterbody_parameter_file_path
-        wb_mask = rl.waterbody != rl.waterbody_null
-        lake_ids_in_domain = set(np.unique(rl.waterbody[wb_mask]).tolist())
-        lake_params = read_lakeparm(
-            base / lp_file, wbp.level_pool.level_pool_waterbody_id,
-            lake_ids_in_domain)
-        known = set(lake_params.lake_ids.tolist())
-        for seg, lake in zip(rl.ids[wb_mask], rl.waterbody[wb_mask]):
-            if int(lake) in known:
-                waterbodies[int(seg)] = int(lake)
+        if is_hyfeatures:
+            from troute_tpu.io.routelink import LakeParmData
+            from troute_tpu.network.hyfeatures import read_lake_attributes
+            lids, parms = read_lake_attributes(base / (lp_file or
+                                                       sp.geo_file_path))
+            lake_params = LakeParmData(lake_ids=lids, params=parms)
+            known = set(lids.tolist())
+            # gpkg lakes are flowpaths themselves (wb id == lake id)
+            for seg in rl.ids:
+                if int(seg) in known:
+                    waterbodies[int(seg)] = int(seg)
+        else:
+            wb_mask = rl.waterbody != rl.waterbody_null
+            lake_ids_in_domain = set(
+                np.unique(rl.waterbody[wb_mask]).tolist())
+            lake_params = read_lakeparm(
+                base / lp_file, wbp.level_pool.level_pool_waterbody_id,
+                lake_ids_in_domain)
+            known = set(lake_params.lake_ids.tolist())
+            for seg, lake in zip(rl.ids[wb_mask], rl.waterbody[wb_mask]):
+                if int(lake) in known:
+                    waterbodies[int(seg)] = int(lake)
 
     # connections with terminal handling: explicit terminal code plus
     # off-domain pointers
@@ -211,4 +240,5 @@ def build_network(cfg: Config, base: Path,
         q0=q0, qu0=qu0, depth0=depth0,
         gage_rows=np.asarray(gage_rows, np.int32),
         gage_ids=np.asarray(gage_ids, dtype=object),
-        lake_crosswalk=lake_crosswalk, segment_rows=seg_rows)
+        lake_crosswalk=lake_crosswalk, segment_rows=seg_rows,
+        nexus_of_wb=nexus_of_wb)
