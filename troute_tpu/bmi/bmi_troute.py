@@ -167,11 +167,17 @@ class BmiTrouteTpu:
         self.update_until(self._time + self._dt)
 
     def update_until(self, until: float) -> None:
+        import functools
+
+        import jax
         import jax.numpy as jnp
         from troute_tpu.routing.engine import RoutingConfig, route
 
         if not self._network_ready:
             self._build_network()
+            # retrace-free stepping: jit the engine once per network
+            self._route_jit = functools.partial(
+                jax.jit(route, static_argnames=("cfg",)))
         nts = max(int(round((until - self._time) / self._dt)), 1)
 
         v = self._values
@@ -199,8 +205,9 @@ class BmiTrouteTpu:
 
         cfg = RoutingConfig(dt=self._dt, nts=nts, qts_subdivisions=1,
                             assume_short_ts=True)
-        out = route(self._net, self._chan, self._lp, cfg, q, self._d,
-                    self._elev, jnp.asarray(ql), None)
+        out = self._route_jit(self._net, self._chan, self._lp, cfg=cfg,
+                              q0=q, depth0=self._d, res_elev0=self._elev,
+                              qlat=jnp.asarray(ql), da=None)
         st = out["state"]
         self._q, self._d, self._elev = st.q, st.depth, st.res_elev
         fvd = np.asarray(out["flowveldepth"])[-1]
