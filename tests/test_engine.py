@@ -162,3 +162,51 @@ def test_mass_conservation_no_lake():
     q_outlet = np.asarray(out["flowveldepth"])[:, topo.index_of[3], 0]
     # steady state: outlet flow == 3 segments * 1 m3/s lateral
     assert q_outlet[-1] == pytest.approx(3.0, rel=1e-3)
+
+
+def test_strict_mode_chunked_levels():
+    """Chunked level scheduling (bounded-width strict mode) matches the
+    dense per-level schedule exactly."""
+    nts, dt = 24, 300.0
+    ids, chan, q0, depth0, qlat, gages = _setup(nts)
+    out_full, idx = _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt,
+                                short=False)
+
+    topo = from_connections(CONN, reservoir_ids=[LAKE_ID])
+    net = network_arrays_from_topology(topo, need_levels=True,
+                                       level_chunk_width=2)
+    assert net.level_nodes.shape[1] == 2
+    assert net.level_nodes.shape[0] > topo.n_levels  # levels got split
+    dtype = jnp.float64
+    perm = topo.ids
+
+    def col(name, default=1.0):
+        return jnp.asarray([chan[int(i)].get(name, default)
+                            if int(i) != LAKE_ID else default
+                            for i in perm], dtype)
+
+    cp = ChannelParams(dx=col("dx"), bw=col("bw"), tw=col("tw"),
+                       twcc=col("twcc"), n=col("n"), ncc=col("ncc"),
+                       cs=col("cs"), s0=col("s0"))
+    lp = LevelpoolParams(*[jnp.asarray([LAKE[k]], dtype) for k in (
+        "area", "max_depth", "orifice_area", "orifice_coeff",
+        "orifice_elev", "weir_coeff", "weir_elev", "weir_length",
+        "dam_length")])
+    q0_arr = jnp.asarray([q0[int(i)] for i in perm], dtype)
+    d0_arr = jnp.asarray([depth0[int(i)] for i in perm], dtype)
+    n_cols = len(next(iter(qlat.values())))
+    qlat_arr = jnp.asarray(
+        np.stack([[qlat[int(i)][c] for i in perm] for c in range(n_cols)]),
+        dtype)
+    da = GageDA(rows=jnp.asarray([idx[r] for r in gages["rows"]], jnp.int32),
+                obs=jnp.asarray(gages["obs"], dtype),
+                lastobs_val=jnp.asarray(gages["lastobs_val"], dtype),
+                lastobs_time=jnp.asarray(gages["lastobs_time"], dtype),
+                decay_coeff=gages["decay_coeff"])
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=False)
+    out_chunked = route(net, cp, lp, cfg, q0_arr, d0_arr,
+                        jnp.asarray([LAKE["elev0"]], dtype), qlat_arr, da)
+    np.testing.assert_allclose(
+        np.asarray(out_chunked["flowveldepth"]),
+        np.asarray(out_full["flowveldepth"]), rtol=1e-12, atol=1e-14)

@@ -82,6 +82,31 @@ class RoutingTopology:
             start += c
         return out
 
+    def level_chunks(self, width: int) -> np.ndarray:
+        """[n_chunks, width] row indices, -1 padded, chunks never spanning
+        levels.
+
+        A memory-bounded alternative to ``level_nodes`` for deep/wide
+        networks: the dense level matrix costs O(n_levels * widest_level)
+        (CONUS: ~92 x ~1M), while chunking costs O(N + n_levels * width).
+        Same-level nodes are independent, so splitting a level across
+        consecutive scan steps preserves strict-mode semantics.
+        """
+        order = np.argsort(self.level, kind="stable")
+        counts = np.bincount(self.level, minlength=self.n_levels)
+        chunks = []
+        start = 0
+        for c in counts:
+            for off in range(0, int(c), width):
+                chunk = order[start + off:start + min(off + width, c)]
+                row = np.full(width, -1, np.int32)
+                row[:chunk.size] = chunk
+                chunks.append(row)
+            start += c
+        if not chunks:
+            return np.full((1, width), -1, np.int32)
+        return np.stack(chunks)
+
     @cached_property
     def reservoir_rows(self) -> np.ndarray:
         return np.flatnonzero(self.node_type == NODE_RESERVOIR).astype(np.int32)

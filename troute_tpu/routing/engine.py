@@ -163,12 +163,24 @@ class RoutingState(NamedTuple):
 
 
 def network_arrays_from_topology(topo: RoutingTopology,
-                                 need_levels: bool) -> NetworkArrays:
+                                 need_levels: bool,
+                                 level_chunk_width: int | None = None
+                                 ) -> NetworkArrays:
+    """``level_chunk_width`` bounds the strict-mode schedule's row width
+    (memory O(N) instead of O(levels x widest level)); None keeps one row
+    per level."""
+    if need_levels:
+        if level_chunk_width is not None:
+            levels = jnp.asarray(topo.level_chunks(level_chunk_width))
+        else:
+            levels = jnp.asarray(topo.level_nodes)
+    else:
+        levels = None
     return NetworkArrays(
         upstream=jnp.asarray(topo.upstream),
         is_reservoir=jnp.asarray(topo.node_type == NODE_RESERVOIR),
         res_rows=jnp.asarray(topo.reservoir_rows),
-        level_nodes=jnp.asarray(topo.level_nodes) if need_levels else None,
+        level_nodes=levels,
     )
 
 
