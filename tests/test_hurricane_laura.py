@@ -1,0 +1,75 @@
+"""HurricaneLaura unit-test domain: hybrid MC + diffusive with NATURAL
+cross-sections (surveyed bathymetry lookup tables) and a matching
+WRF-Hydro restart — the reference's coastal diffusive test configuration
+(``troute_UnitTest_noRS.yaml``)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REF = Path("/root/reference/test/HurricaneLaura")
+
+pytestmark = pytest.mark.skipif(not REF.exists(),
+                                reason="reference domain not available")
+
+
+def test_natural_xsec_table_from_real_bathymetry():
+    from troute_tpu.io.netcdf import NetCDFFile
+    from troute_tpu.diffusive.xsection import build_xsec_table_natural
+
+    with NetCDFFile(REF / "domain/final_diffusive_natural_xs.nc") as f:
+        links = f.read("link").astype(np.int64)
+        x = f.read("xid_d")
+        z = f.read("z")
+        n = f.read("n")
+    link0 = links[0]
+    sel = links == link0
+    tab, z0 = build_xsec_table_natural(x[sel], z[sel], n[sel])
+    assert tab.shape == (11, 501)
+    assert z0 == pytest.approx(z[sel].min())
+    assert np.all(np.diff(tab[1]) >= 0)          # area monotone
+    assert np.all(np.diff(tab[4]) >= -1e-9)      # conveyance smoothed
+    assert np.isfinite(tab).all()
+    assert tab[10].min() > 0                      # composite 1/n positive
+
+
+def test_laura_hybrid_natural_end_to_end(tmp_path):
+    from troute_tpu.cli import main_v04
+
+    cfg = yaml.safe_load(open(REF / "troute_UnitTest_noRS.yaml"))
+    sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+    sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
+    sp["mask_file_path"] = str(REF / "domain/unit_test_noRS/coastal_subset.txt")
+    cfg["network_topology_parameters"]["waterbody_parameters"]["level_pool"][
+        "level_pool_waterbody_parameter_file_path"] = \
+        str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+    rp = cfg["compute_parameters"]["restart_parameters"]
+    rp["wrf_hydro_channel_restart_file"] = \
+        str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+    rp["wrf_hydro_channel_ID_crosswalk_file"] = \
+        str(REF / "domain/RouteLink_NWMv2.1.nc")
+    rp["wrf_hydro_waterbody_restart_file"] = \
+        str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+    rp["wrf_hydro_waterbody_ID_crosswalk_file"] = \
+        str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+    rp["start_datetime"] = "2020-08-26_00:00"
+    hp = cfg["compute_parameters"]["hybrid_parameters"]
+    hp["diffusive_domain"] = \
+        str(REF / "domain/unit_test_noRS/coastal_domain.yaml")
+    hp["topobathy_domain"] = str(REF / "domain/final_diffusive_natural_xs.nc")
+    hp["run_refactored_network"] = False
+    fp = cfg["compute_parameters"]["forcing_parameters"]
+    fp["qlat_input_folder"] = str(REF / "channel_forcing")
+    fp["nts"] = 12
+    cfg["compute_parameters"]["data_assimilation_parameters"] = {}
+    cfg["output_parameters"] = {}
+    p = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    res = main_v04(["-f", str(p)])
+    assert np.isfinite(res["fvd"]).all()
+    d = res["diffusive"]
+    assert d is not None and np.isfinite(d["q"]).all()
+    assert d["depth"].min() > 0

@@ -317,6 +317,9 @@ def main_v04(argv=None) -> dict:
         exclude = hyb.mainstem_set
         LOG.info("hybrid routing: %d mainstem segments in %d reaches",
                  len(hyb.mainstem_set), hyb.n_reaches)
+        if hp.use_natl_xsections and hp.topobathy_domain:
+            n_nat = hyb.load_topobathy(base / hp.topobathy_domain)
+            LOG.info("natural cross sections at %d nodes", n_nat)
     built = build_network(cfg, base, exclude_ids=exclude)
     topo = built.topo
     net = network_arrays_from_topology(topo, need_levels=False)

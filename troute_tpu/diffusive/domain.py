@@ -20,7 +20,8 @@ from troute_tpu.diffusive.xsection import build_xsec_tables
 def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
                  qlat_series: np.ndarray, dt_qlat: float,
                  trib_series: np.ndarray, dt_trib: float,
-                 dtini_given: float, dtype=jnp.float64) -> DiffusiveDomain:
+                 dtini_given: float, dtype=jnp.float64,
+                 natural_xsec: dict | None = None) -> DiffusiveDomain:
     """Assemble a DiffusiveDomain.
 
     Args:
@@ -56,6 +57,29 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
     manncc = right_align("manncc", 0.1)
 
     tab, z_adj = build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx)
+
+    if natural_xsec:
+        # override nodes that carry surveyed bathymetry (reference: natural
+        # tables replace the synthetic trapezoid wholesale,
+        # readXsection_natural_mann_vertices + the uniform-flow column pass)
+        from troute_tpu.diffusive.solver import SO_LLM
+        from troute_tpu.diffusive.xsection import build_xsec_table_natural
+        for (ri, ni), (xb, zb, nb) in natural_xsec.items():
+            col = C - ncomp[ri] + ni
+            t_nat, z_datum = build_xsec_table_natural(xb, zb, nb)
+            tab[ri, col] = t_nat
+            z_adj[ri, col] = z_datum
+        # recompute uniform-flow col 9 with the adjusted datums
+        slope = np.zeros((R, C))
+        if C > 1:
+            slope[:, :-1] = (z_adj[:, :-1] - z_adj[:, 1:]) \
+                / np.maximum(dx[:, :-1], 1e-12)
+            slope[:, -1] = (z_adj[:, -2] - z_adj[:, -1]) \
+                / np.maximum(dx[:, -2], 1e-12)
+        slope = np.maximum(slope, SO_LLM)
+        for (ri, ni) in natural_xsec:
+            col = C - ncomp[ri] + ni
+            tab[ri, col, 9] = tab[ri, col, 4] * np.sqrt(slope[ri, col])
 
     valid = np.zeros((R, C), bool)
     for j in range(R):

@@ -173,3 +173,122 @@ def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
     # [11, nel, R, C] -> [R, C, 11, nel]
     tab = np.moveaxis(tab, (0, 1), (2, 3))
     return np.ascontiguousarray(tab), z_notch
+
+
+def build_xsec_table_natural(x_bathy, z_bathy, mann_bathy, nel=NEL,
+                             times_depth=TIMES_DEPTH):
+    """Lookup table for one natural (surveyed bathymetry) cross-section.
+
+    Reference ``readXsection_natural_mann_vertices``
+    (``diffusive.f90:1756-2091``): piecewise-linear section between vertical
+    end walls, Einstein-Horton composite roughness
+    ``n_eq = (sum P_i n_i^1.5 / P)^(2/3)`` with wall roughness zeroed, and
+    monotone smoothing of the conveyance and dK/dA curves.
+
+    Args:
+        x_bathy, z_bathy, mann_bathy: [n_sta] station/elevation/roughness
+
+    Returns ([11, nel] table, z_datum) — columns as in
+    ``build_xsec_tables`` (first moment/dPdA unset, matching the
+    reference's natural path).
+    """
+    x = np.asarray(x_bathy, np.float64)
+    x = x - x[0]
+    z = np.asarray(z_bathy, np.float64)
+    n = np.minimum(np.asarray(mann_bathy, np.float64), 0.15)
+
+    el_min = z.min()
+    el_max = z.max()
+    el_range = (el_max - el_min) * times_depth
+    wall_top = el_min + el_range + 1.0
+
+    # vertices with vertical end walls; per-segment roughness = left vertex
+    xv = np.concatenate([[x[0]], x, [x[-1]]])
+    zv = np.concatenate([[wall_top], z, [wall_top]])
+    nseg = xv.size - 1
+    seg_mann = np.zeros(nseg)
+    seg_mann[1:nseg] = n[:nseg - 1]
+    seg_mann[0] = 0.0          # left wall
+    seg_mann[nseg - 1] = 0.0   # right wall
+    is_wall = np.zeros(nseg, bool)
+    is_wall[0] = is_wall[-1] = True
+
+    el = el_min + np.arange(nel) * (el_range / (nel - 1.0))
+    el_eval = el.copy()
+    el_eval[np.abs(el_eval - el_min) < 1e-8] += 1e-5
+    e = el_eval[:, None]                       # [nel, 1]
+
+    x1, x2 = xv[:-1][None], xv[1:][None]       # [1, nseg]
+    z1, z2 = zv[:-1][None], zv[1:][None]
+    lo = np.minimum(z1, z2)
+    hi = np.maximum(z1, z2)
+    dx_seg = x2 - x1
+    dz = np.abs(z2 - z1)
+    length = np.sqrt(dx_seg ** 2 + (z2 - z1) ** 2 + 1e-32)
+
+    # wetted fraction of each segment at elevation e (clip at the waterline)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        frac = np.clip((e - lo) / np.where(hi > lo, hi - lo, 1.0), 0.0, 1.0)
+        frac = np.where(hi <= lo, (e >= lo).astype(float), frac)
+    wet_w = np.abs(dx_seg) * frac              # wetted horizontal extent
+    wet_len = length * frac                    # wetted segment length
+    # area under the waterline above the segment: trapezoid of the wetted part
+    depth_lo = np.clip(e - lo, 0.0, None)
+    depth_hi = np.clip(e - hi, 0.0, None)
+    seg_area = 0.5 * (depth_lo + depth_hi) * np.abs(dx_seg) * \
+        np.where(frac >= 1.0, 1.0, 0.0) \
+        + np.where(frac < 1.0, 0.5 * depth_lo * wet_w, 0.0)
+
+    area = seg_area.sum(axis=1)
+    topw = wet_w.sum(axis=1)
+    peri_seg = np.where(is_wall[None, :], 0.0, wet_len)
+    peri = peri_seg.sum(axis=1)
+    pmann = (peri_seg * seg_mann[None, :] ** 1.5).sum(axis=1)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        radius = np.where(peri > 1e-10, area / peri, 0.0)
+        n_eq = np.where(peri > 1e-10, (pmann / peri) ** (2.0 / 3.0), 1.0)
+        n_eq = np.maximum(n_eq, 1e-6)
+        conv = np.where(peri > 1e-10,
+                        (1.0 / n_eq) * area * radius ** (2.0 / 3.0), 0.0)
+
+    dA = np.diff(area)
+    dkda = np.concatenate([
+        [conv[0] / max(area[0], 1e-12)],
+        np.diff(conv) / np.where(np.abs(dA) > 1e-12, dA, 1e-12)])
+
+    conv = _monotone_smooth(el, conv)
+    dkda = _monotone_smooth(el, dkda)
+
+    tab = np.zeros((11, nel))
+    tab[0] = el_eval
+    tab[1] = area
+    tab[2] = peri
+    tab[3] = radius
+    tab[4] = conv
+    tab[5] = topw
+    tab[8] = dkda
+    tab[10] = 1.0 / n_eq
+    return tab, el_min
+
+
+def _monotone_smooth(el, v):
+    """Reference's increasing-curve repair (diffusive.f90:1951-2014):
+    where the curve dips, bridge linearly to the next larger value."""
+    v = v.copy()
+    nel = v.size
+    iel = 1
+    while iel < nel:
+        if v[iel] <= v[iel - 1]:
+            ii = iel
+            while ii < nel - 1 and v[ii] < v[iel - 1]:
+                ii += 1
+            if ii >= nel - 1 and v[ii] < v[iel - 1]:
+                v[ii] = 1.01 * v[iel - 1]
+            slope = (v[ii] - v[iel - 1]) / max(el[ii] - el[iel - 1], 1e-12)
+            for k in range(iel, ii):
+                v[k] = v[iel - 1] + slope * (el[k] - el[iel - 1])
+            iel = ii
+        else:
+            iel += 1
+    return v

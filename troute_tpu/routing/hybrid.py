@@ -140,6 +140,51 @@ class HybridDomain:
         self.seg_reach = seg_reach
         self.n_reaches = R
 
+    def load_topobathy(self, path):
+        """Load natural cross-section bathymetry and map it to reach nodes
+        (reference ``fp_naturalxsec_map``, diffusive_utils_v02.py:394-500:
+        interior nodes use their own segment's section; a reach's bottom
+        node uses the downstream reach head's; the tailwater ghost node
+        reuses the last segment's section lowered by s0*dx)."""
+        from troute_tpu.io.netcdf import NetCDFFile
+
+        with NetCDFFile(path) as f:
+            links = f.read("link").astype(np.int64)
+            xid_d = np.asarray(f.read("xid_d"), np.float64)
+            zb = np.asarray(f.read("z"), np.float64)
+            nb = np.asarray(f.read("n"), np.float64)
+        by_link: dict[int, list[int]] = {}
+        for k, l in enumerate(links):
+            by_link.setdefault(int(l), []).append(k)
+
+        def section(seg):
+            idxs = by_link.get(int(seg))
+            if not idxs:
+                return None
+            idxs = np.asarray(idxs)
+            return xid_d[idxs], zb[idxs], nb[idxs]
+
+        self.natural_xsec = {}
+        for ri, r in enumerate(self.reaches):
+            n_seg = len(r)
+            for i, s in enumerate(r):
+                sec = section(s)
+                if sec is not None:
+                    self.natural_xsec[(ri, i)] = sec
+            # bottom node
+            d = self.ds_reach[ri]
+            if d >= 0:
+                sec = section(self.reaches[d][0])
+            else:
+                sec = section(r[-1])
+                if sec is not None:
+                    geo = self.reach_nodes[ri]
+                    drop = (geo["z"][-2] - geo["z"][-1])
+                    sec = (sec[0], sec[1] - drop, sec[2])
+            if sec is not None:
+                self.natural_xsec[(ri, n_seg)] = sec
+        return len(self.natural_xsec)
+
     def build_diffusive_domain(self, qlat_rows, dt_qlat, trib_q, dt_trib,
                                dtini):
         """Assemble the solver domain.
@@ -175,7 +220,9 @@ class HybridDomain:
                 trib[:, ri] += trib_q[:, ti]
 
         return build_domain(self.reach_nodes, self.ds_reach, qlat,
-                            dt_qlat, trib, dt_trib, dtini)
+                            dt_qlat, trib, dt_trib, dtini,
+                            natural_xsec=getattr(self, "natural_xsec",
+                                                 None))
 
     def saves_to_segments(self, saves, dom):
         """Map solver snapshots to per-mainstem-segment series.
