@@ -91,3 +91,59 @@ def test_bmi_domain_split():
     # outlet flows agree closely (boundary hand-off lags one step, so
     # allow a small tolerance rather than exact equality)
     assert q_split[-1] == pytest.approx(q_whole[-1], rel=0.05)
+
+
+def test_bmi_reservoir_levelpool_golden():
+    """Standalone reservoir BMI reproduces the levelpool golden run
+    (reference test_compute_kernel.py::test_lp_run fixture)."""
+    from troute_tpu.bmi.bmi_reservoirs import BmiReservoir
+    from test_levelpool import (EXPECTED_FINAL_ELEVATION,
+                                EXPECTED_FINAL_OUTFLOW, INFLOWS, LP,
+                                ROUTING_PERIOD)
+
+    bmi = BmiReservoir()
+    bmi.initialize()
+    bmi.set_value("LkArea", [LP["lake_area"]])
+    bmi.set_value("LkMxE", [LP["max_depth"]])
+    bmi.set_value("OrificeA", [LP["orifice_area"]])
+    bmi.set_value("OrificeC", [LP["orifice_coefficient"]])
+    bmi.set_value("OrificeE", [LP["orifice_elevation"]])
+    bmi.set_value("WeirC", [LP["weir_coefficient"]])
+    bmi.set_value("WeirE", [LP["weir_elevation"]])
+    bmi.set_value("WeirL", [LP["weir_length"]])
+    bmi.set_value("dam_length", [LP["dam_length"]])
+    bmi.set_value("lake_surface__elevation", [LP["water_elevation"]])
+    bmi.set_value("res_type", [1])
+    bmi.set_value("time_step", [ROUTING_PERIOD])
+
+    for q in INFLOWS:
+        bmi.set_value("lake_water~incoming__volume_flow_rate", [float(q)])
+        bmi.update()
+    out = bmi.get_value("lake_water~outgoing__volume_flow_rate")[0]
+    elev = bmi.get_value("lake_surface__elevation")[0]
+    assert out == pytest.approx(EXPECTED_FINAL_OUTFLOW, rel=1e-4)
+    assert elev == pytest.approx(EXPECTED_FINAL_ELEVATION, rel=1e-5)
+
+
+def test_bmi_reservoir_rfc():
+    """RFC-type reservoir in the standalone BMI follows the forecast."""
+    from troute_tpu.bmi.bmi_reservoirs import BmiReservoir
+
+    series = np.linspace(10.0, 20.0, 30)
+    bmi = BmiReservoir()
+    bmi.initialize()
+    for k, v in dict(LkArea=15.0, LkMxE=9.96, OrificeA=1.0, OrificeC=0.1,
+                     OrificeE=7.733, WeirC=0.4, WeirE=9.626, WeirL=10.0,
+                     dam_length=10.0, res_type=4, time_step=300.0).items():
+        bmi.set_value(k, [v])
+    bmi.set_value("lake_surface__elevation", [9.7])
+    bmi.set_value("rfc_timeseries_discharges", series)
+    bmi.set_value("synthetic_flag", np.zeros(30))
+    bmi.set_value("rfc_total_counts", [30])
+    bmi.set_value("rfc_da_timestep", [3600.0])
+    bmi.set_value("rfc_timeseries_idx", [2])
+    bmi.set_value("lake_water~incoming__volume_flow_rate", [12.0])
+    bmi.update()
+    out = bmi.get_value("lake_water~outgoing__volume_flow_rate")[0]
+    # outflow comes from the forecast series, not levelpool
+    assert out == pytest.approx(series[3], rel=1e-9)
