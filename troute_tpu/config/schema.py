@@ -67,7 +67,17 @@ class WaterbodyParameters(_Permissive):
     waterbody_null_code: int = -9999
 
 
+class PreprocessingParameters(_Permissive):
+    preprocess_only: bool = False
+    preprocess_output_folder: Optional[str] = None
+    preprocess_output_filename: str = "preprocess_output"
+    use_preprocessed_data: bool = False
+    preprocess_source_file: Optional[str] = None
+
+
 class NetworkTopologyParameters(_Permissive):
+    preprocessing_parameters: PreprocessingParameters = Field(
+        default_factory=PreprocessingParameters)
     supernetwork_parameters: SupernetworkParameters
     waterbody_parameters: WaterbodyParameters = Field(
         default_factory=WaterbodyParameters)

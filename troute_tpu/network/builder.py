@@ -52,9 +52,32 @@ def build_network(cfg: Config, base: Path,
                   exclude_ids=None) -> BuiltNetwork:
     """``exclude_ids``: segment ids carved out of the MC domain (the
     diffusive mainstem — reference ``AbstractRouting.update_routing_domain``,
-    ``AbstractRouting.py:209-327``)."""
+    ``AbstractRouting.py:209-327``).
+
+    Preprocessing cache: with
+    ``network_topology_parameters.preprocessing_parameters`` the assembled
+    network is pickled to / restored from disk (reference
+    ``preprocess.py:534-590`` semantics), skipping graph construction on
+    warm starts.
+    """
+    import pickle
+
     base = Path(base)
     ntp = cfg.network_topology_parameters
+    pp = getattr(ntp, "preprocessing_parameters", None)
+    cache_path = None
+    if pp is not None and (pp.use_preprocessed_data or pp.preprocess_only) \
+            and (pp.preprocess_output_folder or pp.preprocess_source_file):
+        if pp.use_preprocessed_data and pp.preprocess_source_file:
+            src_path = base / pp.preprocess_source_file
+            if src_path.exists():
+                with open(src_path, "rb") as f:
+                    return pickle.load(f)
+        cache_path = base / (pp.preprocess_output_folder or ".") \
+            / f"{pp.preprocess_output_filename}.pkl"
+        if pp.use_preprocessed_data and cache_path.exists():
+            with open(cache_path, "rb") as f:
+                return pickle.load(f)
     sp = ntp.supernetwork_parameters
     wbp = ntp.waterbody_parameters
 
@@ -234,7 +257,7 @@ def build_network(cfg: Config, base: Path,
 
     seg_rows = np.flatnonzero(topo.node_type == 0).astype(np.int32)
 
-    return BuiltNetwork(
+    built = BuiltNetwork(
         topo=topo, chan=chan, res_params=res_params,
         res_elev0=res_elev0, res_outflow0=res_outflow0,
         q0=q0, qu0=qu0, depth0=depth0,
@@ -242,3 +265,8 @@ def build_network(cfg: Config, base: Path,
         gage_ids=np.asarray(gage_ids, dtype=object),
         lake_crosswalk=lake_crosswalk, segment_rows=seg_rows,
         nexus_of_wb=nexus_of_wb)
+    if cache_path is not None:
+        cache_path.parent.mkdir(parents=True, exist_ok=True)
+        with open(cache_path, "wb") as f:
+            pickle.dump(built, f)
+    return built
