@@ -54,6 +54,7 @@ class SupernetworkParameters(_Permissive):
     columns: Optional[ColumnMapping] = None
     terminal_code: int = 0
     synthetic_wb_segments: Optional[List[int]] = None
+    synthetic_wb_id_offset: float = 9.99e11
 
 
 class LevelPoolParams(_Permissive):

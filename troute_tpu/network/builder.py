@@ -102,6 +102,17 @@ def build_network(cfg: Config, base: Path,
                 alt=None)
     else:
         rl = read_routelink(geo, columns, mask_ids)
+    if sp.synthetic_wb_segments:
+        # disambiguate synthetic coastal reservoir segment ids
+        # (reference AbstractNetwork.set_synthetic_wb_segments:425-441:
+        # only the key column is offset)
+        ids = rl.ids.copy()
+        fix = np.isin(ids, np.asarray(sp.synthetic_wb_segments, np.int64))
+        ids[fix] = ids[fix] + np.int64(sp.synthetic_wb_id_offset)
+        rl = RouteLinkData(ids=ids, downstream=rl.downstream,
+                           channel=rl.channel, waterbody=rl.waterbody,
+                           waterbody_null=rl.waterbody_null, gages=rl.gages,
+                           alt=rl.alt)
     if exclude_ids is not None:
         keep = ~np.isin(rl.ids, np.asarray(list(exclude_ids), np.int64))
         rl = RouteLinkData(
