@@ -414,6 +414,7 @@ def main_v04(argv=None) -> dict:
                  run["nts"], task_times["route_time"])
 
     fvd = np.concatenate(all_fvd) if all_fvd else np.zeros((0, built.n_nodes, 3))
+    out_ids = np.asarray(topo.ids)
 
     # ---- diffusive mainstem routing (hybrid coupling) ----
     diffusive_out = None
@@ -454,6 +455,21 @@ def main_v04(argv=None) -> dict:
         LOG.info("diffusive mainstem: %d reaches, %d saves",
                  hyb.n_reaches, len(saves))
 
+        # merge mainstem results into the output table (reference
+        # nwm_output_generator concatenates diffusive results into
+        # flowveldepth, output.py:208-217)
+        n_t = fvd.shape[0]
+        dq = diffusive_out["q"][:n_t]
+        dd = diffusive_out["depth"][:n_t]
+        if dq.shape[0] < n_t:
+            pad_rows = n_t - dq.shape[0]
+            dq = np.concatenate([dq, np.repeat(dq[-1:], pad_rows, 0)])
+            dd = np.concatenate([dd, np.repeat(dd[-1:], pad_rows, 0)])
+        ms_fvd = np.stack([dq, np.zeros_like(dq), dd], axis=-1)
+        fvd = np.concatenate([fvd, ms_fvd.astype(fvd.dtype)], axis=1)
+        out_ids = np.concatenate([np.asarray(topo.ids),
+                                  diffusive_out["ids"]])
+
     # ---- outputs ----
     t_start = time.time()
     op = cfg.output_parameters
@@ -462,12 +478,12 @@ def main_v04(argv=None) -> dict:
         out_dir = base / op.csv_output["csv_output_folder"]
         out_dir.mkdir(parents=True, exist_ok=True)
         p = out_dir / f"flowveldepth_{t0.strftime('%Y%m%d%H%M')}.csv"
-        written.append(write_flowveldepth_csv(p, topo.ids, fvd, t0, dt))
+        written.append(write_flowveldepth_csv(p, out_ids, fvd, t0, dt))
     if op.stream_output and op.stream_output.stream_output_directory:
         out_dir = base / op.stream_output.stream_output_directory
         out_dir.mkdir(parents=True, exist_ok=True)
         p = out_dir / f"troute_output_{t0.strftime('%Y%m%d%H%M')}.nc"
-        written.append(write_stream_output_nc(p, topo.ids, fvd, t0, dt))
+        written.append(write_stream_output_nc(p, out_ids, fvd, t0, dt))
     if op.chanobs_output and op.chanobs_output.chanobs_output_directory \
             and built.gage_rows.size:
         out_dir = base / op.chanobs_output.chanobs_output_directory
@@ -480,7 +496,7 @@ def main_v04(argv=None) -> dict:
         from troute_tpu.io.output import flowveldepth_dataframe
         out_dir = base / op.parquet_output["parquet_output_folder"]
         out_dir.mkdir(parents=True, exist_ok=True)
-        df = flowveldepth_dataframe(topo.ids, fvd, t0, dt)
+        df = flowveldepth_dataframe(out_ids, fvd, t0, dt)
         df.columns = [f"{ts.isoformat()}_{v}" for ts, v in df.columns]
         p = out_dir / f"troute_output_{t0.strftime('%Y%m%d%H%M')}.parquet"
         df.to_parquet(p)
