@@ -549,7 +549,7 @@ def main_v04(argv=None) -> dict:
         print(f"  output        : {tt['output_time']:.2f} s")
         print(f"  total         : {tt['total_time']:.2f} s")
 
-    return {"fvd": fvd, "ids": topo.ids, "built": built,
+    return {"fvd": fvd, "ids": out_ids, "built": built,
             "task_times": task_times, "written": written,
             "diffusive": diffusive_out,
             "final_state": (np.asarray(q0), np.asarray(d0),
