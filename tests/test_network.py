@@ -198,3 +198,16 @@ def test_level_nodes_padding():
 def test_build_topology_cycle_raises():
     with pytest.raises(ValueError):
         build_topology([1, 2], [2, 1], terminal_codes=(0,))
+
+
+def test_build_topology_drops_cycles():
+    """on_cycle='drop' removes circular subnetworks like the reference
+    (its circular fixtures never reach a tailwater and are filtered)."""
+    # clean chain 1->2->3 plus two cycles (reference network_circulars idea)
+    ids = [1, 2, 3, 50, 51, 60, 61, 62]
+    down = [2, 3, 0, 51, 50, 61, 62, 60]
+    topo = build_topology(ids, down, terminal_codes=(0,), on_cycle="drop")
+    assert sorted(topo.ids.tolist()) == [1, 2, 3]
+    topo.validate()
+    with pytest.raises(ValueError):
+        build_topology(ids, down, terminal_codes=(0,))

@@ -386,10 +386,13 @@ def main_v04(argv=None) -> dict:
                 hybrid_obs_time=res_da.hybrid_obs_time - off,
                 month_idx=res_da.month_idx[step_offset:])
         t_start = time.time()
+        kernel = ("pallas" if str(cfg.compute_parameters.compute_kernel)
+                  .lower() in ("pallas", "tpu") else "xla")
         rcfg = RoutingConfig(
             dt=dt, nts=run["nts"], qts_subdivisions=qts,
             assume_short_ts=cfg.compute_parameters.assume_short_ts,
-            return_courant=cfg.compute_parameters.return_courant)
+            return_courant=cfg.compute_parameters.return_courant,
+            kernel=kernel)
         out = route(net, cp, lp, rcfg, q0, d0, elev0,
                     jnp.asarray(ql, dtype), set_da, set_res_da)
         state = out["state"]

@@ -172,7 +172,7 @@ def build_network(cfg: Config, base: Path,
         [NODE_RESERVOIR if int(i) in lake_set else 0 for i in node_ids],
         np.int8)
     topo = build_topology(node_ids, down, node_type,
-                          terminal_codes=(-9999,))
+                          terminal_codes=(-9999,), on_cycle="drop")
 
     n = topo.n_nodes
     row_of = topo.index_of

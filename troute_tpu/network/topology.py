@@ -140,11 +140,18 @@ class RoutingTopology:
 
 def build_topology(ids: Sequence[int], downstream_ids: Sequence[int],
                    node_type: Sequence[int] | None = None,
-                   terminal_codes: Sequence[int] = (0,)) -> RoutingTopology:
+                   terminal_codes: Sequence[int] = (0,),
+                   on_cycle: str = "raise") -> RoutingTopology:
     """Build the columnar topology from parallel id/to-id arrays.
 
     ``downstream_ids`` entries that are terminal codes, or that reference
     ids outside ``ids`` (pruned-domain outflows), become terminal.
+
+    ``on_cycle``: "raise" errors on circular networks; "drop" removes the
+    nodes on cycles (nodes draining into a dropped cycle become terminal) —
+    mirroring the reference, whose circular subnetworks have no tailwater
+    and are never reached by ``organize_independent_networks`` (see the
+    ``network_circulars`` fixture in ``test_nhd_network.py``).
     """
     ids = np.asarray(ids, np.int64)
     to = np.asarray(downstream_ids, np.int64)
@@ -166,10 +173,47 @@ def build_topology(ids: Sequence[int], downstream_ids: Sequence[int],
     nt = (np.asarray(node_type, np.int8) if node_type is not None
           else np.zeros(n, np.int8))
 
+    if on_cycle == "drop":
+        keep = _acyclic_mask(downstream)
+        if not keep.all():
+            import logging
+            logging.getLogger(__name__).warning(
+                "dropping %d nodes on circular networks", (~keep).sum())
+            idx_map = np.full(n, -1, np.int64)
+            idx_map[keep] = np.arange(int(keep.sum()))
+            ids = ids[keep]
+            old_ds = downstream[keep]
+            downstream = np.where(old_ds >= 0, idx_map[old_ds],
+                                  TERMINAL).astype(np.int32)
+            nt = nt[keep]
+            n = ids.size
+
     upstream = _invert_downstream(downstream, n)
     level = _wavefront_levels(downstream, upstream)
     return RoutingTopology(ids=ids, downstream=downstream, upstream=upstream,
                            level=level, node_type=nt)
+
+
+def _acyclic_mask(downstream: np.ndarray) -> np.ndarray:
+    """True for nodes that can reach a terminal (not part of/above a cycle
+    that drains nowhere).  Kahn peeling from the upstream side marks all
+    DAG nodes; leftovers sit on cycles."""
+    n = downstream.size
+    indeg = np.zeros(n, np.int64)
+    valid = downstream >= 0
+    np.add.at(indeg, downstream[valid], 1)
+    remaining = indeg.copy()
+    stack = list(np.flatnonzero(remaining == 0))
+    seen = np.zeros(n, bool)
+    while stack:
+        u = stack.pop()
+        seen[u] = True
+        d = downstream[u]
+        if d >= 0:
+            remaining[d] -= 1
+            if remaining[d] == 0:
+                stack.append(d)
+    return seen
 
 
 def from_connections(conn: Mapping, node_type: Mapping | None = None,
