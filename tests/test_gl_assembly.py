@@ -60,3 +60,64 @@ def test_gl_inputs_from_canadian_timeslices():
 def test_climatology_lookup():
     assert climatology_for(4800002)[0] == 1946
     assert climatology_for(123) is None
+
+def test_cli_assemble_reservoir_da_great_lakes():
+    """CLI DA assembly marks GL lakes type 6 and stages obs + climatology
+    without needing a reservoir parameter file (reference great_lake class,
+    DataAssimilation.py:710)."""
+    from types import SimpleNamespace
+
+    from troute_tpu.cli import assemble_reservoir_da
+    from troute_tpu.config.schema import (
+        DataAssimilationParameters, ReservoirDAParameters,
+        ReservoirPersistenceDA)
+    from troute_tpu.network.topology import from_connections
+
+    conn = {1: [4800007], 4800007: [2], 2: []}
+    topo = from_connections(conn, reservoir_ids=[4800007])
+    built = SimpleNamespace(topo=topo)
+    dap = DataAssimilationParameters(
+        canada_timeslices_folder="Canadian_timeslices",
+        LakeOntario_outflow="domain/cleaned_lakeOntario.csv",
+        reservoir_da=ReservoirDAParameters(
+            reservoir_persistence_da=ReservoirPersistenceDA(
+                reservoir_persistence_greatLake=True)))
+    cfg = SimpleNamespace(compute_parameters=SimpleNamespace(
+        data_assimilation_parameters=dap))
+
+    t0 = pd.Timestamp("2024-04-23")
+    res_da = assemble_reservoir_da(cfg, built, V4, t0, nts=24, dt=300.0,
+                                   dtype=jnp.float64)
+    assert res_da is not None
+    assert int(res_da.wbody_type[0]) == 6
+    clim = np.asarray(res_da.gl_climatology[0])
+    np.testing.assert_array_equal(clim, GL_CLIMATOLOGY[3])
+    # Ontario CSV obs staged (all from 2011-2012, so far in the past
+    # relative to 2024 -> large negative times, finite values)
+    obs = np.asarray(res_da.gl_obs[0])
+    assert np.isfinite(obs).sum() > 1000
+    # month index covers the run window (April)
+    assert int(res_da.month_idx[0]) == 3
+
+
+def test_cli_assemble_reservoir_da_gl_disabled():
+    """Without the greatLake switch (and no parameter file) -> no DA."""
+    from types import SimpleNamespace
+
+    from troute_tpu.cli import assemble_reservoir_da
+    from troute_tpu.config.schema import (
+        DataAssimilationParameters, ReservoirDAParameters,
+        ReservoirPersistenceDA)
+    from troute_tpu.network.topology import from_connections
+
+    topo = from_connections({1: [4800007], 4800007: [2], 2: []},
+                            reservoir_ids=[4800007])
+    built = SimpleNamespace(topo=topo)
+    dap = DataAssimilationParameters(
+        reservoir_da=ReservoirDAParameters(
+            reservoir_persistence_da=ReservoirPersistenceDA(
+                reservoir_persistence_greatLake=False)))
+    cfg = SimpleNamespace(compute_parameters=SimpleNamespace(
+        data_assimilation_parameters=dap))
+    assert assemble_reservoir_da(cfg, built, V4, pd.Timestamp("2024-04-23"),
+                                 nts=24, dt=300.0, dtype=jnp.float64) is None

@@ -118,45 +118,60 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
     from troute_tpu.ops.reservoir_da import HybridDAState
     from troute_tpu.routing.engine import ReservoirDAData
 
+    from troute_tpu.network.gl_constants import (
+        GL_CANADA_GAGES, GL_USGS_GAGES, GREAT_LAKE_IDS)
+
     dap = cfg.compute_parameters.data_assimilation_parameters
     rda = dap.reservoir_da
-    if rda is None or not rda.reservoir_parameter_file:
+    if rda is None:
         return None
     pda = rda.reservoir_persistence_da
     use_usgs = bool(pda and pda.reservoir_persistence_usgs)
     use_usace = bool(pda and pda.reservoir_persistence_usace)
+    use_gl = bool(pda and pda.reservoir_persistence_greatLake)
     rfc = rda.reservoir_rfc_da
     use_rfc = bool(rfc and rfc.reservoir_rfc_forecasts)
-    if not (use_usgs or use_usace or use_rfc):
+    if not (use_usgs or use_usace or use_rfc or use_gl):
+        return None
+    # usgs/usace/rfc typing comes from the parameter file; the Great Lakes
+    # are identified by their hardcoded ids (reference great_lake class
+    # needs no parameter file, DataAssimilation.py:710)
+    if not rda.reservoir_parameter_file and not use_gl:
         return None
     res_rows = built.topo.reservoir_rows
     n_res = res_rows.size
     if n_res == 0:
         return None
 
-    with NetCDFFile(base / rda.reservoir_parameter_file) as f:
-        lake_ids = f.read("lake_id").astype(np.int64)
-        res_type = f.read("reservoir_type").astype(np.int32)
-        usgs_lakes = f.read("usgs_lake_id").astype(np.int64)
-        usgs_gages = f.read_strings("usgs_gage_id")
-        usace_lakes = f.read("usace_lake_id").astype(np.int64)
-        usace_gages = f.read_strings("usace_gage_id")
-        rfc_lakes = f.read("rfc_lake_id").astype(np.int64)
-        rfc_gages = f.read_strings("rfc_gage_id")
-
-    type_of = dict(zip(lake_ids.tolist(), res_type.tolist()))
-    gage_of = {}
-    if use_usgs:
-        gage_of.update({int(l): g for l, g in zip(usgs_lakes, usgs_gages)})
-    if use_usace:
-        gage_of.update({int(l): g for l, g in zip(usace_lakes, usace_gages)})
-    rfc_gage_of = {int(l): g for l, g in zip(rfc_lakes, rfc_gages)}
+    type_of, gage_of, rfc_gage_of = {}, {}, {}
+    if rda.reservoir_parameter_file:
+        with NetCDFFile(base / rda.reservoir_parameter_file) as f:
+            lake_ids = f.read("lake_id").astype(np.int64)
+            res_type = f.read("reservoir_type").astype(np.int32)
+            usgs_lakes = f.read("usgs_lake_id").astype(np.int64)
+            usgs_gages = f.read_strings("usgs_gage_id")
+            usace_lakes = f.read("usace_lake_id").astype(np.int64)
+            usace_gages = f.read_strings("usace_gage_id")
+            rfc_lakes = f.read("rfc_lake_id").astype(np.int64)
+            rfc_gages = f.read_strings("rfc_gage_id")
+        type_of = dict(zip(lake_ids.tolist(), res_type.tolist()))
+        if use_usgs:
+            gage_of.update({int(l): g for l, g in zip(usgs_lakes, usgs_gages)})
+        if use_usace:
+            gage_of.update({int(l): g
+                            for l, g in zip(usace_lakes, usace_gages)})
+        rfc_gage_of = {int(l): g for l, g in zip(rfc_lakes, rfc_gages)}
 
     wtypes = np.ones(n_res, np.int32)
     res_gages = {}
     rfc_slots = {}
+    gl_lakes = {}
     for slot, row in enumerate(res_rows):
         lk = int(built.topo.ids[row])
+        if use_gl and lk in GREAT_LAKE_IDS:
+            wtypes[slot] = 6
+            gl_lakes[slot] = lk
+            continue
         t = type_of.get(lk, 1)
         if (t == 2 and use_usgs) or (t == 3 and use_usace):
             wtypes[slot] = t
@@ -173,15 +188,21 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
     obs_time = np.arange(n_obs) * obs_freq
     lookback = pd.Timedelta(hours=dap.timeslice_lookback_hours or 24)
 
-    def _collect(folder, pattern, slots):
-        if not folder or not slots:
-            return
+    def _window_files(folder, pattern):
+        """TimeSlice files within [t0 - lookback, t0 + run length]."""
+        if not folder:
+            return []
         files = sorted((base / folder).glob(pattern))
-        files = [f for f in files
-                 if t0 - lookback
-                 <= pd.to_datetime(f.name.split(".")[0],
-                                   format="%Y-%m-%d_%H:%M:%S")
-                 <= t0 + pd.Timedelta(seconds=nts * dt)]
+        return [f for f in files
+                if t0 - lookback
+                <= pd.to_datetime(f.name.split(".")[0],
+                                  format="%Y-%m-%d_%H:%M:%S")
+                <= t0 + pd.Timedelta(seconds=nts * dt)]
+
+    def _collect(folder, pattern, slots):
+        if not slots:
+            return
+        files = _window_files(folder, pattern)
         if not files:
             return
         gids = np.asarray([res_gages[s] for s in slots])
@@ -244,6 +265,42 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
                     timeseries_idx=jnp.asarray(idx0),
                     update_time=jnp.asarray(ut0, dtype)))
 
+    # Great Lakes: obs from TimeSlice gages / Lake Ontario CSV with the
+    # hardcoded monthly climatology as fallback (reference _create_GL_dfs)
+    gl_fields = {}
+    if gl_lakes:
+        from troute_tpu.da_assembly import assemble_gl_inputs
+        lake_gages = {}
+        for lk in gl_lakes.values():
+            if lk in GL_USGS_GAGES:
+                lake_gages[lk] = GL_USGS_GAGES[lk]
+            elif lk in GL_CANADA_GAGES:
+                lake_gages[lk] = GL_CANADA_GAGES[lk]
+        ontario = (base / dap.LakeOntario_outflow
+                   if dap.LakeOntario_outflow
+                   and 4800007 in gl_lakes.values() else None)
+        gdata = assemble_gl_inputs(
+            lake_gages, t0,
+            usgs_files=_window_files(dap.usgs_timeslices_folder,
+                                     "*.usgsTimeSlice.ncdf"),
+            canada_files=_window_files(dap.canada_timeslices_folder,
+                                       "*.wscTimeSlice.ncdf"),
+            lake_ontario_csv=ontario)
+        n_gobs = max([1] + [v.size for v, _, _ in gdata.values()])
+        g_obs = np.full((n_res, n_gobs), np.nan)
+        g_time = np.zeros((n_res, n_gobs))
+        g_clim = np.zeros((n_res, 12))
+        for slot, lk in gl_lakes.items():
+            if lk not in gdata:
+                continue
+            v, tt, clim = gdata[lk]
+            g_obs[slot, :v.size] = v
+            g_time[slot, :tt.size] = tt
+            g_clim[slot] = clim
+        gl_fields = dict(gl_obs=jnp.asarray(g_obs, dtype),
+                         gl_obs_time=jnp.asarray(g_time, dtype),
+                         gl_climatology=jnp.asarray(g_clim, dtype))
+
     base_da = ReservoirDAData.inactive(n_res, nts, dtype)
     months = pd.date_range(t0, periods=nts + 1,
                            freq=pd.Timedelta(seconds=dt)).month - 1
@@ -257,7 +314,7 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
             persistence_index=jnp.zeros(n_res, dtype),
             persistence_update_time=jnp.zeros(n_res, dtype)),
         month_idx=jnp.asarray(np.asarray(months), jnp.int32),
-        **rfc_fields)
+        **rfc_fields, **gl_fields)
 
 
 def main_v04(argv=None) -> dict:

@@ -13,6 +13,12 @@ import numpy as np
 
 GREAT_LAKE_IDS = (4800002, 4800004, 4800006, 4800007)
 
+# hardcoded lake -> gage crosswalk (reference ``DataAssimilation.py:710-739``:
+# the great_lake class builds this inline; 4800007 is fed by the Lake
+# Ontario IJC outflow CSV rather than a gage)
+GL_USGS_GAGES = {4800002: "04127885", 4800004: "04159130"}
+GL_CANADA_GAGES = {4800006: "02HA013"}
+
 # monthly (Jan..Dec) climatology outflows, m3/s
 GL_CLIMATOLOGY = np.array([
     [1946, 1907, 1879, 1929, 2105, 2202, 2306, 2378, 2343, 2282, 2235, 2046],
