@@ -60,8 +60,12 @@ def test_laura_hybrid_natural_end_to_end(tmp_path):
         str(REF / "domain/unit_test_noRS/coastal_domain.yaml")
     hp["topobathy_domain"] = str(REF / "domain/final_diffusive_natural_xs.nc")
     hp["run_refactored_network"] = False
+    hp["coastal_boundary_domain"] = \
+        str(REF / "domain/unit_test_noRS/coastal_boundary_domain.yaml")
     fp = cfg["compute_parameters"]["forcing_parameters"]
     fp["qlat_input_folder"] = str(REF / "channel_forcing")
+    fp["coastal_boundary_input_file"] = \
+        str(REF / "channel_forcing/schout_1.nc")
     fp["nts"] = 12
     cfg["compute_parameters"]["data_assimilation_parameters"] = {}
     cfg["output_parameters"] = {}

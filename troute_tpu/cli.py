@@ -377,6 +377,19 @@ def main_v04(argv=None) -> dict:
         if hp.use_natl_xsections and hp.topobathy_domain:
             n_nat = hyb.load_topobathy(base / hp.topobathy_domain)
             LOG.info("natural cross sections at %d nodes", n_nat)
+        coastal_nc = fp.coastal_boundary_input_file
+        if hp.coastal_boundary_domain and coastal_nc:
+            nc_p = base / coastal_nc
+            dom_p = base / hp.coastal_boundary_domain
+            if nc_p.exists() and dom_p.exists():
+                ok = hyb.load_coastal_boundary(nc_p, dom_p, t0)
+                LOG.info("coastal downstream boundary: %s",
+                         "active (dsbc_option=1)" if ok
+                         else "no covered tailwater, using normal depth")
+            else:
+                LOG.warning("coastal boundary files missing (%s, %s); "
+                            "falling back to normal-depth boundary",
+                            nc_p, dom_p)
     built = build_network(cfg, base, exclude_ids=exclude)
     topo = built.topo
     net = network_arrays_from_topology(topo, need_levels=False)

@@ -21,7 +21,9 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
                  qlat_series: np.ndarray, dt_qlat: float,
                  trib_series: np.ndarray, dt_trib: float,
                  dtini_given: float, dtype=jnp.float64,
-                 natural_xsec: dict | None = None) -> DiffusiveDomain:
+                 natural_xsec: dict | None = None,
+                 db_depth: np.ndarray | None = None,
+                 dt_db: float = 3600.0) -> DiffusiveDomain:
     """Assemble a DiffusiveDomain.
 
     Args:
@@ -33,6 +35,10 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
             as a [n_t] x reach list via the same right-aligned layout:
             [n_t, R, C] (caller aligns), or None for zeros
         trib_series: [n_t, R] tributary inflow at each reach head
+        db_depth: [R, n_db] observed water-depth series (m) at tailwater
+            bottom nodes (coastal dsbc_option == 1); NaN rows use the
+            normal-depth boundary. None -> normal depth everywhere.
+        dt_db: boundary series timestep (s), series starting at t = 0
     """
     R = len(reach_nodes)
     ncomp = np.array([len(r["z"]) for r in reach_nodes], np.int32)
@@ -140,4 +146,7 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
         qlat=jnp.asarray(qlat_series, dtype),
         dt_qlat=float(dt_qlat),
         dtini_given=float(dtini_given),
+        db_depth=(None if db_depth is None
+                  else jnp.asarray(db_depth, dtype)),
+        dt_db=float(dt_db),
     )

@@ -70,6 +70,13 @@ class DiffusiveDomain(NamedTuple):
     qlat: jax.Array         # [n_ql, R, C] lateral inflow series
     dt_qlat: float          # qlat series timestep (s)
     dtini_given: float      # routing dt (s)
+    # coastal downstream boundary (dsbc_option == 1, diffusive.f90:537-549,
+    # 719-728): observed water-depth series at tailwater bottom nodes.
+    # None -> normal-depth boundary everywhere (dsbc_option == 2); NaN rows
+    # fall back to normal depth per-reach (the reference refuses option 1
+    # when the series has gaps, diffusive_utils_v02.py:642)
+    db_depth: jax.Array | None = None   # [R, n_db] depth (m), NaN = no data
+    dt_db: float = 3600.0               # boundary series timestep (s)
 
     @property
     def n_reaches(self):
@@ -420,7 +427,11 @@ def _col_interp(xs_col, z_col, xcol, ycol, x, squared=False):
     return y1 + (y2 - y1) * (x - x1) / den
 
 
-def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min):
+MINDEPTH_NSTAB = 0.1    # diffusive.f90:264
+
+
+def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
+              t_next=0.0):
     """Depth/WSE sweep over the flattened global node wavefront.
 
     One scan step processes at most ONE node per reach (the schedule in
@@ -433,6 +444,25 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min):
     oldY = st.y
     dtype = qp.dtype
     rr = jnp.arange(R)
+
+    # tailwater observed-depth boundary, time-interpolated once per sweep
+    # (linearly extrapolated at the ends like the reference intp_y,
+    # diffusive.f90:2671-2699)
+    y_coastal = None
+    if dom.db_depth is not None:
+        n_db = dom.db_depth.shape[1]
+        tarr = jnp.arange(n_db, dtype=dtype) * dom.dt_db
+        i0 = jnp.clip(jnp.searchsorted(tarr, t_next, side="right") - 1,
+                      0, max(n_db - 2, 0))
+        t1 = tarr[i0]
+        t2 = tarr[jnp.minimum(i0 + 1, n_db - 1)]
+        w = jnp.where(t2 != t1, (t_next - t1) / jnp.where(t2 != t1,
+                                                          t2 - t1, 1.0), 0.0)
+        depth_db = (dom.db_depth[:, i0] * (1.0 - w)
+                    + dom.db_depth[:, jnp.minimum(i0 + 1, n_db - 1)] * w)
+        z_bot = dom.z[:, C - 1]
+        y_coastal = jnp.maximum(depth_db + z_bot, MINDEPTH_NSTAB + z_bot)
+        y_coastal = jnp.where(jnp.isfinite(depth_db), y_coastal, jnp.nan)
 
     def gather_cols(arr, col):
         """arr [R, C(, ...)] -> [R(, ...)] at per-reach column."""
@@ -452,7 +482,10 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min):
         elv_norm_bot = _col_interp(
             dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
             jnp.abs(qp[:, C - 1]))
-        y_bot = jnp.where(ds >= 0, y_junc, elv_norm_bot)
+        y_tw = elv_norm_bot
+        if y_coastal is not None:
+            y_tw = jnp.where(jnp.isfinite(y_coastal), y_coastal, y_tw)
+        y_bot = jnp.where(ds >= 0, y_junc, y_tw)
         entering = active & (safe == C - 1)
         newY = newY.at[rr, C - 1].set(
             jnp.where(entering, y_bot, newY[:, C - 1]))
@@ -519,7 +552,8 @@ def diffusive_step(dom: DiffusiveDomain, st: DiffusiveState, dtini,
                    dtini_min: float):
     """One internal CN timestep: predictor + corrector + CFL info."""
     qp, qpx_new = predictor(dom, st, dtini, st.t)
-    newY, celerity, diffusivity = corrector(dom, st, qp, dtini_min)
+    newY, celerity, diffusivity = corrector(dom, st, qp, dtini_min,
+                                            t_next=st.t + dtini)
     new_state = DiffusiveState(q=qp, y=newY, qpx=qpx_new, celerity=celerity,
                                diffusivity=diffusivity, t=st.t + dtini)
     # max celerity/dx over valid interior nodes, for the next adaptive dt
@@ -542,7 +576,8 @@ def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float):
         celerity=jnp.ones((R, C), dtype),
         diffusivity=jnp.full((R, C), 10.0, dtype),
         t=jnp.asarray(0.0, dtype))
-    newY, celerity, diffusivity = corrector(dom, st, q, dtini_min)
+    newY, celerity, diffusivity = corrector(dom, st, q, dtini_min,
+                                            t_next=0.0)
     return st._replace(y=newY, celerity=celerity, diffusivity=diffusivity)
 
 

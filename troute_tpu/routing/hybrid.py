@@ -185,6 +185,26 @@ class HybridDomain:
                 self.natural_xsec[(ri, n_seg)] = sec
         return len(self.natural_xsec)
 
+    def load_coastal_boundary(self, nc_path, domain_path, t0) -> bool:
+        """Stage the coastal observed-depth downstream boundary
+        (dsbc_option == 1).  Maps crosswalked tailwater segment ids to
+        tailwater reach rows; returns True when any tailwater is covered
+        (reference AbstractNetwork.py:144-158 + fp_coastal_boundary_input_map,
+        diffusive_utils_v02.py:576-656)."""
+        from troute_tpu.io.coastal import coastal_db_for_domain
+
+        tw_reach = {int(self.reaches[ri][-1]): ri
+                    for ri in range(self.n_reaches)
+                    if self.ds_reach[ri] < 0}
+        db, dt_db = coastal_db_for_domain(
+            nc_path, domain_path, t0, list(tw_reach), self.n_reaches,
+            tw_reach)
+        if db is None:
+            return False
+        self.coastal_db = db
+        self.coastal_dt_db = dt_db
+        return True
+
     def build_diffusive_domain(self, qlat_rows, dt_qlat, trib_q, dt_trib,
                                dtini):
         """Assemble the solver domain.
@@ -222,7 +242,9 @@ class HybridDomain:
         return build_domain(self.reach_nodes, self.ds_reach, qlat,
                             dt_qlat, trib, dt_trib, dtini,
                             natural_xsec=getattr(self, "natural_xsec",
-                                                 None))
+                                                 None),
+                            db_depth=getattr(self, "coastal_db", None),
+                            dt_db=getattr(self, "coastal_dt_db", 3600.0))
 
     def saves_to_segments(self, saves, dom):
         """Map solver snapshots to per-mainstem-segment series.
