@@ -77,3 +77,64 @@ def test_laura_hybrid_natural_end_to_end(tmp_path):
     d = res["diffusive"]
     assert d is not None and np.isfinite(d["q"]).all()
     assert d["depth"].min() > 0
+
+
+def _rs_config(tmp_path, refac: bool):
+    cfg = yaml.safe_load(open(REF / "troute_UnitTest_RS.yaml"))
+    sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+    sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
+    sp["mask_file_path"] = str(REF / "domain/unit_test_RS/coastal_subset.txt")
+    cfg["network_topology_parameters"]["waterbody_parameters"]["level_pool"][
+        "level_pool_waterbody_parameter_file_path"] = \
+        str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+    rp = cfg["compute_parameters"]["restart_parameters"]
+    rp["wrf_hydro_channel_restart_file"] = \
+        str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+    rp["wrf_hydro_channel_ID_crosswalk_file"] = \
+        str(REF / "domain/RouteLink_NWMv2.1.nc")
+    rp["wrf_hydro_waterbody_restart_file"] = \
+        str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+    rp["wrf_hydro_waterbody_ID_crosswalk_file"] = \
+        str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+    rp["start_datetime"] = "2020-08-26_00:00"
+    hp = cfg["compute_parameters"]["hybrid_parameters"]
+    hp["diffusive_domain"] = str(REF / "domain/unit_test_RS/coastal_domain.yaml")
+    hp["topobathy_domain"] = str(REF / "domain/final_diffusive_natural_xs.nc")
+    hp["run_refactored_network"] = refac
+    hp["refactored_domain"] = \
+        str(REF / "domain/unit_test_RS/refactored_coastal_domain.yaml")
+    hp["refactored_topobathy_domain"] = \
+        str(REF / "domain/refac_final_diffusive_natural_xs.nc")
+    hp.pop("coastal_boundary_domain", None)
+    fp = cfg["compute_parameters"]["forcing_parameters"]
+    fp["qlat_input_folder"] = str(REF / "channel_forcing")
+    fp.pop("coastal_boundary_input_file", None)
+    fp["nts"] = 12
+    cfg["compute_parameters"]["data_assimilation_parameters"] = {}
+    cfg["output_parameters"] = {}
+    p = tmp_path / f"cfg_{refac}.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    return p
+
+
+def test_laura_refactored_network(tmp_path):
+    """run_refactored_network: diffusive solve on the refactored links,
+    results crosswalked back to the unrefactored mainstem segments by
+    length fraction (legacy diffusive_utils.py:555-788 semantics; the
+    reference's own v02 refactored branch references undefined arrays)."""
+    from troute_tpu.cli import main_v04
+
+    res = main_v04(["-f", str(_rs_config(tmp_path, False))])
+    res_r = main_v04(["-f", str(_rs_config(tmp_path, True))])
+    d, dr = res["diffusive"], res_r["diffusive"]
+    # unrefactored run carries all 3 mainstem segs; refactored crosswalks
+    # back to the rlink members (trib 1622701 is upstream boundary only)
+    assert sorted(d["ids"].tolist()) == [1622701, 1622703, 1622721]
+    assert sorted(dr["ids"].tolist()) == [1622703, 1622721]
+    assert np.isfinite(dr["q"]).all() and np.isfinite(dr["depth"]).all()
+    assert dr["depth"].min() > 0
+    # flows on the shared segments agree within the resampled-geometry
+    # tolerance (same forcing, different cross-section source)
+    for s in (1622703, 1622721):
+        k, kr = (list(d["ids"]).index(s), list(dr["ids"]).index(s))
+        assert abs(d["q"][-1, k] - dr["q"][-1, kr]) < 0.5

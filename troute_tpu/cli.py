@@ -374,7 +374,12 @@ def main_v04(argv=None) -> dict:
         exclude = hyb.mainstem_set
         LOG.info("hybrid routing: %d mainstem segments in %d reaches",
                  len(hyb.mainstem_set), hyb.n_reaches)
-        if hp.use_natl_xsections and hp.topobathy_domain:
+        if hp.run_refactored_network and hp.refactored_domain \
+                and hp.refactored_topobathy_domain:
+            n_r = hyb.load_refactored(base / hp.refactored_domain,
+                                      base / hp.refactored_topobathy_domain)
+            LOG.info("refactored diffusive network: %d reaches", n_r)
+        elif hp.use_natl_xsections and hp.topobathy_domain:
             n_nat = hyb.load_topobathy(base / hp.topobathy_domain)
             LOG.info("natural cross sections at %d nodes", n_nat)
         coastal_nc = fp.coastal_boundary_input_file
@@ -498,11 +503,20 @@ def main_v04(argv=None) -> dict:
 
         total_steps = fvd.shape[0]
         # tributary MC flows at the boundary segments (prepend t0 state)
-        trib_rows = np.array([topo.index_of[s] for s in hyb.trib_segments],
-                             np.int64)
-        trib_q = np.concatenate([
-            built.q0[trib_rows][None, :],
-            fvd[:, trib_rows, 0]])                      # [nts+1, n_trib]
+        n_trib = len(hyb.trib_segments)
+        trib_q = np.zeros((total_steps + 1, n_trib))
+        missing = 0
+        for k, s in enumerate(hyb.trib_segments):
+            row = topo.index_of.get(int(s))
+            if row is None:
+                missing += 1
+                continue
+            trib_q[0, k] = built.q0[row]
+            trib_q[1:, k] = fvd[:, row, 0]
+        if missing:
+            LOG.warning("%d diffusive tributaries missing from the MC "
+                        "network (masked/collapsed); using zero inflow",
+                        missing)
 
         # mainstem lateral inflows straight from the forcing files
         all_files = [f for r in run_sets for f in r["qlat_files"]]

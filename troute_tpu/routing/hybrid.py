@@ -10,10 +10,13 @@ with its own lateral inflows.
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 
 import numpy as np
 import yaml
+
+LOG = logging.getLogger(__name__)
 
 from troute_tpu.network import graph
 from troute_tpu.io.routelink import read_routelink
@@ -139,6 +142,13 @@ class HybridDomain:
 
         self.seg_reach = seg_reach
         self.n_reaches = R
+        # per-mainstem-segment geometry kept for the refactored-network
+        # length-weighted remaps (qlat, dx, output crosswalk)
+        self.seg_geo = {int(s): {k: seg(k, s) for k in
+                                 ("dx", "bw", "tw", "twcc", "n", "ncc",
+                                  "cs", "s0")}
+                        for s in ms}
+        self.refac = False
 
     def load_topobathy(self, path):
         """Load natural cross-section bathymetry and map it to reach nodes
@@ -185,6 +195,189 @@ class HybridDomain:
                 self.natural_xsec[(ri, n_seg)] = sec
         return len(self.natural_xsec)
 
+    def load_refactored(self, domain_path, topobathy_path):
+        """Switch the diffusive solver onto the refactored hydrofabric.
+
+        The reference's refactored path (``run_refactored_network``) solves
+        the diffusive wave on resampled ("refactored") links and crosswalks
+        results back to the original segments by length fractions
+        (legacy ``fp_refactored_network_map``/``fp_refactored_qlat_iniq_dx_map``,
+        diffusive_utils.py:555-788, and the in-kernel remap
+        diffusive.f90:851-930; the v02 assembly references those arrays but
+        never builds them, so the semantics here follow the legacy module).
+
+        The refactored-domain YAML gives, per unrefactored tailwater:
+        ``rlinks`` (refactored mainstem links), ``incoming_tribs``
+        (unrefactored tributary -> entry rlink), ``lengthMap``
+        (rlink -> "seg.f" strings where the decimal fraction x 10 is the
+        length share of unrefactored ``seg`` inside the rlink,
+        diffusive_utils.py:762-771), and ``refac_tw``.
+        """
+        import yaml as _yaml
+        from troute_tpu.io.netcdf import NetCDFFile
+
+        with open(domain_path) as f:
+            dd = _yaml.safe_load(f)
+
+        with NetCDFFile(topobathy_path) as f:
+            links = f.read("link").astype(np.int64)
+            to = f.read("to").astype(np.int64)
+            xid_d = np.asarray(f.read("xid_d"), np.float64)
+            zb = np.asarray(f.read("z"), np.float64)
+            nb = np.asarray(f.read("n"), np.float64)
+        by_link: dict[int, list[int]] = {}
+        link_to: dict[int, int] = {}
+        for k, l in enumerate(links):
+            by_link.setdefault(int(l), []).append(k)
+            link_to[int(l)] = int(to[k])
+
+        rlinks: list[int] = []
+        incoming: dict[int, int] = {}
+        members: dict[int, list[tuple[int, float]]] = {}
+        self.refac_tw_map: dict[int, int] = {}
+        for u_tw, spec in dd.items():
+            rlinks.extend(int(x) for x in spec["rlinks"])
+            incoming.update({int(k): int(v)
+                             for k, v in (spec.get("incoming_tribs")
+                                          or {}).items()})
+            self.refac_tw_map[int(u_tw)] = int(spec["refac_tw"])
+            for rl, val in (spec.get("lengthMap") or {}).items():
+                mem = []
+                for tok in str(val).split(","):
+                    x = float(tok)
+                    seg_id = int(x)
+                    frac = round((x - seg_id) * 10.0, 6)
+                    mem.append((seg_id, frac))
+                members[int(rl)] = mem
+        rset = set(rlinks)
+
+        # refactored mainstem graph; junction breaks where a tributary
+        # enters (reach heads), mirroring the unrefactored decomposition
+        conn = {rl: ([link_to[rl]] if link_to.get(rl) in rset else [])
+                for rl in rlinks}
+        rconn = graph.reverse_network(conn)
+        trib_heads = set(incoming.values())
+        keep = lambda path, n: (len(rconn.get(n, ())) <= 1
+                                and n not in trib_heads)
+        reaches = graph.dfs_reach_decomposition(rconn, keep_going=keep)
+        R = len(reaches)
+        seg_reach = {s: ri for ri, r in enumerate(reaches) for s in r}
+        ds_reach = np.full(R, -1, np.int32)
+        for ri, r in enumerate(reaches):
+            d = conn[r[-1]]
+            if d:
+                ds_reach[ri] = seg_reach[d[0]]
+
+        def rlink_dx(rl):
+            """Length from the unrefactored members (legacy
+            fp_refactored_qlat_iniq_dx_map: sum dx*frac*10 -> here frac is
+            already the share)."""
+            tot = 0.0
+            for s, frac in members.get(rl, ()):
+                g = self.seg_geo.get(s)
+                if g:
+                    tot += g["dx"] * frac
+            return tot if tot > 0 else 100.0
+
+        def wavg(rl, key):
+            num = den = 0.0
+            for s, frac in members.get(rl, ()):
+                g = self.seg_geo.get(s)
+                if g:
+                    w = g["dx"] * frac
+                    num += g[key] * w
+                    den += w
+            return num / den if den > 0 else None
+
+        def zmin(rl):
+            idxs = by_link.get(rl)
+            return float(zb[np.asarray(idxs)].min()) if idxs else 0.0
+
+        reach_nodes = []
+        for ri, r in enumerate(reaches):
+            ncomp = len(r) + 1
+            z = np.zeros(ncomp)
+            geo = {k: np.zeros(ncomp) for k in
+                   ("dx", "bo", "traps", "tw", "twcc", "mann", "manncc")}
+            defaults = dict(bo=5.0, tw=15.0, twcc=45.0, mann=0.05,
+                            manncc=0.1)
+            for i, rl in enumerate(r):
+                z[i] = zmin(rl)
+                geo["dx"][i] = rlink_dx(rl)
+                geo["bo"][i] = wavg(rl, "bw") or defaults["bo"]
+                cs = wavg(rl, "cs") or 1.0
+                geo["traps"][i] = 1.0 / max(cs, 1e-6)
+                geo["tw"][i] = wavg(rl, "tw") or defaults["tw"]
+                geo["twcc"][i] = wavg(rl, "twcc") or defaults["twcc"]
+                geo["mann"][i] = wavg(rl, "n") or defaults["mann"]
+                geo["manncc"][i] = wavg(rl, "ncc") or defaults["manncc"]
+            for k in geo:
+                geo[k][-1] = geo[k][-2]
+            d = conn[r[-1]]
+            if d:
+                z[-1] = zmin(d[0])
+            else:
+                s0 = wavg(r[-1], "s0") or 1e-3
+                z[-1] = z[-2] - s0 * geo["dx"][-2]
+            reach_nodes.append(dict(z=z, **geo))
+
+        # natural cross sections from the refactored bathymetry
+        natural = {}
+
+        def section(rl):
+            idxs = by_link.get(int(rl))
+            if not idxs:
+                return None
+            idxs = np.asarray(idxs)
+            return xid_d[idxs], zb[idxs], nb[idxs]
+
+        for ri, r in enumerate(reaches):
+            for i, rl in enumerate(r):
+                sec = section(rl)
+                if sec is not None:
+                    natural[(ri, i)] = sec
+            d = ds_reach[ri]
+            if d >= 0:
+                sec = section(reaches[d][0])
+            else:
+                sec = section(r[-1])
+                if sec is not None:
+                    drop = reach_nodes[ri]["z"][-2] - reach_nodes[ri]["z"][-1]
+                    sec = (sec[0], sec[1] - drop, sec[2])
+            if sec is not None:
+                natural[(ri, len(r))] = sec
+
+        # tributary entries: unrefactored MC tributaries mapped through
+        # incoming_tribs; unmapped tributaries are dropped with a warning
+        trib_segments, trib_reach, trib_node = [], [], []
+        dropped = 0
+        for s in self.trib_segments:
+            rl = incoming.get(int(s))
+            if rl is None or rl not in seg_reach:
+                dropped += 1
+                continue
+            trib_segments.append(s)
+            trib_reach.append(seg_reach[rl])
+            trib_node.append(reaches[seg_reach[rl]].index(rl))
+        if dropped:
+            LOG.warning("refactored network: %d tributaries have no "
+                        "incoming_tribs mapping and were dropped", dropped)
+
+        # keep the unrefactored reach list for the output crosswalk
+        self.unrefac_reaches = self.reaches
+        self.reaches = reaches
+        self.reach_nodes = reach_nodes
+        self.ds_reach = ds_reach
+        self.n_reaches = R
+        self.seg_reach = seg_reach
+        self.trib_segments = trib_segments
+        self.trib_reach = np.asarray(trib_reach, np.int32)
+        self.trib_node = np.asarray(trib_node, np.int32)
+        self.natural_xsec = natural
+        self.refac_members = members
+        self.refac = True
+        return R
+
     def load_coastal_boundary(self, nc_path, domain_path, t0) -> bool:
         """Stage the coastal observed-depth downstream boundary
         (dsbc_option == 1).  Maps crosswalked tailwater segment ids to
@@ -196,6 +389,12 @@ class HybridDomain:
         tw_reach = {int(self.reaches[ri][-1]): ri
                     for ri in range(self.n_reaches)
                     if self.ds_reach[ri] < 0}
+        if self.refac:
+            # the coastal crosswalk keys UNREFACTORED tailwater ids; route
+            # them to the refactored tailwater reach rows
+            tw_reach = {u_tw: tw_reach[r_tw]
+                        for u_tw, r_tw in self.refac_tw_map.items()
+                        if r_tw in tw_reach}
         db, dt_db = coastal_db_for_domain(
             nc_path, domain_path, t0, list(tw_reach), self.n_reaches,
             tw_reach)
@@ -226,7 +425,19 @@ class HybridDomain:
             ncomp = len(r) + 1
             off = C - ncomp
             for i, s in enumerate(r):
-                series = qlat_rows.get(int(s))
+                if self.refac:
+                    # length-weighted aggregate of the unrefactored member
+                    # inflow shares (legacy fp_refactored_qlat_iniq_dx_map,
+                    # diffusive_utils.py:757-784)
+                    series = None
+                    for seg_id, frac in self.refac_members.get(int(s), ()):
+                        q = qlat_rows.get(seg_id)
+                        if q is not None:
+                            part = np.asarray(q)[:n_ql] * frac
+                            series = part if series is None \
+                                else series + part
+                else:
+                    series = qlat_rows.get(int(s))
                 if series is not None:
                     # convert segment inflow (m3/s) to per-meter rate
                     qlat[:, ri, off + i] = np.asarray(series)[:n_ql] \
@@ -258,6 +469,8 @@ class HybridDomain:
         q_out = {}
         d_out = {}
         z = np.asarray(dom.z)
+        if self.refac:
+            return self._refac_saves_to_segments(saves, dom)
         for ri, r in enumerate(self.reaches):
             ncomp = len(r) + 1
             off = C - ncomp
@@ -267,4 +480,38 @@ class HybridDomain:
                 d_out[s] = np.array(
                     [float(saves[k][2][ri, off + i]) - z[ri, off + i]
                      for k in range(n_saves)])
+        return q_out, d_out
+
+    def _refac_saves_to_segments(self, saves, dom):
+        """Crosswalk refactored-node results back to unrefactored segments.
+
+        Per refactored link (node interval i -> i+1), flow and depth vary
+        linearly with distance; each unrefactored member link is assigned
+        the value at its top-node distance (the in-kernel remap,
+        diffusive.f90:870-915, evaluated at ``dst_top`` the first time a
+        link is covered)."""
+        C = int(dom.n_cols)
+        z = np.asarray(dom.z)
+        qs = np.stack([np.asarray(q) for _, q, _ in saves])   # [n_s, R, C]
+        ys = np.stack([np.asarray(y) for _, _, y in saves])
+        q_out, d_out = {}, {}
+        for ri, r in enumerate(self.reaches):
+            ncomp = len(r) + 1
+            off = C - ncomp
+            for i, rl in enumerate(r):
+                q1 = qs[:, ri, off + i]
+                q2 = qs[:, ri, off + i + 1]
+                d1 = ys[:, ri, off + i] - z[ri, off + i]
+                d2 = ys[:, ri, off + i + 1] - z[ri, off + i + 1]
+                rdx = max(float(dom.dx[ri, off + i]), 1e-6)
+                dst = 0.0
+                for seg_id, frac in self.refac_members.get(int(rl), ()):
+                    g = self.seg_geo.get(seg_id)
+                    if g is None:
+                        continue
+                    if seg_id not in q_out:   # value at the top node
+                        w = dst / rdx
+                        q_out[seg_id] = q1 * (1 - w) + q2 * w
+                        d_out[seg_id] = d1 * (1 - w) + d2 * w
+                    dst += g["dx"] * frac
         return q_out, d_out
