@@ -29,7 +29,16 @@ _WATERBODY_VARS = ("waterbody_id", "waterbody_toid", "LkArea", "LkMxE",
 _INPUT_VARS = _SEGMENT_VARS + _WATERBODY_VARS + (
     "land_surface_water_source__volume_flow_rate",
     "upstream_id", "upstream_fvd",
+    # streamflow-nudging DA transport (produced by BmiDAforcing):
+    # flat [station x date] obs + date/station metadata + the
+    # gage -> segment crosswalk
     "usgs_gage_observation__volume_flow_rate",
+    "datesSecondsArray_usgs", "stationArray_usgs",
+    "stationStringLengthArray_usgs",
+    "gage_segment_id", "gage_stationArray",
+    "gage_stationStringLengthArray",
+    "lastObs_gageArray", "lastObs_gageStringLengths",
+    "lastObs_timeSince", "lastObs_discharge",
     "lastobs__volume_flow_rate",
 )
 _OUTPUT_VARS = (
@@ -166,6 +175,81 @@ class BmiTrouteTpu:
     def update(self) -> None:
         self.update_until(self._time + self._dt)
 
+    def _build_gage_da(self, nts):
+        """Streamflow-nudging DA inputs from the BmiDAforcing transport
+        arrays (reference troute_model ingests usgs_df/lastobs_df rebuilt
+        by bmi_array2df, troute_model.py:204-240)."""
+        import jax.numpy as jnp
+        from troute_tpu.bmi import codec
+        from troute_tpu.routing.engine import GageDA
+
+        v = self._values
+        flat = np.asarray(
+            v.get("usgs_gage_observation__volume_flow_rate", np.zeros(0)),
+            np.float64)
+        secs = np.asarray(v.get("datesSecondsArray_usgs", np.zeros(0)),
+                          np.float64)
+        gseg = np.asarray(v.get("gage_segment_id", np.zeros(0)), np.int64)
+        if not (flat.size and secs.size and gseg.size):
+            return None
+        stations = codec.decode_strings(
+            v["stationArray_usgs"], v["stationStringLengthArray_usgs"])
+        obs_tbl = flat.reshape(len(stations), -1)
+        gage_st = codec.decode_strings(
+            v.get("gage_stationArray", np.zeros(0, np.uint8)),
+            v.get("gage_stationStringLengthArray", np.zeros(0, np.int32)))
+        if len(gage_st) != gseg.size:
+            return None
+        st_row = {s.strip(): k for k, s in enumerate(stations)}
+        row = self._topo.index_of
+
+        rows, obs_rows = [], []
+        # per-timestep column: nearest transport date within dt/2
+        t_steps = self._time + np.arange(nts + 1) * self._dt
+        col = np.searchsorted(secs, t_steps)
+        col = np.clip(col, 0, secs.size - 1)
+        colm = np.clip(col - 1, 0, secs.size - 1)
+        use_prev = np.abs(secs[colm] - t_steps) <= np.abs(
+            secs[col] - t_steps)
+        col = np.where(use_prev, colm, col)
+        hit = np.abs(secs[col] - t_steps) <= self._dt / 2.0
+
+        lo_val, lo_time = [], []
+        lo_gages = codec.decode_strings(
+            v.get("lastObs_gageArray", np.zeros(0, np.uint8)),
+            v.get("lastObs_gageStringLengths", np.zeros(0, np.int32)))
+        lo_map = {g.strip(): k for k, g in enumerate(lo_gages)}
+        lo_disc = np.asarray(v.get("lastObs_discharge", np.zeros(0)),
+                             np.float64)
+        lo_since = np.asarray(v.get("lastObs_timeSince", np.zeros(0)),
+                              np.float64)
+        kept_gages = []
+        for st, seg in zip(gage_st, gseg):
+            k = st_row.get(st.strip())
+            r = row.get(int(seg))
+            if k is None or r is None:
+                continue
+            kept_gages.append(st.strip())
+            rows.append(r)
+            series = np.where(hit, obs_tbl[k, col], np.nan)
+            obs_rows.append(series)
+            j = lo_map.get(st.strip())
+            if j is not None and j < lo_disc.size:
+                lo_val.append(lo_disc[j])
+                lo_time.append(-abs(lo_since[j]))
+            else:
+                lo_val.append(np.nan)
+                lo_time.append(0.0)
+        if not rows:
+            return None
+        self._da_gages = kept_gages
+        return GageDA(
+            rows=jnp.asarray(np.asarray(rows, np.int64)),
+            obs=jnp.asarray(np.asarray(obs_rows, np.float32).T),
+            lastobs_val=jnp.asarray(np.asarray(lo_val, np.float32)),
+            lastobs_time=jnp.asarray(np.asarray(lo_time, np.float32)),
+            decay_coeff=120.0)
+
     def update_until(self, until: float) -> None:
         import functools
 
@@ -205,11 +289,25 @@ class BmiTrouteTpu:
 
         cfg = RoutingConfig(dt=self._dt, nts=nts, qts_subdivisions=1,
                             assume_short_ts=True)
+        da = self._build_gage_da(nts)
         out = self._route_jit(self._net, self._chan, self._lp, cfg=cfg,
                               q0=q, depth0=self._d, res_elev0=self._elev,
-                              qlat=jnp.asarray(ql), da=None)
+                              qlat=jnp.asarray(ql), da=da)
         st = out["state"]
         self._q, self._d, self._elev = st.q, st.depth, st.res_elev
+        if da is not None:
+            # hand the updated lastobs state back through the transport
+            # vars (time re-based so it stays relative to current time),
+            # re-keyed to the gages actually used this run
+            from troute_tpu.bmi import codec
+            codes, lens = codec.encode_strings(self._da_gages)
+            v["lastObs_gageArray"] = codes
+            v["lastObs_gageStringLengths"] = lens
+            v["lastObs_discharge"] = np.asarray(st.lastobs_val, np.float64)
+            v["lastObs_timeSince"] = np.asarray(
+                nts * self._dt - np.asarray(st.lastobs_time), np.float64)
+            v["lastobs__volume_flow_rate"] = \
+                np.asarray(st.lastobs_val, np.float64)
         fvd = np.asarray(out["flowveldepth"])[-1]
 
         seg_rows = np.asarray(
