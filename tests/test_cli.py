@@ -89,3 +89,55 @@ def test_forcing_set_grouping():
     # nts caps the last set
     sets = build_forcing_sets(files, 300.0, 12, 200, 12)
     assert [s["nts"] for s in sets] == [144, 56]
+
+
+def test_cli_hydro_rst_append_and_logging(lc_config, tmp_path):
+    """HYDRO_RST append output (reference nhd_io.write_hydro_rst) +
+    log_parameters handling (log file + kernelTalks pre-run dump)."""
+    import shutil
+
+    # stage a WRF restart whose Restart_Time falls inside the run window
+    rst_dir = tmp_path / "wrf_restarts"
+    rst_dir.mkdir()
+    dst = rst_dir / "HYDRO_RST.2021-08-23_14:00_DOMAIN1"
+    shutil.copy(REF / "restart/HYDRO_RST.2021-08-23_12:00_DOMAIN1", dst)
+    with h5py.File(dst, "a") as f:
+        f.attrs["Restart_Time"] = np.bytes_("2021-08-23_14:00:00")
+
+    cfg = yaml.safe_load(open(lc_config))
+    cfg["output_parameters"]["wrf_hydro_restart_output"] = {
+        "wrf_hydro_channel_restart_source_directory": str(rst_dir)}
+    cfg["log_parameters"] = {"showtiming": True, "log_level": "INFO",
+                             "log_directory": str(tmp_path / "logs")}
+    p = tmp_path / "cfg_rst.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    from troute_tpu.cli import main_v04
+    res = main_v04(["-f", str(p)])
+    assert str(dst) in [str(w) for w in res["written"]]
+
+    with h5py.File(dst) as f:
+        q = f["qlink1_troute"][...]
+        h = f["hlink_troute"][...]
+        link = f["link"][...] if "link" in f else None
+    assert np.isfinite(q).all() and q.max() > 0
+    # values match the simulated fvd at step t0+1h for a known segment
+    fvd, ids = res["fvd"], res["ids"]
+    with h5py.File(REF / "domain/RouteLink.nc") as f:
+        order = f["link"][...]
+    k = 11  # t0 + 12*300s = 1 h
+    row_of = {int(s): i for i, s in enumerate(ids)}
+    checked = 0
+    for pos, seg in enumerate(order[:2000]):
+        r = row_of.get(int(seg))
+        if r is not None and fvd[k, r, 0] > 0:
+            np.testing.assert_allclose(q[pos], fvd[k, r, 0], rtol=1e-6)
+            checked += 1
+            if checked > 5:
+                break
+    assert checked > 0
+
+    logs = tmp_path / "logs"
+    assert (logs / "troute_tpu.log").exists()
+    talk = (logs / "kernelTalks.log").read_text()
+    assert "assume_short_ts" in talk and "dt: 300" in talk

@@ -317,6 +317,41 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
         **rfc_fields, **gl_fields)
 
 
+def _configure_logging(cfg, base):
+    """Apply ``log_parameters`` (reference ``log_level_set``,
+    nwm_routing/log_level_set.py:6-46): root level from ``log_level``,
+    optional file handler + pre-run parameter dump under
+    ``log_directory``."""
+    lp = cfg.log_parameters
+    level = getattr(logging, str(lp.log_level or "DEBUG").upper(),
+                    logging.DEBUG)
+    logging.getLogger().setLevel(level)
+    log_dir = getattr(lp, "log_directory", None)
+    if not log_dir:
+        return
+    log_dir = base / str(log_dir)
+    log_dir.mkdir(parents=True, exist_ok=True)
+    handler = logging.FileHandler(log_dir / "troute_tpu.log")
+    handler.setFormatter(logging.Formatter(
+        "%(asctime)s %(levelname)s %(name)s: %(message)s"))
+    logging.getLogger().addHandler(handler)
+    # pre-run parameter dump (reference compute_log_mc "kernelTalks.log",
+    # compute.py:298-506)
+    cp = cfg.compute_parameters
+    with open(log_dir / "kernelTalks.log", "w") as f:
+        f.write("troute_tpu pre-run parameters\n")
+        f.write(f"compute_kernel: {cp.compute_kernel}\n")
+        f.write(f"parallel_compute_method: {cp.parallel_compute_method}\n")
+        f.write(f"assume_short_ts: {cp.assume_short_ts}\n")
+        f.write(f"return_courant: {cp.return_courant}\n")
+        fp = cp.forcing_parameters
+        f.write(f"dt: {fp.dt}\nnts: {fp.nts}\n"
+                f"qts_subdivisions: {fp.qts_subdivisions}\n")
+        hp = cp.hybrid_parameters
+        f.write(f"run_hybrid_routing: {hp.run_hybrid_routing}\n")
+        f.write(f"run_refactored_network: {hp.run_refactored_network}\n")
+
+
 def main_v04(argv=None) -> dict:
     """Run a full simulation; returns a results dict (also used by tests)."""
     import jax
@@ -350,6 +385,7 @@ def main_v04(argv=None) -> dict:
 
     base = Path(args.config).parent
     cfg = load_config(args.config)
+    _configure_logging(cfg, base)
     fp = cfg.compute_parameters.forcing_parameters
     rp = cfg.compute_parameters.restart_parameters
     dt = float(fp.dt)
@@ -616,6 +652,18 @@ def main_v04(argv=None) -> dict:
         written.append(write_lastobs_nc(
             p, built.gage_ids, np.asarray(da.lastobs_time),
             np.asarray(da.lastobs_val), end_time))
+    rsrto = op.wrf_hydro_restart_output or {}
+    if rsrto.get("wrf_hydro_channel_restart_source_directory"):
+        from troute_tpu.io.restart import append_hydro_rst
+        src = base / rsrto["wrf_hydro_channel_restart_source_directory"]
+        patt = rsrto.get("wrf_hydro_channel_restart_pattern_filter",
+                         "HYDRO_RST.*")
+        xwalk = rsrto.get("wrf_hydro_channel_ID_crosswalk_file") \
+            or rp.wrf_hydro_channel_ID_crosswalk_file
+        if xwalk:
+            written.extend(append_hydro_rst(
+                sorted(src.glob(patt)), out_ids, fvd, t0, dt,
+                base / xwalk))
     if op.lakeout_output and topo.reservoir_rows.size:
         out_dir = base / str(op.lakeout_output)
         out_dir.mkdir(parents=True, exist_ok=True)

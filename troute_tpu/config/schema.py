@@ -229,6 +229,9 @@ class OutputParameters(_Permissive):
     stream_output: Optional[StreamOutput] = None
     test_output: Optional[str] = None
     wrf_hydro_parity_check: Optional[Dict[str, Any]] = None
+    # appends qlink1/qlink2/hlink_troute into existing HYDRO_RST files
+    # (reference output.py:358-399)
+    wrf_hydro_restart_output: Optional[Dict[str, Any]] = None
 
 
 class BMIParameters(_Permissive):

@@ -102,3 +102,51 @@ def read_lastobs_file(path):
             obs_times.append(np.nan)
     return (np.asarray(gages), discharge,
             np.asarray(obs_times, np.float64))
+
+
+def append_hydro_rst(restart_files, out_ids, fvd, t0, dt,
+                     crosswalk_file):
+    """Append t-route flows/depths into existing WRF-Hydro HYDRO_RST files.
+
+    For each restart file whose ``Restart_Time`` falls on a simulated
+    timestep, add ``qlink1_troute``/``qlink2_troute``/``hlink_troute``
+    variables ordered by the RouteLink file's positional link order
+    (reference ``nhd_io.write_hydro_rst``, nhd_io.py:1507-1618).
+
+    Returns the list of files written.
+    """
+    import h5py
+    import pandas as pd
+
+    from troute_tpu.io.netcdf import NetCDFFile
+
+    with NetCDFFile(crosswalk_file) as f:
+        order = f.read("link").astype(np.int64)
+    row_of = {int(s): k for k, s in enumerate(out_ids)}
+    rows = np.asarray([row_of.get(int(s), -1) for s in order], np.int64)
+    have = rows >= 0
+
+    times = t0 + pd.to_timedelta((np.arange(fvd.shape[0]) + 1) * dt,
+                                 unit="s")
+    stamp_idx = {t.strftime("%Y-%m-%d_%H:%M:%S"): k
+                 for k, t in enumerate(times)}
+    written = []
+    for path in restart_files:
+        with h5py.File(path, "a") as f:
+            stamp = f.attrs.get("Restart_Time", b"")
+            if isinstance(stamp, bytes):
+                stamp = stamp.decode()
+            k = stamp_idx.get(str(stamp))
+            if k is None:
+                continue
+            q = np.zeros(order.size, np.float32)
+            h = np.zeros(order.size, np.float32)
+            q[have] = fvd[k, rows[have], 0]
+            h[have] = fvd[k, rows[have], 2]
+            for name, arr in (("qlink1_troute", q), ("qlink2_troute", q),
+                              ("hlink_troute", h)):
+                if name in f:
+                    del f[name]
+                f.create_dataset(name, data=arr)
+            written.append(path)
+    return written
