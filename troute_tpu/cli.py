@@ -325,7 +325,9 @@ def _configure_logging(cfg, base):
     lp = cfg.log_parameters
     level = getattr(logging, str(lp.log_level or "DEBUG").upper(),
                     logging.DEBUG)
-    logging.getLogger().setLevel(level)
+    # level applies to this package's loggers; the root logger is only
+    # touched when a log file is requested (keeps library use quiet)
+    logging.getLogger("troute_tpu").setLevel(level)
     log_dir = getattr(lp, "log_directory", None)
     if not log_dir:
         return
