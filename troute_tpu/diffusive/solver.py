@@ -291,38 +291,48 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     return qp, qpx_new
 
 
-def _rtsafe_vec(xsec_cur, xsec_ds, y_ds_elev, q_cur, q_ds, z_cur, z_ds,
-                dx_cur, y_old_depth):
+def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
+                z_ds, dx_cur, y_old_depth, active=None):
     """Vectorized Newton/bisection depth solve
     (reference ``rtsafe``/``funcd_diffdepth``, diffusive.f90:1568-1711).
 
-    ``xsec_cur``/``xsec_ds`` are per-reach gathered tables [R, 11, nel];
-    all other args are [R] lanes.  Returns the new depth at the current
-    (upstream) node.
+    ``xsec`` is the full [R, C, 11, nel] table; ``cur_col``/``ds_col`` are
+    per-reach node columns.  Only [R, nel] elevation/uniform-flow grids are
+    materialized; the other columns are fetched pointwise at the searched
+    bracket — the per-step memory traffic is what bounds the corrector's
+    sequential node scan, so full-table gathers are avoided.
+
+    ``active`` (bool [R], optional) marks lanes whose result is consumed;
+    inactive lanes start converged so the early-exit while loop is paced
+    by real work only (the node wavefront typically has 1-3 active
+    reaches per step).
     """
 
     vsearch = jax.vmap(
         lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
 
-    def tab(xs, xcol, ycol, x):
-        """O(log nel) single-column interpolation (grids are sorted)."""
-        xarr = xs[:, xcol, :]
-        yarr = xs[:, ycol, :]
-        idx = jnp.clip(vsearch(xarr, x) - 1, 0, xarr.shape[-1] - 2)
-        x1 = jnp.take_along_axis(xarr, idx[:, None], -1)[:, 0]
-        x2 = jnp.take_along_axis(xarr, (idx + 1)[:, None], -1)[:, 0]
-        y1 = jnp.take_along_axis(yarr, idx[:, None], -1)[:, 0]
-        y2 = jnp.take_along_axis(yarr, (idx + 1)[:, None], -1)[:, 0]
+    def pt(col_of, c, idx):
+        """(y1, y2) bracket values of table column c at grid idx."""
+        return (xsec[rr, col_of, c, idx],
+                xsec[rr, col_of, c, jnp.minimum(idx + 1, xsec.shape[-1] - 1)])
+
+    def tab(col_of, grid, ycol, x):
+        """O(log nel) interpolation of column ``ycol`` against ``grid``."""
+        idx = jnp.clip(vsearch(grid, x) - 1, 0, grid.shape[-1] - 2)
+        x1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
+        x2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
+        y1, y2 = pt(col_of, ycol, idx)
         den = jnp.where(x2 != x1, x2 - x1, 1.0)
         return y1 + (y2 - y1) * (x - x1) / den
 
     y_ds = jnp.maximum(y_ds_elev - z_ds, 0.005)
     slope = jnp.maximum((z_cur - z_ds) / dx_cur, SO_LLM)
 
-    conv_ds = tab(xsec_ds, COL_ELEV, COL_CONV, y_ds + z_ds)
+    el_ds_grid = xsec[rr, ds_col, COL_ELEV, :]
+    conv_ds = tab(ds_col, el_ds_grid, COL_CONV, y_ds + z_ds)
     sf_ds = jnp.abs(q_ds) * q_ds / jnp.maximum(conv_ds, 1e-12) ** 2
 
-    el_grid = xsec_cur[:, COL_ELEV, :]
+    el_grid = xsec[rr, cur_col, COL_ELEV, :]
 
     def f_df(y_cur):
         """Diffusive-momentum residual + derivative; one elevation-grid
@@ -330,20 +340,14 @@ def _rtsafe_vec(xsec_cur, xsec_ds, y_ds_elev, q_cur, q_ds, z_cur, z_ds,
         elv = y_cur + z_cur
         idx = jnp.clip(vsearch(el_grid, elv) - 1, 0, el_grid.shape[-1] - 2)
 
-        def col(c):
-            arr = xsec_cur[:, c, :]
-            y1 = jnp.take_along_axis(arr, idx[:, None], -1)[:, 0]
-            y2 = jnp.take_along_axis(arr, (idx + 1)[:, None], -1)[:, 0]
-            return y1, y2
-
         x1 = jnp.take_along_axis(el_grid, idx[:, None], -1)[:, 0]
         x2 = jnp.take_along_axis(el_grid, (idx + 1)[:, None], -1)[:, 0]
         w = (elv - x1) / jnp.where(x2 != x1, x2 - x1, 1.0)
-        c1, c2 = col(COL_CONV)
+        c1, c2 = pt(cur_col, COL_CONV, idx)
         conv = jnp.maximum(c1 + (c2 - c1) * w, 1e-12)
-        k1, k2 = col(COL_DKDA)
+        k1, k2 = pt(cur_col, COL_DKDA, idx)
         dkda = k1 + (k2 - k1) * w
-        t1, t2 = col(COL_TOPW)
+        t1, t2 = pt(cur_col, COL_TOPW, idx)
         topw = t1 + (t2 - t1) * w
 
         sf_cur = jnp.abs(q_cur) * q_cur / conv ** 2
@@ -352,7 +356,8 @@ def _rtsafe_vec(xsec_cur, xsec_ds, y_ds_elev, q_cur, q_ds, z_cur, z_ds,
         df = 1.0 + (jnp.abs(q_cur) * q_cur / conv ** 3) * dx_cur * topw * dkda
         return f, df
 
-    elv_norm = tab(xsec_cur, COL_UNIFORM, COL_ELEV, jnp.abs(q_cur))
+    uni_grid = xsec[rr, cur_col, COL_UNIFORM, :]
+    elv_norm = tab(cur_col, uni_grid, COL_ELEV, jnp.abs(q_cur))
     y_norm = elv_norm - z_cur
     x1 = 0.5 * (y_norm + y_old_depth) * 0.1
     x2 = 0.5 * (y_norm + y_old_depth) * 2.0
@@ -367,10 +372,10 @@ def _rtsafe_vec(xsec_cur, xsec_ds, y_ds_elev, q_cur, q_ds, z_cur, z_ds,
     dxold = jnp.abs(x2 - x1)
     dxx = dxold
     f, df = f_df(root)
-    done = jnp.zeros_like(root, bool)
+    done = jnp.zeros_like(root, bool) if active is None else ~active
 
-    def body(k, carry):
-        root, xl, xh, dxold, dxx, f, df, done = carry
+    def body(carry):
+        k, root, xl, xh, dxold, dxx, f, df, done = carry
         use_bisect = (((root - xh) * df - f) * ((root - xl) * df - f) > 0.0) \
             | (jnp.abs(2.0 * f) > jnp.abs(dxold * df))
         dxold_n = dxx
@@ -394,10 +399,11 @@ def _rtsafe_vec(xsec_cur, xsec_ds, y_ds_elev, q_cur, q_ds, z_cur, z_ds,
         dxx = jnp.where(done, dxx, dxx_n)
         f = jnp.where(done, f, f_n)
         df = jnp.where(done, df, df_n)
-        return root, xl, xh, dxold, dxx, f, df, new_done
+        return k + 1, root, xl, xh, dxold, dxx, f, df, new_done
 
-    root, *_, done = jax.lax.fori_loop(
-        0, 40, body, (root, xl, xh, dxold, dxx, f, df, done))
+    _, root, *_, done = jax.lax.while_loop(
+        lambda c: (c[0] < 40) & ~jnp.all(c[-1]), body,
+        (jnp.int32(0), root, xl, xh, dxold, dxx, f, df, done))
     # unconverged or unbracketed -> normal depth (reference fallback)
     root = jnp.where(no_bracket | ~done, y_norm, root)
     root = jnp.where(fl == 0.0, x1, root)
@@ -468,6 +474,19 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
         """arr [R, C(, ...)] -> [R(, ...)] at per-reach column."""
         return arr[rr, col]
 
+    # tailwater boundary elevation: constant within a corrector sweep
+    # (depends on qp and t only), so computed once outside the node scan
+    elv_norm_bot = _col_interp(
+        dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
+        jnp.abs(qp[:, C - 1]))
+    y_tw_const = elv_norm_bot
+    if y_coastal is not None:
+        y_tw_const = jnp.where(jnp.isfinite(y_coastal), y_coastal,
+                               y_tw_const)
+
+    vsearch = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
+
     def node_step(carry, xs):
         newY, cel2, dif2 = carry
         active, col = xs
@@ -475,31 +494,40 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
 
         # bottom boundary when entering a reach (col == C-1):
         # junction -> downstream reach head elevation; tailwater -> normal
-        # depth (dsbc_option == 2)
+        # depth (dsbc_option == 2) or the coastal series (option 1)
         ds = dom.ds_reach
         ds_head_col = dom.head_col[jnp.maximum(ds, 0)]
         y_junc = newY[jnp.maximum(ds, 0), ds_head_col]
-        elv_norm_bot = _col_interp(
-            dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
-            jnp.abs(qp[:, C - 1]))
-        y_tw = elv_norm_bot
-        if y_coastal is not None:
-            y_tw = jnp.where(jnp.isfinite(y_coastal), y_coastal, y_tw)
-        y_bot = jnp.where(ds >= 0, y_junc, y_tw)
+        y_bot = jnp.where(ds >= 0, y_junc, y_tw_const)
         entering = active & (safe == C - 1)
         newY = newY.at[rr, C - 1].set(
             jnp.where(entering, y_bot, newY[:, C - 1]))
 
-        # hydraulics at the scheduled node
-        xs_i = gather_cols(dom.xsec, safe)       # [R, 11, nel]
+        # hydraulics at the scheduled node: pointwise table fetches at a
+        # shared squared-depth grid search (reference interpolates
+        # conveyance against depth^2, diffusive.f90:1437)
         z_i = gather_cols(dom.z, safe)
         y_i = gather_cols(newY, safe)
         q_i = gather_cols(qp, safe)
-        co = jnp.maximum(_col_interp(xs_i, z_i, COL_ELEV, COL_CONV, y_i,
-                                     squared=True), 1e-12)
-        bo = jnp.maximum(_col_interp(xs_i, z_i, COL_ELEV, COL_TOPW, y_i),
-                         1e-3)
-        sk = _col_interp(xs_i, z_i, COL_ELEV, COL_SKK, y_i)
+        el_i = dom.xsec[rr, safe, COL_ELEV, :]          # [R, nel]
+        nel = el_i.shape[-1]
+
+        def interp_at(grid, x, c):
+            idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
+            g1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
+            g2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
+            w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
+            v1 = dom.xsec[rr, safe, c, idx]
+            v2 = dom.xsec[rr, safe, c, idx + 1]
+            return v1 + (v2 - v1) * w
+
+        # conveyance interpolates against squared depth (reference
+        # diffusive.f90:1437); topwidth/skk against elevation
+        d2_grid = (el_i - z_i[:, None]) ** 2
+        co = jnp.maximum(interp_at(d2_grid, (y_i - z_i) ** 2, COL_CONV),
+                         1e-12)
+        bo = jnp.maximum(interp_at(el_i, y_i, COL_TOPW), 1e-3)
+        sk = interp_at(el_i, y_i, COL_SKK)
         sfi = q_i * jnp.abs(q_i) / co ** 2
 
         cel_i = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
@@ -520,11 +548,12 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
         up_col = jnp.maximum(safe - 1, 0)
         solve_mask = active & (safe > 0) & (safe - 1 >= dom.head_col)
         y_up = _rtsafe_vec(
-            gather_cols(dom.xsec, up_col), xs_i, y_i,
+            dom.xsec, rr, up_col, safe, y_i,
             gather_cols(qp, up_col), q_i,
             gather_cols(dom.z, up_col), z_i,
             gather_cols(dom.dx, up_col),
-            gather_cols(oldY, up_col) - gather_cols(dom.z, up_col))
+            gather_cols(oldY, up_col) - gather_cols(dom.z, up_col),
+            active=solve_mask)
         elev_up = jnp.minimum(y_up + gather_cols(dom.z, up_col), 1.0e5)
         newY = newY.at[rr, up_col].set(
             jnp.where(solve_mask, elev_up, gather_cols(newY, up_col)))
