@@ -141,3 +141,26 @@ def test_cli_hydro_rst_append_and_logging(lc_config, tmp_path):
     assert (logs / "troute_tpu.log").exists()
     talk = (logs / "kernelTalks.log").read_text()
     assert "assume_short_ts" in talk and "dt: 300" in talk
+
+
+def test_cli_parity_check(lc_config, tmp_path):
+    """Config-driven WRF-Hydro parity check (build_tests.parity_check):
+    compares simulated flow vs CHRTOUT validation data at a node."""
+    cfg = yaml.safe_load(open(lc_config))
+    # find a segment that exists in the domain and has CHRTOUT data
+    with h5py.File(REF / "domain/RouteLink.nc") as f:
+        links = f["link"][...]
+    mask = np.loadtxt(REF / "domain/coastal_subset.txt", dtype=np.int64)
+    node = int(mask[10])
+    cfg["output_parameters"]["wrf_hydro_parity_check"] = {
+        "parity_check_input_folder": str(REF / "channel_forcing"),
+        "parity_check_compare_node": node,
+    }
+    p = tmp_path / "cfg_parity.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    from troute_tpu.cli import main_v04
+    res = main_v04(["-f", str(p)])
+    stats = res["parity"]
+    assert stats is not None and stats["n"] > 0
+    assert np.isfinite(stats["rmse"])
+    assert stats["label"] == f"node {node}"

@@ -674,6 +674,32 @@ def main_v04(argv=None) -> dict:
         written.append(write_lakeout_nc(
             p, topo.ids[res_rows], np.asarray(q0)[res_rows],
             np.asarray(elev0), np.zeros(res_rows.size), t0))
+    # config-driven WRF-Hydro parity check (reference
+    # build_tests.parity_check, build_tests.py:163-301)
+    parity_stats = None
+    pc = op.wrf_hydro_parity_check or {}
+    if pc.get("parity_check_input_folder") \
+            and pc.get("parity_check_compare_node"):
+        from troute_tpu.parity import parity_check, read_chrtout_streamflow
+        node = int(pc["parity_check_compare_node"])
+        patt = pc.get("parity_check_file_pattern_filter",
+                      "*CHRTOUT_DOMAIN1")
+        vfiles = sorted((base / pc["parity_check_input_folder"]).rglob(patt))
+        vfiles = [f for f in vfiles
+                  if t0 < pd.to_datetime(f.name.split(".")[0],
+                                         format="%Y%m%d%H%M")
+                  <= t0 + pd.Timedelta(seconds=fvd.shape[0] * dt)]
+        row = {int(s): k for k, s in enumerate(out_ids)}.get(node)
+        if vfiles and row is not None:
+            ref_q = read_chrtout_streamflow(vfiles, [node])[:, 0]
+            stamps = [pd.to_datetime(f.name.split(".")[0],
+                                     format="%Y%m%d%H%M") for f in vfiles]
+            steps = [int(round((s - t0).total_seconds() / dt)) - 1
+                     for s in stamps]
+            sim_q = fvd[np.asarray(steps), row, 0]
+            parity_stats = parity_check(sim_q[:, None], ref_q[:, None],
+                                        label=f"node {node}")
+            LOG.info("parity check at node %d: %s", node, parity_stats)
     task_times["output_time"] = time.time() - t_start
 
     task_times["total_time"] = time.time() - main_start
@@ -688,6 +714,7 @@ def main_v04(argv=None) -> dict:
 
     return {"fvd": fvd, "ids": out_ids, "built": built,
             "task_times": task_times, "written": written,
+            "parity": parity_stats,
             "diffusive": diffusive_out,
             "final_state": (np.asarray(q0), np.asarray(d0),
                             np.asarray(elev0))}

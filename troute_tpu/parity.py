@@ -52,7 +52,9 @@ def parity_check(sim_q, ref_q, ids=None, label=""):
         "n": int(sim.size),
         "rmse": float(np.sqrt(np.mean(diff ** 2))),
         "bias": float(np.mean(diff)),
-        "corr": float(np.corrcoef(sim, ref)[0, 1]) if sim.size > 1 else 1.0,
+        "corr": (float(np.corrcoef(sim, ref)[0, 1])
+                 if sim.size > 1 and np.std(sim) > 0 and np.std(ref) > 0
+                 else 1.0),
         "median_rel_err": float(np.median(rel)),
         "p90_rel_err": float(np.percentile(rel, 90)),
         "ref_mean": float(np.mean(ref)),
