@@ -94,6 +94,12 @@ class RoutingTopology:
         """
         order = np.argsort(self.level, kind="stable")
         counts = np.bincount(self.level, minlength=self.n_levels)
+        # never wider than the widest level (rounded up to the 128-lane
+        # TPU vector width): deep narrow networks would otherwise pad
+        # every row to `width` and waste most of each level step
+        if counts.size:
+            widest = int(counts.max())
+            width = min(width, max(128, -(-widest // 128) * 128))
         chunks = []
         start = 0
         for c in counts:

@@ -436,15 +436,17 @@ def route(net: NetworkArrays, chan: ChannelParams,
                                     res_elev.shape[0])
             res_elev = res_elev.at[res_scatter].set(lp_elev, mode="drop")
 
-            # nudge the gages that live at this level
-            q_nudged, nudge, val_n, time_n = _apply_nudging(
-                q_cur, t_seconds, da, lo_val, lo_time, obs_t)
-            q_cur = jnp.where(
-                jnp.zeros_like(q_cur, bool).at[da.rows].set(gage_active),
-                q_nudged, q_cur)
-            lo_val = jnp.where(gage_active, val_n, lo_val)
-            lo_time = jnp.where(gage_active, time_n, lo_time)
-            nudge_acc = jnp.where(gage_active, nudge, nudge_acc)
+            # nudge the gages that live at this level (row-local: full-[N]
+            # masks per level step would dominate the scan)
+            if have_da:
+                q_nudged, nudge, val_n, time_n = _apply_nudging(
+                    q_cur, t_seconds, da, lo_val, lo_time, obs_t)
+                at_rows = jnp.where(gage_active, q_nudged[da.rows],
+                                    q_cur[da.rows])
+                q_cur = q_cur.at[da.rows].set(at_rows)
+                lo_val = jnp.where(gage_active, val_n, lo_val)
+                lo_time = jnp.where(gage_active, time_n, lo_time)
+                nudge_acc = jnp.where(gage_active, nudge, nudge_acc)
 
             if cfg.return_courant:
                 c_rows = jnp.stack([out.cn, out.ck, out.X], axis=-1)
