@@ -147,3 +147,77 @@ def test_bmi_reservoir_rfc():
     out = bmi.get_value("lake_water~outgoing__volume_flow_rate")[0]
     # outflow comes from the forecast series, not levelpool
     assert out == pytest.approx(series[3], rel=1e-9)
+
+
+def test_bmi_from_files_hybrid_coastal(tmp_path):
+    """Config-driven BMI (reference troute_model: network from files) with
+    hybrid diffusive routing and coastal depth pushed as transport arrays
+    (reference run_BMI_Coastal.py pattern, troute_model.py:171-201)."""
+    from pathlib import Path
+
+    import yaml
+
+    REF = Path("/root/reference/test/HurricaneLaura")
+    if not REF.exists():
+        pytest.skip("reference domain not available")
+    cfg = yaml.safe_load(open(REF / "troute_UnitTest_noRS.yaml"))
+    sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+    sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
+    sp["mask_file_path"] = \
+        str(REF / "domain/unit_test_noRS/coastal_subset.txt")
+    cfg["network_topology_parameters"]["waterbody_parameters"]["level_pool"][
+        "level_pool_waterbody_parameter_file_path"] = \
+        str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+    rp = cfg["compute_parameters"]["restart_parameters"]
+    rp["wrf_hydro_channel_restart_file"] = \
+        str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+    rp["wrf_hydro_channel_ID_crosswalk_file"] = \
+        str(REF / "domain/RouteLink_NWMv2.1.nc")
+    rp["wrf_hydro_waterbody_restart_file"] = \
+        str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+    rp["wrf_hydro_waterbody_ID_crosswalk_file"] = \
+        str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+    rp["start_datetime"] = "2020-08-26_00:00"
+    hp = cfg["compute_parameters"]["hybrid_parameters"]
+    hp["diffusive_domain"] = \
+        str(REF / "domain/unit_test_noRS/coastal_domain.yaml")
+    hp["topobathy_domain"] = str(REF / "domain/final_diffusive_natural_xs.nc")
+    hp["run_refactored_network"] = False
+    hp.pop("coastal_boundary_domain", None)
+    fp = cfg["compute_parameters"]["forcing_parameters"]
+    fp["qlat_input_folder"] = str(REF / "channel_forcing")
+    fp.pop("coastal_boundary_input_file", None)
+    fp["nts"] = 36
+    cfg["compute_parameters"]["data_assimilation_parameters"] = {}
+    cfg["output_parameters"] = {}
+    p = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+
+    def run(coastal):
+        bmi = BmiTrouteTpu()
+        bmi.initialize(str(p))
+        ids = bmi.get_value("segment_id")
+        bmi.set_value("land_surface_water_source__volume_flow_rate",
+                      np.full(ids.size, 0.3))
+        if coastal:
+            bmi.set_value("depthArray_coastal", np.full(6, 4.0))
+            bmi.set_value("timeArray_coastal", np.arange(6) * 3600.0)
+            bmi.set_value("nTimes_coastal", np.array([6]))
+            bmi.set_value("stationArray_coastal",
+                          np.array([5781901], np.int64))
+            bmi.set_value("nStations_coastal", np.array([1]))
+            bmi.set_value("coastal_timeRef", np.zeros(1))
+        for h in (1, 2, 3):
+            bmi.update_until(h * 3600.0)
+        q = bmi.get_value("channel_exit_water_x-section__volume_flow_rate")
+        d = bmi.get_value("channel_water__mean_depth")
+        k = int(np.where(ids == 5781901)[0][0])
+        assert np.isfinite(q).all() and np.isfinite(d).all()
+        return float(q[k]), float(d[k])
+
+    q_no, d_no = run(False)
+    q_co, d_co = run(True)
+    # a 4 m downstream pool backwaters the tailwater: flow throttled,
+    # solution clearly different from the normal-depth boundary
+    assert q_co < q_no - 0.1
+    assert abs(d_co - d_no) > 0.05

@@ -40,6 +40,10 @@ _INPUT_VARS = _SEGMENT_VARS + _WATERBODY_VARS + (
     "lastObs_gageArray", "lastObs_gageStringLengths",
     "lastObs_timeSince", "lastObs_discharge",
     "lastobs__volume_flow_rate",
+    # coastal depth transport for the diffusive downstream boundary
+    # (reference troute_model.py:171-201)
+    "depthArray_coastal", "timeArray_coastal", "nTimes_coastal",
+    "stationArray_coastal", "nStations_coastal", "coastal_timeRef",
 )
 _OUTPUT_VARS = (
     "channel_exit_water_x-section__volume_flow_rate",
@@ -76,18 +80,110 @@ class BmiTrouteTpu:
 
     # ------------------------------------------------- control functions
     def initialize(self, config_file: str = "") -> None:
+        from pathlib import Path
+
         from troute_tpu.config import load_config
 
         self._cfg = load_config(config_file) if config_file else None
+        self._from_files = False
         if self._cfg is not None:
             fp = self._cfg.compute_parameters.forcing_parameters
             self._dt = float(fp.dt)
             self._end_time = float((fp.nts or 0) * self._dt)
+            sp = self._cfg.network_topology_parameters \
+                .supernetwork_parameters
+            if sp and sp.geo_file_path:
+                self._base = Path(config_file).parent
+                self._init_from_files()
         for name in _INPUT_VARS:
             self._values.setdefault(name, np.zeros(0))
         for name in _OUTPUT_VARS:
             self._values.setdefault(name, np.zeros(0))
         self._initialized = True
+
+    def _init_from_files(self):
+        """Config-driven network (reference troute_model pattern: the BMI
+        reads geo/waterbody files itself, troute_model.py:14-137), with
+        optional hybrid-diffusive mainstem routing."""
+        import jax.numpy as jnp
+        from troute_tpu.network.builder import build_network
+        from troute_tpu.ops.levelpool import LevelpoolParams
+        from troute_tpu.routing.engine import (
+            ChannelParams, network_arrays_from_topology)
+
+        cfg, base = self._cfg, self._base
+        hp = cfg.compute_parameters.hybrid_parameters
+        self._hyb = None
+        exclude = None
+        if hp and hp.run_hybrid_routing and hp.diffusive_domain:
+            import jax
+            jax.config.update("jax_enable_x64", True)
+            from troute_tpu.routing.hybrid import HybridDomain
+            self._hyb = HybridDomain(cfg, base)
+            exclude = self._hyb.mainstem_set
+            if hp.run_refactored_network and hp.refactored_domain \
+                    and hp.refactored_topobathy_domain:
+                self._hyb.load_refactored(
+                    base / hp.refactored_domain,
+                    base / hp.refactored_topobathy_domain)
+            elif hp.use_natl_xsections and hp.topobathy_domain:
+                self._hyb.load_topobathy(base / hp.topobathy_domain)
+
+        built = build_network(cfg, base, exclude_ids=exclude)
+        self._built = built
+        topo = built.topo
+        self._topo = topo
+        dtype = jnp.float32
+        self._chan = ChannelParams(**{k: jnp.asarray(c, dtype)
+                                      for k, c in built.chan.items()})
+        self._lp = LevelpoolParams.from_array(
+            jnp.asarray(built.res_params, dtype))
+        self._net = network_arrays_from_topology(topo, need_levels=False)
+        self._q = jnp.asarray(built.q0, dtype)
+        self._d = jnp.asarray(built.depth0, dtype)
+        self._elev = jnp.asarray(built.res_elev0, dtype)
+        self._dst = None          # carried diffusive state
+        self._coastal = None      # (db series [R, n_db], dt_db)
+        self._from_files = True
+        self._network_ready = True
+
+        ms_ids = (np.asarray(sorted(self._hyb.mainstem_set), np.int64)
+                  if self._hyb else np.zeros(0, np.int64))
+        self._ms_ids = ms_ids
+        self._values["segment_id"] = np.concatenate(
+            [np.asarray(topo.ids), ms_ids])
+
+    def _ingest_coastal_transport(self):
+        """Coastal depth series from BMI transport arrays (reference
+        troute_model.py:171-201): stations are tailwater ids, times are
+        seconds since ``coastal_timeRef``."""
+        v = self._values
+        flat = np.asarray(v.get("depthArray_coastal", np.zeros(0)),
+                          np.float64)
+        if not (flat.size and self._hyb):
+            return
+        n_st = int(np.asarray(v["nStations_coastal"]).ravel()[0])
+        times = np.asarray(v["timeArray_coastal"], np.float64)
+        stations = np.asarray(v["stationArray_coastal"], np.int64)
+        series = flat.reshape(n_st, -1)
+        dt_db = float(times[1] - times[0]) if times.size > 1 else 3600.0
+        tw_reach = {int(self._hyb.reaches[ri][-1]): ri
+                    for ri in range(self._hyb.n_reaches)
+                    if self._hyb.ds_reach[ri] < 0}
+        if getattr(self._hyb, "refac", False):
+            tw_reach = {u: tw_reach[r]
+                        for u, r in self._hyb.refac_tw_map.items()
+                        if r in tw_reach}
+        db = np.full((self._hyb.n_reaches, series.shape[1]), np.nan)
+        found = False
+        for k, tw in enumerate(stations):
+            ri = tw_reach.get(int(tw))
+            if ri is not None:
+                db[ri] = series[k]
+                found = True
+        if found:
+            self._coastal = (db, dt_db, float(times[0]))
+        v["depthArray_coastal"] = np.zeros(0)   # consumed
 
     def _build_network(self):
         import jax.numpy as jnp
@@ -259,6 +355,7 @@ class BmiTrouteTpu:
 
         if not self._network_ready:
             self._build_network()
+        if not hasattr(self, "_route_jit"):
             # retrace-free stepping: jit the engine once per network
             self._route_jit = functools.partial(
                 jax.jit(route, static_argnames=("cfg",)))
@@ -273,8 +370,9 @@ class BmiTrouteTpu:
         seg_ids = np.asarray(v["segment_id"], np.int64)
         row = self._topo.index_of
         for k, s in enumerate(seg_ids):
-            if k < qsrc.size:
-                ql[0, row[int(s)]] = qsrc[k]
+            r = row.get(int(s))
+            if r is not None and k < qsrc.size:
+                ql[0, r] = qsrc[k]
 
         # domain-split upstream boundary hand-off: [id, q, v, d] tuples
         up_fvd = np.asarray(v.get("upstream_fvd", np.zeros(0)), np.float64)
@@ -289,6 +387,7 @@ class BmiTrouteTpu:
 
         cfg = RoutingConfig(dt=self._dt, nts=nts, qts_subdivisions=1,
                             assume_short_ts=True)
+        q_before = np.asarray(q)
         da = self._build_gage_da(nts)
         out = self._route_jit(self._net, self._chan, self._lp, cfg=cfg,
                               q0=q, depth0=self._d, res_elev0=self._elev,
@@ -308,20 +407,90 @@ class BmiTrouteTpu:
                 nts * self._dt - np.asarray(st.lastobs_time), np.float64)
             v["lastobs__volume_flow_rate"] = \
                 np.asarray(st.lastobs_val, np.float64)
-        fvd = np.asarray(out["flowveldepth"])[-1]
+        fvd_all = np.asarray(out["flowveldepth"])
+        fvd = fvd_all[-1]
 
-        seg_rows = np.asarray(
-            [row[int(s)] for s in seg_ids], np.int64)
+        # hybrid diffusive mainstem window (config-driven mode only)
+        ms_qd = {}
+        if getattr(self, "_hyb", None) is not None:
+            ms_qd = self._update_diffusive(q_before, fvd_all, ql[0], nts)
+
+        q_out, v_out, d_out = [], [], []
+        for s in seg_ids:
+            r = row.get(int(s))
+            if r is not None:
+                q_out.append(fvd[r, 0])
+                v_out.append(fvd[r, 1])
+                d_out.append(fvd[r, 2])
+            else:
+                qd = ms_qd.get(int(s), (0.0, 0.0))
+                q_out.append(qd[0])
+                v_out.append(0.0)
+                d_out.append(qd[1])
         v["channel_exit_water_x-section__volume_flow_rate"] = \
-            fvd[seg_rows, 0].astype(np.float64)
-        v["channel_water_flow__speed"] = fvd[seg_rows, 1].astype(np.float64)
-        v["channel_water__mean_depth"] = fvd[seg_rows, 2].astype(np.float64)
+            np.asarray(q_out, np.float64)
+        v["channel_water_flow__speed"] = np.asarray(v_out, np.float64)
+        v["channel_water__mean_depth"] = np.asarray(d_out, np.float64)
         res_rows = self._topo.reservoir_rows
         if res_rows.size:
             v["lake_water~outgoing__volume_flow_rate"] = \
                 fvd[res_rows, 0].astype(np.float64)
             v["lake_surface__elevation"] = np.asarray(self._elev, np.float64)
         self._time = until
+
+    def _update_diffusive(self, q_before, fvd_all, ql_row, nts):
+        """Advance the diffusive mainstem over this update window, carrying
+        state across updates.  Returns {mainstem seg id: (q, depth)} at the
+        window end."""
+        import jax.numpy as jnp
+        from troute_tpu.diffusive.solver import (initialize_state,
+                                                 run_diffusive)
+
+        self._ingest_coastal_transport()
+        hyb = self._hyb
+        row = self._topo.index_of
+        n_trib = len(hyb.trib_segments)
+        trib_q = np.zeros((nts + 1, n_trib))
+        for k, s in enumerate(hyb.trib_segments):
+            r = row.get(int(s))
+            if r is None:
+                continue
+            trib_q[0, k] = float(q_before[r])
+            trib_q[1:, k] = fvd_all[:, r, 0]
+
+        # window-constant mainstem qlat from the pushed per-segment array
+        seg_ids = np.asarray(self._values["segment_id"], np.int64)
+        qsrc = np.asarray(
+            self._values.get("land_surface_water_source__volume_flow_rate",
+                             np.zeros(0)), np.float64)
+        qlat_rows = {}
+        for k, s in enumerate(seg_ids):
+            if int(s) in hyb.mainstem_set and k < qsrc.size:
+                qlat_rows[int(s)] = np.full(2, qsrc[k])
+
+        window = nts * self._dt
+        if self._coastal is not None:
+            db, dt_db, t_ref = self._coastal
+            skip = max(0, int(np.floor((self._time - t_ref) / dt_db)))
+            sl = db[:, skip:]
+            hyb.coastal_db = sl if sl.shape[1] >= 2 else None
+            hyb.coastal_dt_db = dt_db
+        dom = hyb.build_diffusive_domain(
+            qlat_rows, dt_qlat=window, trib_q=trib_q, dt_trib=self._dt,
+            dtini=self._dt)
+        if self._dst is None:
+            q_init = jnp.maximum(jnp.asarray(
+                np.broadcast_to(trib_q[0].sum() / max(dom.n_reaches, 1),
+                                (dom.n_reaches, dom.n_cols))), 0.1)
+            self._dst = initialize_state(dom, q_init,
+                                         dtini_min=self._dt / 10.0)
+        dst = self._dst._replace(t=jnp.asarray(0.0, self._dst.t.dtype))
+        dst, saves = run_diffusive(dom, dst, t_final=window,
+                                   save_interval=self._dt)
+        self._dst = dst
+        q_seg, d_seg = hyb.saves_to_segments(saves, dom)
+        return {s: (float(q_seg[s][-1]), float(d_seg[s][-1]))
+                for s in q_seg}
 
     def finalize(self) -> None:
         self._values.clear()
