@@ -164,3 +164,26 @@ def test_cli_parity_check(lc_config, tmp_path):
     assert stats is not None and stats["n"] > 0
     assert np.isfinite(stats["rmse"])
     assert stats["label"] == f"node {node}"
+
+
+def test_cli_v3_config(tmp_path):
+    """The reference's v3 CI config (test_AnA.yaml, run with -V3) works
+    through the permissive schema, including its hybrid diffusive domain."""
+    import os
+
+    for d in ("domain", "channel_forcing", "restart", "usgs_TimeSlice",
+              "usace_TimeSlice", "rfc_TimeSeries"):
+        os.symlink(REF / d, tmp_path / d)
+    cfg = yaml.safe_load(open(REF / "test_AnA.yaml"))
+    cfg["compute_parameters"]["forcing_parameters"]["nts"] = 12
+    # skip the (slow, 4 m-segment) diffusive mainstem in the smoke test;
+    # the full hybrid path is covered by the HurricaneLaura tests
+    cfg["compute_parameters"]["hybrid_parameters"]["run_hybrid_routing"] = \
+        False
+    cfg["output_parameters"] = {}
+    p = tmp_path / "cfg3.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    from troute_tpu.cli import main_v04
+    res = main_v04(["-f", str(p), "-V3"])
+    assert res["fvd"].shape[0] == 12
+    assert np.isfinite(res["fvd"]).all()

@@ -373,7 +373,11 @@ def main_v04(argv=None) -> dict:
     parser.add_argument("-f", "--custom-input-file", dest="config",
                         required=True)
     parser.add_argument("-V4", "--v4", action="store_true", default=True,
-                        help="v4 config schema (default and only version)")
+                        help="v4 config schema (default)")
+    parser.add_argument("-V3", "--v3", action="store_true",
+                        help="accept a v3-era YAML (the permissive schema "
+                             "reads v3 keys; reference test_AnA.yaml runs "
+                             "unmodified)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
     args = parser.parse_args(argv)
