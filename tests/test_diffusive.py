@@ -126,3 +126,32 @@ def test_junction_handoff():
     # upstream reaches hold their inflow
     assert float(st.q[0, -1]) == pytest.approx(60.0, rel=2e-2)
     assert float(st.q[1, -1]) == pytest.approx(40.0, rel=2e-2)
+
+
+def test_jacobi_corrector_matches_wavefront():
+    """The fixed-point corrector converges to the wavefront (sequential
+    substitution) solution on a junction network."""
+    nts, dt = 24, 300.0
+    r1 = _prism_reach(n_nodes=6)
+    r2 = _prism_reach(n_nodes=5, bo=15.0)
+    r3 = _prism_reach(n_nodes=8, s0=3e-4, z0=95.0)
+    qlat = np.zeros((nts, 3, 8))
+    qlat[4:10, 0, 3] = 0.03
+    trib = np.zeros((nts, 3))
+    trib[:, 0] = 60.0
+    trib[:, 1] = 40.0
+    dom = build_domain([r1, r2, r3], [2, 2, -1], qlat, dt, trib, dt, dt)
+    q0 = jnp.full((3, dom.n_cols), 50.0, jnp.float64)
+    res = {}
+    for mode in ("wavefront", "jacobi"):
+        st = initialize_state(dom, q0, dtini_min=dt / DTINI_DIVISOR)
+        st, _ = run_diffusive(dom, st, t_final=2 * 3600.0,
+                              save_interval=dt, corrector_mode=mode)
+        res[mode] = st
+    valid = np.asarray(dom.valid)
+    dy = np.abs(np.asarray(res["wavefront"].y)
+                - np.asarray(res["jacobi"].y))[valid]
+    dq = np.abs(np.asarray(res["wavefront"].q)
+                - np.asarray(res["jacobi"].q))[valid]
+    assert dy.max() < 1e-4
+    assert dq.max() < 1e-4

@@ -485,8 +485,11 @@ class BmiTrouteTpu:
             self._dst = initialize_state(dom, q_init,
                                          dtini_min=self._dt / 10.0)
         dst = self._dst._replace(t=jnp.asarray(0.0, self._dst.t.dtype))
+        mode = self._cfg.compute_parameters.hybrid_parameters \
+            .diffusive_corrector
         dst, saves = run_diffusive(dom, dst, t_final=window,
-                                   save_interval=self._dt)
+                                   save_interval=self._dt,
+                                   corrector_mode=mode)
         self._dst = dst
         q_seg, d_seg = hyb.saves_to_segments(saves, dom)
         return {s: (float(q_seg[s][-1]), float(d_seg[s][-1]))

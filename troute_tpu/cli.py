@@ -575,7 +575,8 @@ def main_v04(argv=None) -> dict:
                 (dom.n_reaches, dom.n_cols)), 0.1), jnp.float64)
         dst = initialize_state(dom, q_init, dtini_min=dt / 10.0)
         dst, saves = run_diffusive(dom, dst, t_final=total_steps * dt,
-                                   save_interval=dt)
+                                   save_interval=dt,
+                                   corrector_mode=hp.diffusive_corrector)
         q_seg, d_seg = hyb.saves_to_segments(saves, dom)
         diffusive_out = {"ids": np.asarray(list(q_seg.keys()), np.int64),
                          "q": np.stack(list(q_seg.values()), axis=1),

@@ -118,6 +118,10 @@ class HybridParameters(_Permissive):
     refactored_domain: Optional[str] = None
     refactored_topobathy_domain: Optional[str] = None
     coastal_boundary_domain: Optional[str] = None
+    # "wavefront" = sequential node sweep (reference parity);
+    # "jacobi" = depth-independent fixed-point corrector (faster on long
+    # mainstems, converged to 1e-6 m)
+    diffusive_corrector: str = "wavefront"
 
     @model_validator(mode="after")
     def _check_domain(self):

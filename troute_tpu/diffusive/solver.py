@@ -436,6 +436,32 @@ def _col_interp(xs_col, z_col, xcol, ycol, x, squared=False):
 MINDEPTH_NSTAB = 0.1    # diffusive.f90:264
 
 
+def _tailwater_elevation(dom: DiffusiveDomain, qp, t_next, dtype):
+    """[R] bottom-boundary elevation per reach: the coastal observed-depth
+    series where present (dsbc_option == 1, time-interpolated with linear
+    end extrapolation like the reference intp_y, diffusive.f90:2671-2699),
+    normal depth otherwise."""
+    C = dom.n_cols
+    elv_norm_bot = _col_interp(
+        dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
+        jnp.abs(qp[:, C - 1]))
+    if dom.db_depth is None:
+        return elv_norm_bot
+    n_db = dom.db_depth.shape[1]
+    tarr = jnp.arange(n_db, dtype=dtype) * dom.dt_db
+    i0 = jnp.clip(jnp.searchsorted(tarr, t_next, side="right") - 1,
+                  0, max(n_db - 2, 0))
+    t1 = tarr[i0]
+    t2 = tarr[jnp.minimum(i0 + 1, n_db - 1)]
+    w = jnp.where(t2 != t1, (t_next - t1) / jnp.where(t2 != t1,
+                                                      t2 - t1, 1.0), 0.0)
+    depth_db = (dom.db_depth[:, i0] * (1.0 - w)
+                + dom.db_depth[:, jnp.minimum(i0 + 1, n_db - 1)] * w)
+    z_bot = dom.z[:, C - 1]
+    y_coastal = jnp.maximum(depth_db + z_bot, MINDEPTH_NSTAB + z_bot)
+    return jnp.where(jnp.isfinite(depth_db), y_coastal, elv_norm_bot)
+
+
 def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
               t_next=0.0):
     """Depth/WSE sweep over the flattened global node wavefront.
@@ -451,38 +477,11 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
     dtype = qp.dtype
     rr = jnp.arange(R)
 
-    # tailwater observed-depth boundary, time-interpolated once per sweep
-    # (linearly extrapolated at the ends like the reference intp_y,
-    # diffusive.f90:2671-2699)
-    y_coastal = None
-    if dom.db_depth is not None:
-        n_db = dom.db_depth.shape[1]
-        tarr = jnp.arange(n_db, dtype=dtype) * dom.dt_db
-        i0 = jnp.clip(jnp.searchsorted(tarr, t_next, side="right") - 1,
-                      0, max(n_db - 2, 0))
-        t1 = tarr[i0]
-        t2 = tarr[jnp.minimum(i0 + 1, n_db - 1)]
-        w = jnp.where(t2 != t1, (t_next - t1) / jnp.where(t2 != t1,
-                                                          t2 - t1, 1.0), 0.0)
-        depth_db = (dom.db_depth[:, i0] * (1.0 - w)
-                    + dom.db_depth[:, jnp.minimum(i0 + 1, n_db - 1)] * w)
-        z_bot = dom.z[:, C - 1]
-        y_coastal = jnp.maximum(depth_db + z_bot, MINDEPTH_NSTAB + z_bot)
-        y_coastal = jnp.where(jnp.isfinite(depth_db), y_coastal, jnp.nan)
-
     def gather_cols(arr, col):
         """arr [R, C(, ...)] -> [R(, ...)] at per-reach column."""
         return arr[rr, col]
 
-    # tailwater boundary elevation: constant within a corrector sweep
-    # (depends on qp and t only), so computed once outside the node scan
-    elv_norm_bot = _col_interp(
-        dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
-        jnp.abs(qp[:, C - 1]))
-    y_tw_const = elv_norm_bot
-    if y_coastal is not None:
-        y_tw_const = jnp.where(jnp.isfinite(y_coastal), y_coastal,
-                               y_tw_const)
+    y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype)
 
     vsearch = jax.vmap(
         lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
@@ -576,13 +575,113 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
     return newY, celerity, diffusivity
 
 
-@functools.partial(jax.jit, static_argnames=("dtini_min",))
+def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
+                     dtini_min, t_next=0.0, tol=1e-6):
+    """Fixed-point (Jacobi) form of the depth sweep.
+
+    The wavefront corrector substitutes node depths bottom-up along a
+    lower-triangular chain — inherently sequential (D scan steps).  Here
+    every interior node solves its rtsafe relation against the PREVIOUS
+    iterate's downstream value, all nodes at once; iterating converges to
+    the same chain solution (exactly after D sweeps; with the previous
+    timestep's surface as warm start, typically in a handful).  Each sweep
+    is one fully-vectorized solve over all nodes — the op count no longer
+    scales with network depth, which is what bounds the wavefront mode on
+    long mainstems.
+    """
+    R, C = dom.n_reaches, dom.n_cols
+    dtype = qp.dtype
+    rr = jnp.arange(R)
+    y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype)
+
+    # flattened interior lanes: cur node (r, c), downstream node (r, c+1)
+    rrf = jnp.repeat(jnp.arange(R), C - 1)
+    curf = jnp.tile(jnp.arange(C - 1), R)
+    dsf = curf + 1
+    interior = curf >= dom.head_col[rrf]
+
+    ds = dom.ds_reach
+    ds_head_col = dom.head_col[jnp.maximum(ds, 0)]
+    z_cur = dom.z[rrf, curf]
+    z_ds = dom.z[rrf, dsf]
+    q_cur = qp[rrf, curf]
+    q_ds = qp[rrf, dsf]
+    dx_cur = dom.dx[rrf, curf]
+    y_old_depth = st.y[rrf, curf] - z_cur
+    max_sweeps = int(dom.bwd_active.shape[0]) + 2
+
+    def sweep(carry):
+        y, _delta, k = carry
+        y_junc = y[jnp.maximum(ds, 0), ds_head_col]
+        y_bot = jnp.where(ds >= 0, y_junc, y_tw_const)
+        y1 = y.at[rr, C - 1].set(y_bot)
+        y_up = _rtsafe_vec(
+            dom.xsec, rrf, curf, dsf, y1[rrf, dsf], q_cur, q_ds,
+            z_cur, z_ds, dx_cur, y_old_depth, active=interior)
+        elev_up = jnp.minimum(y_up + z_cur, 1.0e5)
+        new_vals = jnp.where(interior, elev_up, y1[rrf, curf])
+        y2 = y1.at[rrf, curf].set(new_vals)
+        delta = jnp.max(jnp.where(dom.valid, jnp.abs(y2 - y), 0.0))
+        return y2, delta, k + 1
+
+    newY, _, _ = jax.lax.while_loop(
+        lambda c: (c[2] < max_sweeps) & (c[1] > tol), sweep,
+        (st.y, jnp.asarray(jnp.inf, dtype), jnp.int32(0)))
+
+    # hydraulics at every valid node (identical formulas to the wavefront
+    # mode's node step), then reach-mean celerity/diffusivity
+    rrA = jnp.repeat(jnp.arange(R), C)
+    colA = jnp.tile(jnp.arange(C), R)
+    z_a = dom.z[rrA, colA]
+    y_a = newY[rrA, colA]
+    q_a = qp[rrA, colA]
+    el_a = dom.xsec[rrA, colA, COL_ELEV, :]
+    nel = el_a.shape[-1]
+    vsearch = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
+
+    def interp_at(grid, x, c):
+        idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
+        g1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
+        g2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
+        w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
+        v1 = dom.xsec[rrA, colA, c, idx]
+        v2 = dom.xsec[rrA, colA, c, idx + 1]
+        return v1 + (v2 - v1) * w
+
+    d2_grid = (el_a - z_a[:, None]) ** 2
+    co = jnp.maximum(interp_at(d2_grid, (y_a - z_a) ** 2, COL_CONV), 1e-12)
+    bo = jnp.maximum(interp_at(el_a, y_a, COL_TOPW), 1e-3)
+    sk = interp_at(el_a, y_a, COL_SKK)
+    sfi = q_a * jnp.abs(q_a) / co ** 2
+    cel_a = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
+        * jnp.abs(q_a) ** 0.4 / bo ** 0.4 \
+        / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
+    dx_ref = jnp.where(colA > 0, dom.dx[rrA, jnp.maximum(colA - 1, 0)],
+                       dom.dx[rrA, colA])
+    cel_a = jnp.minimum(cel_a, CFL * dx_ref / dtini_min)
+    dif_a = jnp.abs(q_a) / 2.0 / bo / jnp.maximum(jnp.abs(sfi), 1e-12)
+    cel2 = cel_a.reshape(R, C)
+    dif2 = dif_a.reshape(R, C)
+
+    nvalid = jnp.maximum(dom.valid.sum(axis=1), 1)
+    cel_mean = jnp.where(dom.valid, cel2, 0.0).sum(axis=1) / nvalid
+    dif_mean = jnp.where(dom.valid, dif2, 0.0).sum(axis=1) / nvalid
+    cel_mean = jnp.maximum(cel_mean, C_LLM)
+    dif_mean = jnp.clip(dif_mean, D_LLM, D_ULM)
+    celerity = jnp.broadcast_to(cel_mean[:, None], (R, C))
+    diffusivity = jnp.broadcast_to(dif_mean[:, None], (R, C))
+    return newY, celerity, diffusivity
+
+
+@functools.partial(jax.jit, static_argnames=("dtini_min", "corrector_mode"))
 def diffusive_step(dom: DiffusiveDomain, st: DiffusiveState, dtini,
-                   dtini_min: float):
+                   dtini_min: float, corrector_mode: str = "wavefront"):
     """One internal CN timestep: predictor + corrector + CFL info."""
     qp, qpx_new = predictor(dom, st, dtini, st.t)
-    newY, celerity, diffusivity = corrector(dom, st, qp, dtini_min,
-                                            t_next=st.t + dtini)
+    corr = corrector_jacobi if corrector_mode == "jacobi" else corrector
+    newY, celerity, diffusivity = corr(dom, st, qp, dtini_min,
+                                       t_next=st.t + dtini)
     new_state = DiffusiveState(q=qp, y=newY, qpx=qpx_new, celerity=celerity,
                                diffusivity=diffusivity, t=st.t + dtini)
     # max celerity/dx over valid interior nodes, for the next adaptive dt
@@ -611,8 +710,12 @@ def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float):
 
 
 def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
-                  save_interval: float):
+                  save_interval: float, corrector_mode: str = "wavefront"):
     """Host-driven adaptive time loop (reference ``calculateDT`` logic).
+
+    ``corrector_mode``: "wavefront" (sequential node sweep, reference
+    parity) or "jacobi" (depth-independent fixed-point iteration — much
+    faster on long mainstems, converged to 1e-6).
 
     Returns (final state, saved {t: DiffusiveState.q/.y snapshots}).
     """
@@ -632,7 +735,7 @@ def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
         dtini = min(dtini, t_final - t)
         dtini = max(dtini, 1e-3)
         st, mcd = diffusive_step(dom, st, jnp.asarray(dtini, st.q.dtype),
-                                 dtini_min)
+                                 dtini_min, corrector_mode=corrector_mode)
         max_cel_dx = float(mcd)
         t += dtini
         if abs(t % save_interval) < 1e-6 or abs(
