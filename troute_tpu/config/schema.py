@@ -118,10 +118,12 @@ class HybridParameters(_Permissive):
     refactored_domain: Optional[str] = None
     refactored_topobathy_domain: Optional[str] = None
     coastal_boundary_domain: Optional[str] = None
-    # "wavefront" = sequential node sweep (reference parity);
-    # "jacobi" = depth-independent fixed-point corrector (faster on long
-    # mainstems, converged to 1e-6 m)
-    diffusive_corrector: str = "wavefront"
+    # "jacobi" (default) = depth-independent fixed-point corrector — after
+    # at most depth-D sweeps it reproduces the sequential substitution
+    # exactly (triangular chain), and with warm starts converges in a
+    # handful, ~5x faster on long mainstems; "wavefront" = the
+    # reference-shaped sequential node sweep
+    diffusive_corrector: str = "jacobi"
 
     @model_validator(mode="after")
     def _check_domain(self):
