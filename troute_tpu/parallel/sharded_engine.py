@@ -175,7 +175,15 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             step, (sq(q0), sq(depth0), sq(res_elev0)), qlat_seq)
         return fvd[None]   # [1, nts, n_local, 3]
 
-    specs = ShardedInputs(
+    specs = input_specs()
+    fn = jax.shard_map(device_fn, mesh=mesh, in_specs=tuple(specs),
+                       out_specs=P(AXIS), check_vma=False)
+    return jax.jit(fn)(*inp)
+
+
+def input_specs() -> ShardedInputs:
+    """Per-field PartitionSpecs matching ``ShardedInputs``."""
+    return ShardedInputs(
         upstream_local=P(AXIS), export_slot=P(AXIS), halo_src_dev=P(AXIS),
         halo_src_pos=P(AXIS), valid=P(AXIS), is_reservoir=P(AXIS),
         res_slots=P(AXIS),
@@ -184,6 +192,25 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         q0=P(AXIS), depth0=P(AXIS), res_elev0=P(AXIS),
         qlat=P(None, AXIS))
 
-    fn = jax.shard_map(device_fn, mesh=mesh, in_specs=tuple(specs),
-                       out_specs=P(AXIS), check_vma=False)
-    return jax.jit(fn)(*inp)
+
+def place_global(mesh: Mesh, inp: ShardedInputs) -> ShardedInputs:
+    """Place inputs as GLOBAL arrays over a (possibly multi-process) mesh.
+
+    Every process holds the full host copy; each contributes only its
+    addressable shards (``jax.make_array_from_callback``).  This is the
+    multi-host entry: on N hosts each runs the same preprocessing, then
+    routes its mesh slice with collectives over ICI/DCN — the reference
+    has no multi-node analog (joblib is single-node, SURVEY §2.4).
+    """
+    leaves, treedef = jax.tree.flatten(inp)
+    spec_leaves = jax.tree.flatten(
+        input_specs(), is_leaf=lambda x: isinstance(x, P))[0]
+
+    def put(a, spec):
+        a = np.asarray(a)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(a.shape, sh,
+                                            lambda idx: a[idx])
+
+    return jax.tree.unflatten(
+        treedef, [put(a, s) for a, s in zip(leaves, spec_leaves)])
