@@ -66,11 +66,14 @@ def test_cli_end_to_end(lc_config, tmp_path):
     # outputs written and readable
     out = tmp_path / "out"
     ncs = sorted(out.glob("*.nc"))
-    assert len(ncs) == 2
+    # 1 chanobs + one stream-output file per simulated hour (reference
+    # stream_output_time=1h default), rows at the 60-min internal frequency
+    stream = [p for p in ncs if "troute_output" in p.name]
+    assert len(stream) == 3 and len(ncs) == 4
     with h5py.File(next(p for p in ncs if "chanobs" in p.name)) as f:
         assert f["streamflow"].shape == (76, 36)
-    with h5py.File(next(p for p in ncs if "troute_output" in p.name)) as f:
-        assert f["flow"].shape == (10907, 36)
+    with h5py.File(stream[0]) as f:
+        assert f["flow"].shape == (10907, 1)
         assert np.isfinite(f["flow"][...]).all()
     assert len(list(out.glob("*.csv"))) == 1
 

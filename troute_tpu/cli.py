@@ -610,10 +610,26 @@ def main_v04(argv=None) -> dict:
         p = out_dir / f"flowveldepth_{t0.strftime('%Y%m%d%H%M')}.csv"
         written.append(write_flowveldepth_csv(p, out_ids, fvd, t0, dt))
     if op.stream_output and op.stream_output.stream_output_directory:
-        out_dir = base / op.stream_output.stream_output_directory
-        out_dir.mkdir(parents=True, exist_ok=True)
-        p = out_dir / f"troute_output_{t0.strftime('%Y%m%d%H%M')}.nc"
-        written.append(write_stream_output_nc(p, out_ids, fvd, t0, dt))
+        import yaml as _yaml
+
+        from troute_tpu.io.output import write_stream_output
+        so = op.stream_output
+        mask_list = None
+        mask_path = getattr(so, "mask_output", None)
+        if mask_path and (base / str(mask_path)).exists():
+            with open(base / str(mask_path)) as f:
+                mask_list = _yaml.safe_load(f)
+        nexus_members = None
+        if built.wb_downstream_nexus:
+            nexus_members = {}
+            for wb, nx in built.wb_downstream_nexus.items():
+                nexus_members.setdefault(int(nx), []).append(int(wb))
+        written.extend(write_stream_output(
+            base / so.stream_output_directory, out_ids, fvd, t0, dt,
+            output_type=so.stream_output_type or ".nc",
+            file_hours=float(so.stream_output_time or 1.0),
+            internal_frequency_min=so.stream_output_internal_frequency,
+            mask_list=mask_list, nexus_members=nexus_members))
     if op.chanobs_output and op.chanobs_output.chanobs_output_directory \
             and built.gage_rows.size:
         out_dir = base / op.chanobs_output.chanobs_output_directory

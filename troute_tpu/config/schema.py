@@ -223,6 +223,7 @@ class StreamOutput(_Permissive):
     stream_output_time: float = 1.0
     stream_output_type: str = ".nc"
     stream_output_internal_frequency: int = 60
+    mask_output: Optional[str] = None
 
 
 class OutputParameters(_Permissive):

@@ -116,3 +116,143 @@ def write_lastobs_nc(path, gage_ids, lastobs_time, lastobs_discharge, t0):
         global_attrs={"modelTimeAtOutput":
                       t0.strftime("%Y-%m-%d_%H:%M:%S")})
     return path
+
+
+def apply_stream_mask(ids, fvd, nudge_rows, mask_list, nexus_members=None):
+    """Subset/aggregate outputs per the mask YAML (reference
+    ``mask_find_seg``/``updated_flowveldepth``, nhd_io.py:2245-2347).
+
+    ``mask_list``: {"wb": [...ids or 9999], "nex": [...ids or 9999]}.
+    Nexus rows aggregate member flowpaths: flow summed, velocity NaN when
+    more than one member, depth averaged.
+
+    Returns (ids_out, types_out, fvd_out [nts, M, 3], nudge_out or None).
+    """
+    ids = np.asarray(ids, np.int64)
+    fvd = np.asarray(fvd)
+    pos = {int(s): k for k, s in enumerate(ids)}
+
+    out_ids, out_types, cols = [], [], []
+    wb = mask_list.get("wb") or []
+    if wb:
+        keep = ids if 9999 in wb else [s for s in wb if s in pos]
+        for s in keep:
+            out_ids.append(int(s))
+            out_types.append("wb")
+            cols.append(fvd[:, pos[int(s)], :])
+
+    nex = mask_list.get("nex") or []
+    if nex and nexus_members:
+        nex_keys = (list(nexus_members) if 9999 in nex
+                    else [n for n in nex if n in nexus_members])
+        for nx in nex_keys:
+            members = [pos[m] for m in nexus_members[nx] if m in pos]
+            if not members:
+                continue
+            block = fvd[:, members, :]
+            q = block[:, :, 0].sum(axis=1)
+            v = (block[:, 0, 1] if len(members) == 1
+                 else np.full(fvd.shape[0], np.nan))
+            d = block[:, :, 2].mean(axis=1)
+            out_ids.append(int(nx))
+            out_types.append("nex")
+            cols.append(np.stack([q, v, d], axis=-1))
+
+    if not cols:
+        return (np.zeros(0, np.int64), [],
+                np.zeros((fvd.shape[0], 0, 3)), None)
+    fvd_out = np.stack(cols, axis=1)
+    return np.asarray(out_ids, np.int64), out_types, fvd_out, None
+
+
+def write_stream_output(out_dir, ids, fvd, t0, dt, nudge=None,
+                        output_type=".nc", file_hours=1.0,
+                        internal_frequency_min=None,
+                        mask_list=None, nexus_members=None):
+    """Full-featured stream output (reference ``nhd_io.write_flowveldepth``):
+    one file per ``file_hours`` of simulation, rows subsampled at
+    ``internal_frequency_min`` minutes, as netCDF / CSV / pickle, with
+    optional wb/nex masking.
+
+    Returns list of written paths.
+    """
+    import pandas as pd
+
+    from pathlib import Path
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fvd = np.asarray(fvd)
+    nts = fvd.shape[0]
+    types = ["wb"] * len(ids)
+    if mask_list:
+        ids, types, fvd, _ = apply_stream_mask(ids, fvd, None, mask_list,
+                                               nexus_members)
+
+    steps = np.arange(1, nts + 1)
+    if internal_frequency_min:
+        keep = (steps * dt) % (internal_frequency_min * 60.0) == 0
+        if not keep.any():
+            keep = np.ones(nts, bool)
+    else:
+        keep = np.ones(nts, bool)
+
+    per_file = max(int(round(file_hours * 3600.0 / dt)), 1)
+    written = []
+    for start in range(0, nts, per_file):
+        sel = np.zeros(nts, bool)
+        sel[start:start + per_file] = True
+        sel &= keep
+        if not sel.any():
+            continue
+        sub = fvd[sel]
+        t_secs = (steps[sel] * dt).astype(np.int64)
+        stamp = (t0 + pd.Timedelta(seconds=float(start * dt))) \
+            .strftime("%Y%m%d%H%M")
+        path = out_dir / f"troute_output_{stamp}{output_type}"
+        if output_type == ".nc":
+            _write_stream_nc(path, ids, types, sub, t_secs, t0)
+        else:
+            cols = {}
+            times = [t0 + pd.Timedelta(seconds=int(s)) for s in t_secs]
+            for k, ts in enumerate(times):
+                cols[f"{ts.isoformat()}_q"] = sub[k, :, 0]
+                cols[f"{ts.isoformat()}_v"] = sub[k, :, 1]
+                cols[f"{ts.isoformat()}_d"] = sub[k, :, 2]
+            df = pd.DataFrame(cols, index=pd.Index(ids, name="featureID"))
+            df["Type"] = types
+            if output_type == ".csv":
+                df.to_csv(path)
+            else:
+                df.to_pickle(path)
+        written.append(path)
+    return written
+
+
+def _write_stream_nc(path, ids, types, sub, t_secs, t0):
+    write_netcdf(
+        path,
+        variables={
+            "feature_id": np.asarray(ids, np.int64),
+            "type": np.asarray([t.encode() for t in types], dtype="S3"),
+            "time": t_secs,
+            "flow": sub[:, :, 0].T.astype(np.float32),
+            "velocity": sub[:, :, 1].T.astype(np.float32),
+            "depth": sub[:, :, 2].T.astype(np.float32),
+        },
+        dims={
+            "type": ("feature_id",),
+            "flow": ("feature_id", "time"),
+            "velocity": ("feature_id", "time"),
+            "depth": ("feature_id", "time"),
+        },
+        attrs={
+            "time": {"units": "seconds since %s"
+                     % t0.strftime("%Y-%m-%d %H:%M:%S")},
+            "flow": {"units": "m3 s-1"},
+            "velocity": {"units": "m s-1"},
+            "depth": {"units": "m"},
+        },
+        global_attrs={"TITLE": "troute_tpu stream output",
+                      "model_initialization_time":
+                          t0.strftime("%Y-%m-%d_%H:%M:%S")})

@@ -42,6 +42,7 @@ class BuiltNetwork:
     lake_crosswalk: dict         # lake id -> outlet segment id
     segment_rows: np.ndarray     # rows that are MC segments
     nexus_of_wb: dict | None = None   # HYFeatures: wb id -> upstream nexus
+    wb_downstream_nexus: dict | None = None  # HYFeatures: wb id -> downstream nexus
 
     @property
     def n_nodes(self):
@@ -88,10 +89,11 @@ def build_network(cfg: Config, base: Path,
                               ndmin=1)
     geo = base / sp.geo_file_path
     nexus_of_wb = None
+    wb_ds_nexus = None
     is_hyfeatures = str(geo).endswith(".gpkg")
     if is_hyfeatures:
         from troute_tpu.network.hyfeatures import read_geopkg
-        rl, nexus_of_wb = read_geopkg(geo)
+        rl, nexus_of_wb, wb_ds_nexus = read_geopkg(geo)
         if mask_ids is not None:
             keep = np.isin(rl.ids, mask_ids)
             rl = RouteLinkData(
@@ -275,7 +277,8 @@ def build_network(cfg: Config, base: Path,
         gage_rows=np.asarray(gage_rows, np.int32),
         gage_ids=np.asarray(gage_ids, dtype=object),
         lake_crosswalk=lake_crosswalk, segment_rows=seg_rows,
-        nexus_of_wb=nexus_of_wb)
+        nexus_of_wb=nexus_of_wb,
+        wb_downstream_nexus=wb_ds_nexus)
     if cache_path is not None:
         cache_path.parent.mkdir(parents=True, exist_ok=True)
         with open(cache_path, "wb") as f:

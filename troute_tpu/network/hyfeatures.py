@@ -94,7 +94,10 @@ def read_geopkg(path):
     nexus_of_wb = {}
     for nex, wb_id in nex_to_wb.items():
         nexus_of_wb[_num(wb_id)] = _num(nex)
-    return rl, nexus_of_wb
+    # wb -> its DOWNSTREAM nexus (the reference's output-mask nexus_dict
+    # groups flowpaths by toid, HYFeaturesNetwork.py:450)
+    wb_downstream_nexus = {_num(w): _num(nx) for w, nx in wb_to_nex.items()}
+    return rl, nexus_of_wb, wb_downstream_nexus
 
 
 def read_lake_attributes(path):
