@@ -190,3 +190,41 @@ def test_cli_v3_config(tmp_path):
     res = main_v04(["-f", str(p), "-V3"])
     assert res["fvd"].shape[0] == 12
     assert np.isfinite(res["fvd"]).all()
+
+
+def test_cli_chrtout_append(lc_config, tmp_path):
+    """CHRTOUT append output (reference nhd_io.write_chrtout): flow at
+    every qts-th step written into copies of the forcing CHRTOUT files."""
+    import shutil
+
+    src_dir = tmp_path / "chrtout"
+    src_dir.mkdir()
+    forcing = sorted((REF / "channel_forcing").glob("*.CHRTOUT_DOMAIN1"))
+    # the run uses hourly files starting after t0=13:00
+    for f in forcing[:6]:
+        shutil.copy(f, src_dir / f.name)
+
+    cfg = yaml.safe_load(open(lc_config))
+    cfg["output_parameters"]["chrtout_output"] = {
+        "wrf_hydro_channel_output_source_folder": str(src_dir)}
+    p = tmp_path / "cfg_chrt.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    from troute_tpu.cli import main_v04
+    res = main_v04(["-f", str(p)])
+
+    # 36 steps / qts 12 -> 3 files appended
+    appended = [f for f in sorted(src_dir.iterdir())
+                if "streamflow_troute" in h5py.File(f)]
+    assert len(appended) == 3
+    with h5py.File(appended[0]) as f:
+        q = f["streamflow_troute"][...]
+        fids = f["feature_id"][...]
+    fvd, ids = res["fvd"], res["ids"]
+    pos = {int(s): k for k, s in enumerate(ids)}
+    checked = 0
+    for i, s in enumerate(fids[:3000]):
+        r = pos.get(int(s))
+        if r is not None and fvd[11, r, 0] > 0:
+            np.testing.assert_allclose(q[i], fvd[11, r, 0], rtol=1e-6)
+            checked += 1
+    assert checked > 10

@@ -675,6 +675,14 @@ def main_v04(argv=None) -> dict:
         written.append(write_lastobs_nc(
             p, built.gage_ids, np.asarray(da.lastobs_time),
             np.asarray(da.lastobs_val), end_time))
+    chrto = op.chrtout_output
+    if chrto and chrto.wrf_hydro_channel_output_source_folder:
+        from troute_tpu.io.output import append_chrtout
+        src = base / chrto.wrf_hydro_channel_output_source_folder
+        files = [src / Path(f).name
+                 for r in run_sets for f in r["qlat_files"]]
+        files = [f for f in files if f.exists()]
+        written.extend(append_chrtout(files, out_ids, fvd, qts))
     rsrto = op.wrf_hydro_restart_output or {}
     if rsrto.get("wrf_hydro_channel_restart_source_directory"):
         from troute_tpu.io.restart import append_hydro_rst

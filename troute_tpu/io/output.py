@@ -256,3 +256,36 @@ def _write_stream_nc(path, ids, types, sub, t_secs, t0):
         global_attrs={"TITLE": "troute_tpu stream output",
                       "model_initialization_time":
                           t0.strftime("%Y-%m-%d_%H:%M:%S")})
+
+
+def append_chrtout(chrtout_files, ids, fvd, qts_subdivisions):
+    """Append ``streamflow_troute`` into existing CHRTOUT files (reference
+    ``nhd_io.write_chrtout``, nhd_io.py:737-800): file k holds the flow at
+    simulation step (k+1)*qts_subdivisions - 1, ordered by the file's own
+    feature_id variable.
+
+    Returns the list of files written.
+    """
+    import h5py
+
+    fvd = np.asarray(fvd)
+    nts = fvd.shape[0]
+    n_files = nts // qts_subdivisions
+    row_of = {int(s): k for k, s in enumerate(ids)}
+    written = []
+    for k, path in enumerate(list(chrtout_files)[:n_files]):
+        step = (k + 1) * qts_subdivisions - 1
+        with h5py.File(path, "a") as f:
+            fids = f["feature_id"][...].astype(np.int64)
+            q = np.zeros(fids.size, np.float32)
+            for i, s in enumerate(fids):
+                r = row_of.get(int(s))
+                if r is not None:
+                    q[i] = fvd[step, r, 0]
+            if "streamflow_troute" in f:
+                del f["streamflow_troute"]
+            d = f.create_dataset("streamflow_troute", data=q)
+            d.attrs["long_name"] = np.bytes_("River Flow")
+            d.attrs["units"] = np.bytes_("m3 s-1")
+        written.append(path)
+    return written
