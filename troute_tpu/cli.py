@@ -534,7 +534,15 @@ def main_v04(argv=None) -> dict:
                  run["nts"], task_times["route_time"])
 
     fvd = np.concatenate(all_fvd) if all_fvd else np.zeros((0, built.n_nodes, 3))
-    out_ids = np.asarray(topo.ids)
+    out_ids = np.asarray(topo.ids).copy()
+    # waterbody rows are reported under their OUTLET link id (reference
+    # _reindex_lake_to_link_id, output.py:255-256) so link-keyed outputs
+    # (CHRTOUT/HYDRO_RST appends, parity) resolve them
+    if built.lake_crosswalk:
+        alias = {int(lk): int(out) for lk, out in built.lake_crosswalk.items()}
+        for k, s in enumerate(out_ids):
+            if int(s) in alias:
+                out_ids[k] = alias[int(s)]
 
     # ---- diffusive mainstem routing (hybrid coupling) ----
     diffusive_out = None
