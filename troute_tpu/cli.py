@@ -479,6 +479,7 @@ def main_v04(argv=None) -> dict:
     d0 = jnp.asarray(built.depth0, dtype)
     elev0 = jnp.asarray(built.res_elev0, dtype)
     all_fvd = []
+    all_nudge = []
     step_offset = 0
     for s, run in enumerate(run_sets):
         t_start = time.time()
@@ -528,6 +529,8 @@ def main_v04(argv=None) -> dict:
             res_da = res_da._replace(hybrid_state0=hyb_state,
                                      rfc_state0=rfc_state)
         all_fvd.append(np.asarray(out["flowveldepth"]))
+        if out.get("nudge") is not None and np.asarray(out["nudge"]).size:
+            all_nudge.append(np.asarray(out["nudge"]))
         task_times["route_time"] += time.time() - t_start
         step_offset += run["nts"]
         LOG.info("run set %d/%d: %d steps (%.1fs)", s + 1, len(run_sets),
@@ -632,8 +635,12 @@ def main_v04(argv=None) -> dict:
             nexus_members = {}
             for wb, nx in built.wb_downstream_nexus.items():
                 nexus_members.setdefault(int(nx), []).append(int(wb))
+        nudge_arr = np.concatenate(all_nudge) if all_nudge else None
         written.extend(write_stream_output(
             base / so.stream_output_directory, out_ids, fvd, t0, dt,
+            nudge=nudge_arr,
+            nudge_ids=(topo.ids[built.gage_rows]
+                       if built.gage_rows.size else None),
             output_type=so.stream_output_type or ".nc",
             file_hours=float(so.stream_output_time or 1.0),
             internal_frequency_min=so.stream_output_internal_frequency,
@@ -703,14 +710,23 @@ def main_v04(argv=None) -> dict:
             written.extend(append_hydro_rst(
                 sorted(src.glob(patt)), out_ids, fvd, t0, dt,
                 base / xwalk))
-    if op.lakeout_output and topo.reservoir_rows.size:
+    if op.lakeout_output and topo.reservoir_rows.size and fvd.shape[0]:
+        # one lakeout file per output hour (reference writes waterbody
+        # states each qts-th step, output.py:231-258 + nhd_io:1775)
         out_dir = base / str(op.lakeout_output)
         out_dir.mkdir(parents=True, exist_ok=True)
         res_rows = topo.reservoir_rows
-        p = out_dir / f"lakeout_{t0.strftime('%Y%m%d%H%M')}.nc"
-        written.append(write_lakeout_nc(
-            p, topo.ids[res_rows], np.asarray(q0)[res_rows],
-            np.asarray(elev0), np.zeros(res_rows.size), t0))
+        up = topo.upstream[res_rows]             # [n_res, K]
+        for step in range(qts - 1, fvd.shape[0], qts):
+            prev_q = (fvd[step - 1, :, 0] if step > 0
+                      else np.asarray(built.q0))
+            vals = prev_q[np.maximum(up, 0)]
+            inflow = np.where(up >= 0, vals, 0.0).sum(axis=1)
+            stamp = t0 + pd.Timedelta(seconds=(step + 1) * dt)
+            p = out_dir / f"{stamp.strftime('%Y%m%d%H%M')}.LAKEOUT.nc"
+            written.append(write_lakeout_nc(
+                p, topo.ids[res_rows], fvd[step, res_rows, 0],
+                fvd[step, res_rows, 2], inflow, stamp))
     # config-driven WRF-Hydro parity check (reference
     # build_tests.parity_check, build_tests.py:163-301)
     parity_stats = None

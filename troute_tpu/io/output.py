@@ -166,6 +166,7 @@ def apply_stream_mask(ids, fvd, nudge_rows, mask_list, nexus_members=None):
 
 
 def write_stream_output(out_dir, ids, fvd, t0, dt, nudge=None,
+                        nudge_ids=None,
                         output_type=".nc", file_hours=1.0,
                         internal_frequency_min=None,
                         mask_list=None, nexus_members=None):
@@ -211,7 +212,9 @@ def write_stream_output(out_dir, ids, fvd, t0, dt, nudge=None,
             .strftime("%Y%m%d%H%M")
         path = out_dir / f"troute_output_{stamp}{output_type}"
         if output_type == ".nc":
-            _write_stream_nc(path, ids, types, sub, t_secs, t0)
+            nsub = nudge[sel] if nudge is not None else None
+            _write_stream_nc(path, ids, types, sub, t_secs, t0,
+                             nudge=nsub, nudge_ids=nudge_ids)
         else:
             cols = {}
             times = [t0 + pd.Timedelta(seconds=int(s)) for s in t_secs]
@@ -229,23 +232,30 @@ def write_stream_output(out_dir, ids, fvd, t0, dt, nudge=None,
     return written
 
 
-def _write_stream_nc(path, ids, types, sub, t_secs, t0):
+def _write_stream_nc(path, ids, types, sub, t_secs, t0, nudge=None,
+                     nudge_ids=None):
+    variables = {
+        "feature_id": np.asarray(ids, np.int64),
+        "type": np.asarray([t.encode() for t in types], dtype="S3"),
+        "time": t_secs,
+        "flow": sub[:, :, 0].T.astype(np.float32),
+        "velocity": sub[:, :, 1].T.astype(np.float32),
+        "depth": sub[:, :, 2].T.astype(np.float32),
+    }
+    dims = {
+        "type": ("feature_id",),
+        "flow": ("feature_id", "time"),
+        "velocity": ("feature_id", "time"),
+        "depth": ("feature_id", "time"),
+    }
+    if nudge is not None and nudge.size:
+        variables["nudge"] = np.asarray(nudge).T.astype(np.float32)
+        variables["nudge_feature_id"] = np.asarray(nudge_ids, np.int64)
+        dims["nudge"] = ("nudge_feature_id", "time")
     write_netcdf(
         path,
-        variables={
-            "feature_id": np.asarray(ids, np.int64),
-            "type": np.asarray([t.encode() for t in types], dtype="S3"),
-            "time": t_secs,
-            "flow": sub[:, :, 0].T.astype(np.float32),
-            "velocity": sub[:, :, 1].T.astype(np.float32),
-            "depth": sub[:, :, 2].T.astype(np.float32),
-        },
-        dims={
-            "type": ("feature_id",),
-            "flow": ("feature_id", "time"),
-            "velocity": ("feature_id", "time"),
-            "depth": ("feature_id", "time"),
-        },
+        variables=variables,
+        dims=dims,
         attrs={
             "time": {"units": "seconds since %s"
                      % t0.strftime("%Y-%m-%d %H:%M:%S")},
