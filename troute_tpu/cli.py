@@ -615,11 +615,20 @@ def main_v04(argv=None) -> dict:
     t_start = time.time()
     op = cfg.output_parameters
     written = []
+    def _subset(segments):
+        """Restrict (ids, fvd) to requested segment ids (reference
+        csv_output_segments / parquet_output_segments, output.py:198)."""
+        if not segments:
+            return out_ids, fvd
+        keep = np.isin(out_ids, np.asarray(segments, np.int64))
+        return out_ids[keep], fvd[:, keep]
+
     if op.csv_output and op.csv_output.get("csv_output_folder"):
         out_dir = base / op.csv_output["csv_output_folder"]
         out_dir.mkdir(parents=True, exist_ok=True)
         p = out_dir / f"flowveldepth_{t0.strftime('%Y%m%d%H%M')}.csv"
-        written.append(write_flowveldepth_csv(p, out_ids, fvd, t0, dt))
+        sub_ids, sub_fvd = _subset(op.csv_output.get("csv_output_segments"))
+        written.append(write_flowveldepth_csv(p, sub_ids, sub_fvd, t0, dt))
     if op.stream_output and op.stream_output.stream_output_directory:
         import yaml as _yaml
 
@@ -657,7 +666,9 @@ def main_v04(argv=None) -> dict:
         from troute_tpu.io.output import flowveldepth_dataframe
         out_dir = base / op.parquet_output["parquet_output_folder"]
         out_dir.mkdir(parents=True, exist_ok=True)
-        df = flowveldepth_dataframe(out_ids, fvd, t0, dt)
+        sub_ids, sub_fvd = _subset(
+            op.parquet_output.get("parquet_output_segments"))
+        df = flowveldepth_dataframe(sub_ids, sub_fvd, t0, dt)
         df.columns = [f"{ts.isoformat()}_{v}" for ts, v in df.columns]
         p = out_dir / f"troute_output_{t0.strftime('%Y%m%d%H%M')}.parquet"
         df.to_parquet(p)
