@@ -535,19 +535,12 @@ def route(net: NetworkArrays, chan: ChannelParams,
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("decay_coeff", "dt"))
-def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
+def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
                     t_seconds, upstream, chan: ChannelParams,
                     res_params: LevelpoolParams, is_res, res_rows,
                     gage_rows, decay_coeff, dt):
-    """One short-timestep routing step as a pure jitted function.
-
-    Used by ``route_stepped``: the Pallas MC kernel cannot currently live
-    inside ``lax.scan`` on this toolchain (Mosaic-in-scan compile hang), so
-    production stepping drives one compiled step per timestep from the
-    host.  All arrays are arguments — closing over network-sized constants
-    bakes them into the compile payload.
-    """
+    """Body of one short-timestep routing step (Pallas MC + reservoirs +
+    nudging); traced inside the jitted single/multi-step kernels."""
     dtype = q.dtype
     vals = q[jnp.maximum(upstream, 0)]
     up_prev = jnp.where(upstream >= 0, vals, 0.0).sum(axis=1)
@@ -579,6 +572,51 @@ def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
             q_new, t_seconds, da, lo_val, lo_time, obs_t)
 
     return q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge
+
+
+@functools.partial(jax.jit, static_argnames=("decay_coeff", "dt"))
+def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
+                    t_seconds, upstream, chan: ChannelParams,
+                    res_params: LevelpoolParams, is_res, res_rows,
+                    gage_rows, decay_coeff, dt):
+    """One short-timestep routing step as a pure jitted function.
+
+    The Pallas MC kernel cannot currently live inside ``lax.scan`` on this
+    toolchain (Mosaic-in-scan compile hang), so production stepping drives
+    compiled steps from the host.  All arrays are arguments — closing over
+    network-sized constants bakes them into the compile payload.
+    """
+    return _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t,
+                           obs_t, t_seconds, upstream, chan, res_params,
+                           is_res, res_rows, gage_rows, decay_coeff, dt)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("decay_coeff", "dt", "k_steps",
+                                    "collect"))
+def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
+                          obs_block, t0_seconds, upstream,
+                          chan: ChannelParams,
+                          res_params: LevelpoolParams, is_res, res_rows,
+                          gage_rows, decay_coeff, dt, k_steps,
+                          collect):
+    """``k_steps`` short timesteps unrolled in ONE compiled program (a
+    Python loop, not ``lax.scan`` — see the Mosaic note above).  Amortizes
+    the per-dispatch host/tunnel latency that otherwise dominates the
+    production stepper's wall time.
+    """
+    fvds, nudges = [], []
+    for k in range(k_steps):
+        t_seconds = t0_seconds + jnp.asarray(k * dt, q.dtype)
+        q, v, depth, res_elev, lo_val, lo_time, nudge = _one_short_step(
+            q, depth, res_elev, lo_val, lo_time, ql_block[k], obs_block[k],
+            t_seconds, upstream, chan, res_params, is_res, res_rows,
+            gage_rows, decay_coeff, dt)
+        nudges.append(nudge)
+        if collect:
+            fvds.append(jnp.stack([q, v, depth], axis=-1))
+    fvd = jnp.stack(fvds) if collect else None
+    return q, depth, res_elev, lo_val, lo_time, fvd, jnp.stack(nudges)
 
 
 def route_stepped(net: NetworkArrays, chan: ChannelParams,
@@ -619,35 +657,45 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     n_obs_t = da.obs.shape[0] if have_da else 0
 
     q, depth, res_elev = q0, depth0, res_elev0
-    fvd_steps = []
-    nudges = []
-    last_col = -1
-    ql_t = None
-    for t in range(1, cfg.nts + 1):
-        col = (t - 1) // cfg.qts_subdivisions
-        if col != last_col:
-            ql_t = qlat[col]
-            last_col = col
-        if have_da and t < n_obs_t:
-            obs_t = da.obs[t]
+    fvd_blocks = []
+    nudge_blocks = []
+    # K timesteps per dispatch: each host->device dispatch rides the
+    # (tunnel) latency once for K compiled steps.  K trades compile size
+    # for dispatch amortization; the tail reuses a smaller unroll.
+    K = 24
+    t = 1
+    while t <= cfg.nts:
+        k = min(K, cfg.nts - t + 1)
+        cols = jnp.asarray([(t + j - 1) // cfg.qts_subdivisions
+                            for j in range(k)], jnp.int32)
+        ql_block = qlat[cols]                          # [k, N]
+        if have_da:
+            ocols = jnp.asarray(
+                [min(t + j, n_obs_t - 1) if t + j < n_obs_t else 0
+                 for j in range(k)], jnp.int32)
+            obs_block = da.obs[ocols]
+            # rows beyond the obs table read NaN
+            miss = jnp.asarray([t + j >= n_obs_t for j in range(k)])
+            obs_block = jnp.where(miss[:, None], jnp.nan, obs_block)
         else:
-            obs_t = jnp.full((gage_rows.shape[0],), jnp.nan, dtype)
-        t_seconds = jnp.asarray(t * cfg.dt, dtype)
-        q, v, d_new, res_elev, lo_val, lo_time, nudge = _stepped_kernel(
-            q, depth, res_elev, lo_val, lo_time, ql_t, obs_t, t_seconds,
-            net.upstream, chan, res_params, net.is_reservoir, net.res_rows,
-            gage_rows, decay, cfg.dt)
-        depth = d_new
+            obs_block = jnp.zeros((k, 0), dtype)
+        t0_seconds = jnp.asarray(t * cfg.dt, dtype)
+        q, depth, res_elev, lo_val, lo_time, fvd_b, nudge_b = \
+            _stepped_kernel_multi(
+                q, depth, res_elev, lo_val, lo_time, ql_block, obs_block,
+                t0_seconds, net.upstream, chan, res_params,
+                net.is_reservoir, net.res_rows, gage_rows, decay, cfg.dt,
+                k_steps=k, collect=collect)
         if collect:
-            fvd_steps.append(jnp.stack([q[:n_real], v[:n_real],
-                                        d_new[:n_real]], axis=-1))
-            nudges.append(nudge)
+            fvd_blocks.append(fvd_b[:, :n_real])
+            nudge_blocks.append(nudge_b)
+        t += k
 
     state = RoutingState(q=q[:n_real], depth=depth[:n_real],
                          res_elev=res_elev, lastobs_val=lo_val,
                          lastobs_time=lo_time)
     out = {"state": state, "flowveldepth": None, "nudge": None}
     if collect:
-        out["flowveldepth"] = jnp.stack(fvd_steps)
-        out["nudge"] = jnp.stack(nudges)
+        out["flowveldepth"] = jnp.concatenate(fvd_blocks)
+        out["nudge"] = jnp.concatenate(nudge_blocks)
     return out
