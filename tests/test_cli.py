@@ -228,3 +228,28 @@ def test_cli_chrtout_append(lc_config, tmp_path):
             np.testing.assert_allclose(q[i], fvd[11, r, 0], rtol=1e-6)
             checked += 1
     assert checked > 10
+
+
+def test_cli_multiple_run_sets(lc_config, tmp_path):
+    """Splitting the horizon into run sets (max_loop_size) with warm-state
+    hand-off and DA clock re-basing must match the single-set run
+    (reference run-set loop, __main__.py:195-294 + mc_reach.pyx:822-836)."""
+    import copy
+
+    base_cfg = yaml.safe_load(open(lc_config))
+
+    def run(max_hours, tag):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["compute_parameters"]["forcing_parameters"]["max_loop_size"] = \
+            max_hours
+        cfg["output_parameters"] = {}
+        p = tmp_path / f"cfg_{tag}.yaml"
+        yaml.safe_dump(cfg, open(p, "w"))
+        from troute_tpu.cli import main_v04
+        return main_v04(["-f", str(p)])
+
+    one = run(24.0, "one")       # 36 steps in a single set
+    split = run(1.0, "split")    # 3 sets of 12 steps
+    assert one["fvd"].shape == split["fvd"].shape == (36, 10907, 3)
+    np.testing.assert_allclose(split["fvd"], one["fvd"], rtol=1e-6,
+                               atol=1e-6)
