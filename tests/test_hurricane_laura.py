@@ -138,3 +138,45 @@ def test_laura_refactored_network(tmp_path):
     for s in (1622703, 1622721):
         k, kr = (list(d["ids"]).index(s), list(dr["ids"]).index(s))
         assert abs(d["q"][-1, k] - dr["q"][-1, kr]) < 0.5
+
+
+def test_parquet_topobathy_equivalent(tmp_path):
+    """The HYFeatures parquet topobathy variant loads identically to the
+    NetCDF format (AbstractRouting.py:388-401 'wb-' prefixed hy_id)."""
+    import pandas as pd
+
+    from troute_tpu.io.netcdf import NetCDFFile
+
+    src = REF / "domain/final_diffusive_natural_xs.nc"
+    with NetCDFFile(src) as f:
+        links = f.read("link").astype(np.int64)
+        df = pd.DataFrame({
+            "hy_id": [f"wb-{s}" for s in links],
+            "xid_d": np.asarray(f.read("xid_d"), np.float64),
+            "z": np.asarray(f.read("z"), np.float64),
+            "n": np.asarray(f.read("n"), np.float64)})
+    pq = tmp_path / "topobathy.parquet"
+    df.to_parquet(pq)
+
+    import yaml as _yaml
+    from troute_tpu.config import load_config
+    from troute_tpu.routing.hybrid import HybridDomain
+    cfg = _yaml.safe_load(open(REF / "troute_UnitTest_noRS.yaml"))
+    sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+    sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
+    sp["mask_file_path"] = \
+        str(REF / "domain/unit_test_noRS/coastal_subset.txt")
+    cfg["compute_parameters"]["hybrid_parameters"]["diffusive_domain"] = \
+        str(REF / "domain/unit_test_noRS/coastal_domain.yaml")
+    p = tmp_path / "cfg.yaml"
+    _yaml.safe_dump(cfg, open(p, "w"))
+    c = load_config(p)
+
+    h1 = HybridDomain(c, tmp_path)
+    n1 = h1.load_topobathy(src)
+    h2 = HybridDomain(c, tmp_path)
+    n2 = h2.load_topobathy(pq)
+    assert n1 == n2 > 0
+    for key in h1.natural_xsec:
+        for a, b in zip(h1.natural_xsec[key], h2.natural_xsec[key]):
+            np.testing.assert_array_equal(a, b)

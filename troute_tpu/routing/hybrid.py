@@ -155,14 +155,30 @@ class HybridDomain:
         (reference ``fp_naturalxsec_map``, diffusive_utils_v02.py:394-500:
         interior nodes use their own segment's section; a reach's bottom
         node uses the downstream reach head's; the tailwater ghost node
-        reuses the last segment's section lowered by s0*dx)."""
-        from troute_tpu.io.netcdf import NetCDFFile
+        reuses the last segment's section lowered by s0*dx).
 
-        with NetCDFFile(path) as f:
-            links = f.read("link").astype(np.int64)
-            xid_d = np.asarray(f.read("xid_d"), np.float64)
-            zb = np.asarray(f.read("z"), np.float64)
-            nb = np.asarray(f.read("n"), np.float64)
+        Accepts the NetCDF format (link/xid_d/z/n) or the HYFeatures
+        parquet variant indexed by ``hy_id`` with 'wb-' prefixes
+        (reference ``MCwithDiffusiveNatlXSectionNonRefactored.topobathy_df``,
+        AbstractRouting.py:388-401)."""
+        if str(path).endswith(".parquet"):
+            import pandas as pd
+            df = pd.read_parquet(path)
+            if "hy_id" in df.columns:
+                df = df.set_index("hy_id")
+            idx = [int(str(i).split("-")[-1]) for i in df.index]
+            links = np.asarray(idx, np.int64)
+            xid_d = df["xid_d"].to_numpy(np.float64)
+            zb = df["z"].to_numpy(np.float64)
+            nb = df["n"].to_numpy(np.float64)
+        else:
+            from troute_tpu.io.netcdf import NetCDFFile
+
+            with NetCDFFile(path) as f:
+                links = f.read("link").astype(np.int64)
+                xid_d = np.asarray(f.read("xid_d"), np.float64)
+                zb = np.asarray(f.read("z"), np.float64)
+                nb = np.asarray(f.read("n"), np.float64)
         by_link: dict[int, list[int]] = {}
         for k, l in enumerate(links):
             by_link.setdefault(int(l), []).append(k)
