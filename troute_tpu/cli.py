@@ -577,13 +577,16 @@ def main_v04(argv=None) -> dict:
         ql_ms = read_qlat_chrtout(all_files, ms_ids)    # [n_files, M]
         qlat_rows = {int(s): ql_ms[:, k] for k, s in enumerate(ms_ids)}
 
+        diff_dtype = (jnp.float32
+                      if str(hp.diffusive_dtype) == "float32"
+                      else jnp.float64)
         dom = hyb.build_diffusive_domain(
             qlat_rows, dt_qlat=dt * qts, trib_q=trib_q, dt_trib=dt,
-            dtini=dt)
+            dtini=dt, dtype=diff_dtype)
         q_init = jnp.asarray(
             np.maximum(np.broadcast_to(
                 trib_q[0].sum() / max(dom.n_reaches, 1),
-                (dom.n_reaches, dom.n_cols)), 0.1), jnp.float64)
+                (dom.n_reaches, dom.n_cols)), 0.1), diff_dtype)
         dst = initialize_state(dom, q_init, dtini_min=dt / 10.0)
         dst, saves = run_diffusive(dom, dst, t_final=total_steps * dt,
                                    save_interval=dt,

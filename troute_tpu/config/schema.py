@@ -118,6 +118,10 @@ class HybridParameters(_Permissive):
     refactored_domain: Optional[str] = None
     refactored_topobathy_domain: Optional[str] = None
     coastal_boundary_domain: Optional[str] = None
+    # "float64" = reference precision (default); "float32" = TPU-native
+    # (f64 is emulated on TPU; f32 agrees to ~0.1 mm depth on the
+    # LowerColorado mainstem)
+    diffusive_dtype: str = "float64"
     # "jacobi" (default) = depth-independent fixed-point corrector — after
     # at most depth-D sweeps it reproduces the sequential substitution
     # exactly (triangular chain), and with warm starts converges in a

@@ -421,7 +421,7 @@ class HybridDomain:
         return True
 
     def build_diffusive_domain(self, qlat_rows, dt_qlat, trib_q, dt_trib,
-                               dtini):
+                               dtini, dtype=None):
         """Assemble the solver domain.
 
         Args:
@@ -429,8 +429,16 @@ class HybridDomain:
             dt_qlat: spacing of the qlat series (s)
             trib_q: [n_tt, n_trib] MC flows at tributary segments
             dt_trib: spacing of the tributary series (s)
+            dtype: jnp.float64 (reference precision, default) or
+                jnp.float32 (TPU-native: f64 is emulated on TPU; f32
+                agrees to ~0.1 mm depth / <0.01% flow on LowerColorado)
         """
+        import jax.numpy as jnp
+
         from troute_tpu.diffusive.domain import build_domain
+
+        if dtype is None:
+            dtype = jnp.float64
 
         R = self.n_reaches
         C = max(len(r["z"]) for r in self.reach_nodes)
@@ -467,7 +475,7 @@ class HybridDomain:
                 trib[:, ri] += trib_q[:, ti]
 
         return build_domain(self.reach_nodes, self.ds_reach, qlat,
-                            dt_qlat, trib, dt_trib, dtini,
+                            dt_qlat, trib, dt_trib, dtini, dtype=dtype,
                             natural_xsec=getattr(self, "natural_xsec",
                                                  None),
                             db_depth=getattr(self, "coastal_db", None),
