@@ -253,3 +253,33 @@ def test_cli_multiple_run_sets(lc_config, tmp_path):
     assert one["fvd"].shape == split["fvd"].shape == (36, 10907, 3)
     np.testing.assert_allclose(split["fvd"], one["fvd"], rtol=1e-6,
                                atol=1e-6)
+
+
+def test_cli_explicit_forcing_sets(lc_config, tmp_path):
+    """qlat_forcing_sets: pre-enumerated run sets match the globbed path
+    (reference AbstractNetwork.py:747)."""
+    import copy
+
+    base_cfg = yaml.safe_load(open(lc_config))
+    files = sorted(p.name for p in (REF / "channel_forcing").iterdir()
+                   if "CHRTOUT_DOMAIN1" in p.name)[:3]
+
+    cfg = copy.deepcopy(base_cfg)
+    cfg["compute_parameters"]["forcing_parameters"]["qlat_forcing_sets"] = [
+        {"qlat_files": files[:2], "nts": 24},
+        {"qlat_files": files[2:], "nts": 12},
+    ]
+    cfg["output_parameters"] = {}
+    p = tmp_path / "cfg_sets.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    from troute_tpu.cli import main_v04
+    res = main_v04(["-f", str(p)])
+
+    cfg2 = copy.deepcopy(base_cfg)
+    cfg2["output_parameters"] = {}
+    p2 = tmp_path / "cfg_glob.yaml"
+    yaml.safe_dump(cfg2, open(p2, "w"))
+    ref = main_v04(["-f", str(p2)])
+
+    assert res["fvd"].shape == ref["fvd"].shape == (36, 10907, 3)
+    np.testing.assert_allclose(res["fvd"], ref["fvd"], rtol=1e-6, atol=1e-6)

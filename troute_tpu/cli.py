@@ -453,7 +453,19 @@ def main_v04(argv=None) -> dict:
     t_start = time.time()
     nexus_mode = built.nexus_of_wb is not None and bool(
         fp.nexus_input_folder or fp.qlat_input_folder)
-    if nexus_mode:
+    explicit_sets = getattr(fp, "qlat_forcing_sets", None)
+    if explicit_sets:
+        # pre-listed run sets (reference AbstractNetwork.py:747: the
+        # forcing_parameters may enumerate qlat_files/nts per set)
+        folder = base / fp.qlat_input_folder if fp.qlat_input_folder \
+            else base
+        run_sets = [{"qlat_files": [folder / Path(f).name
+                                    for f in s["qlat_files"]],
+                     "nts": int(s.get("nts",
+                                      len(s["qlat_files"]) * qts))}
+                    for s in explicit_sets]
+        task_times["forcing_time"] += time.time() - t_start
+    elif nexus_mode:
         qlat_folder = base / (fp.nexus_input_folder or fp.qlat_input_folder)
         nex_pattern = getattr(fp, "nexus_file_pattern_filter",
                               None) or "*NEXOUT*"
@@ -461,9 +473,12 @@ def main_v04(argv=None) -> dict:
     else:
         qlat_folder = base / fp.qlat_input_folder
         pattern = (fp.qlat_file_pattern_filter or "*CHRTOUT_DOMAIN1").strip("*")
-    files = sorted(f for f in qlat_folder.iterdir() if pattern in f.name)
-    run_sets = build_forcing_sets(files, dt, qts, nts, fp.max_loop_size)
-    task_times["forcing_time"] += time.time() - t_start
+    if not explicit_sets:
+        files = sorted(f for f in qlat_folder.iterdir()
+                       if pattern in f.name)
+        run_sets = build_forcing_sets(files, dt, qts, nts,
+                                      fp.max_loop_size)
+        task_times["forcing_time"] += time.time() - t_start
 
     # ---- data assimilation ----
     total_nts = sum(r["nts"] for r in run_sets)

@@ -150,6 +150,9 @@ class ForcingParameters(_Permissive):
     qlat_const: float = 0.0
     nexus_input_folder: Optional[str] = None
     coastal_boundary_input_file: Optional[str] = None
+    # pre-enumerated run sets [{qlat_files: [...], nts: N}, ...]
+    # (reference AbstractNetwork.build_forcing_sets, :747)
+    qlat_forcing_sets: Optional[List[Dict[str, Any]]] = None
 
 
 class StreamflowDAParameters(_Permissive):
