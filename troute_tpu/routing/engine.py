@@ -275,10 +275,6 @@ def route(net: NetworkArrays, chan: ChannelParams,
         res_elev0 = jnp.zeros((1,), dtype)
 
     have_res_da = res_da is not None
-    if have_res_da and not cfg.assume_short_ts:
-        raise NotImplementedError(
-            "reservoir DA (hybrid/RFC/GL types) is implemented for the "
-            "production short-timestep mode")
     if res_da is None:
         res_da = ReservoirDAData.inactive(int(res_elev0.shape[0]), cfg.nts,
                                           dtype)
@@ -295,27 +291,22 @@ def route(net: NetworkArrays, chan: ChannelParams,
                               chan.cs, chan.s0, d_prev, dt)
         return out
 
-    def reservoirs(q_new, d_new, inflow_all, state: RoutingState, now,
-                   month_i):
-        """Run all reservoirs (levelpool + per-type DA); scatter outflow and
-        elevation into the node arrays.  Mirrors the reference's
-        per-reservoir dispatch in ``mc_reach.pyx:507-717``."""
-        if int(net.res_rows.shape[0]) == 0:
-            return q_new, d_new, state.res_elev, state.hybrid, state.rfc, \
-                state.gl
-        inflow = inflow_all[net.res_rows]
-        elev_prev = state.res_elev
+    def typed_dispatch(elev_prev, inflow, hyb_in, rfc_in, gl_in, now,
+                       month_i):
+        """Levelpool + per-type reservoir DA on all [n_res] lanes; mirrors
+        the reference's dispatch (``mc_reach.pyx:507-717``).  Returns
+        (outflow, elev, d_scatter, hyb, rfc, gl)."""
         lp_out, lp_elev = levelpool_step(elev_prev, inflow, inflow,
                                          jnp.zeros_like(inflow), dt,
                                          res_params)
         outflow, elev = lp_out, lp_elev
-        hyb, rfc, gl = state.hybrid, state.rfc, state.gl
+        hyb, rfc, gl = hyb_in, rfc_in, gl_in
 
         if have_res_da:
             wt = res_da.wbody_type
             # USGS(2)/USACE(3) hybrid persistence
             h_out, h_elev, hyb_n = hybrid_persistence_da(
-                state.hybrid, res_da.hybrid_obs, res_da.hybrid_obs_time,
+                hyb_in, res_da.hybrid_obs, res_da.hybrid_obs_time,
                 now, lp_out, inflow, dt, res_params.area,
                 res_params.max_depth, res_params.orifice_elev, elev_prev,
                 res_da.obs_lookback_hours)
@@ -324,11 +315,11 @@ def route(net: NetworkArrays, chan: ChannelParams,
             elev = jnp.where(is_hyb, h_elev, elev)
             hyb = jax.tree.map(
                 lambda new, old: jnp.where(is_hyb, new, old), hyb_n,
-                state.hybrid)
+                hyb_in)
 
             # RFC(4) / glacier(5) forecast DA
             r_out, r_elev, rfc_n = rfc_forecast_da(
-                state.rfc, res_da.rfc_series, res_da.rfc_counts,
+                rfc_in, res_da.rfc_series, res_da.rfc_counts,
                 res_da.rfc_use, res_da.rfc_timestep,
                 res_da.rfc_persist_seconds, wt, now, inflow, elev_prev,
                 lp_out, lp_elev, res_params.area * 1.0e6,
@@ -338,22 +329,35 @@ def route(net: NetworkArrays, chan: ChannelParams,
             elev = jnp.where(is_rfc, r_elev, elev)
             rfc = jax.tree.map(
                 lambda new, old: jnp.where(is_rfc, new, old), rfc_n,
-                state.rfc)
+                rfc_in)
 
             # Great Lakes(6): climatology/persistence only, no levelpool
             g_out, gl_n = great_lakes_da(
-                state.gl, res_da.gl_obs, res_da.gl_obs_time, now, month_i,
+                gl_in, res_da.gl_obs, res_da.gl_obs_time, now, month_i,
                 res_da.gl_climatology)
             is_gl = wt == 6
             outflow = jnp.where(is_gl, g_out, outflow)
             elev = jnp.where(is_gl, elev_prev, elev)
             gl = jax.tree.map(
-                lambda new, old: jnp.where(is_gl, new, old), gl_n, state.gl)
+                lambda new, old: jnp.where(is_gl, new, old), gl_n, gl_in)
 
             d_scatter = jnp.where(is_gl, 0.0, elev)
         else:
             d_scatter = elev
 
+        return outflow, elev, d_scatter, hyb, rfc, gl
+
+    def reservoirs(q_new, d_new, inflow_all, state: RoutingState, now,
+                   month_i):
+        """Run all reservoirs via ``typed_dispatch`` and scatter outflow
+        and elevation into the node arrays."""
+        if int(net.res_rows.shape[0]) == 0:
+            return q_new, d_new, state.res_elev, state.hybrid, state.rfc, \
+                state.gl
+        inflow = inflow_all[net.res_rows]
+        outflow, elev, d_scatter, hyb, rfc, gl = typed_dispatch(
+            state.res_elev, inflow, state.hybrid, state.rfc, state.gl,
+            now, month_i)
         q_new = q_new.at[net.res_rows].set(outflow)
         d_new = d_new.at[net.res_rows].set(d_scatter)
         return q_new, d_new, elev, hyb, rfc, gl
@@ -388,7 +392,7 @@ def route(net: NetworkArrays, chan: ChannelParams,
         return new_state, ys
 
     def step_strict(state: RoutingState, xs):
-        t, qlat_col, obs_t, _month_i = xs
+        t, qlat_col, obs_t, month_i = xs
         ql_t = qlat[qlat_col]
         up_prev = _upstream_sum(state.q, net.upstream)
         t_seconds = t.astype(dtype) * dt
@@ -400,8 +404,9 @@ def route(net: NetworkArrays, chan: ChannelParams,
         # a gage reach before downstream reaches compute within the same
         # timestep, so level L+1 must see the nudged value.
         def level_body(carry, level_xs):
-            rows, gage_active = level_xs
-            q_cur, v_cur, d_cur, res_elev, lo_val, lo_time, nudge_acc, courant = carry
+            rows, gage_active, res_active = level_xs
+            (q_cur, v_cur, d_cur, res_elev, lo_val, lo_time, nudge_acc,
+             courant, hyb_s, rfc_s, gl_s) = carry
             valid = rows >= 0
             safe_rows = jnp.maximum(rows, 0)
 
@@ -415,26 +420,36 @@ def route(net: NetworkArrays, chan: ChannelParams,
                 state.depth[safe_rows], dt)
 
             is_res_row = res_mask[safe_rows]
-            # reservoirs at this level: levelpool from their current inflow
-            res_p = jax.tree.map(lambda a: a[topo_res_slot_safe(safe_rows)],
-                                 res_params)
-            elev_rows = res_elev[topo_res_slot_safe(safe_rows)]
-            lp_out, lp_elev = levelpool_step(
-                elev_rows, quc_rows, quc_rows, jnp.zeros_like(quc_rows), dt,
-                res_p)
-
-            q_rows = jnp.where(is_res_row, lp_out, out.qdc)
+            q_rows = jnp.where(is_res_row, q_cur[safe_rows], out.qdc)
             v_rows = jnp.where(is_res_row, 0.0, out.velc)
-            d_rows = jnp.where(is_res_row, lp_elev, out.depthc)
+            d_rows = jnp.where(is_res_row, d_cur[safe_rows], out.depthc)
 
             scatter_rows = jnp.where(valid, safe_rows, q_cur.shape[0])
             q_cur = q_cur.at[scatter_rows].set(q_rows, mode="drop")
             v_cur = v_cur.at[scatter_rows].set(v_rows, mode="drop")
             d_cur = d_cur.at[scatter_rows].set(d_rows, mode="drop")
-            res_scatter = jnp.where(valid & is_res_row,
-                                    topo_res_slot_safe(safe_rows),
-                                    res_elev.shape[0])
-            res_elev = res_elev.at[res_scatter].set(lp_elev, mode="drop")
+
+            # reservoirs whose level is this chunk: full typed dispatch
+            # (levelpool + DA, mc_reach.pyx:507-717) committed lane-wise —
+            # downstream levels then read the assimilated outflow
+            if n_res_static:
+                inflow_res = _upstream_sum(q_cur,
+                                           net.upstream[net.res_rows])
+                outflow, elev, d_scatter, hyb_n, rfc_n, gl_n = \
+                    typed_dispatch(res_elev, inflow_res, hyb_s, rfc_s,
+                                   gl_s, t_seconds, month_i)
+                res_elev = jnp.where(res_active, elev, res_elev)
+                q_cur = q_cur.at[net.res_rows].set(
+                    jnp.where(res_active, outflow, q_cur[net.res_rows]))
+                d_cur = d_cur.at[net.res_rows].set(
+                    jnp.where(res_active, d_scatter,
+                              d_cur[net.res_rows]))
+                if have_res_da:
+                    sel = lambda new, old: jax.tree.map(
+                        lambda a, b: jnp.where(res_active, a, b), new, old)
+                    hyb_s = sel(hyb_n, hyb_s)
+                    rfc_s = sel(rfc_n, rfc_s)
+                    gl_s = sel(gl_n, gl_s)
 
             # nudge the gages that live at this level (row-local: full-[N]
             # masks per level step would dominate the scan)
@@ -452,21 +467,23 @@ def route(net: NetworkArrays, chan: ChannelParams,
                 c_rows = jnp.stack([out.cn, out.ck, out.X], axis=-1)
                 courant = courant.at[scatter_rows].set(c_rows, mode="drop")
             return (q_cur, v_cur, d_cur, res_elev, lo_val, lo_time,
-                    nudge_acc, courant), None
+                    nudge_acc, courant, hyb_s, rfc_s, gl_s), None
 
         courant0 = (jnp.zeros((n, 3), dtype) if cfg.return_courant
                     else jnp.zeros((0,), dtype))
         n_g = da.rows.shape[0]
-        (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, courant), _ = \
+        (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, courant,
+         hyb, rfc, gl), _ = \
             jax.lax.scan(
                 level_body,
                 (state.q, jnp.zeros_like(state.q), state.depth,
                  state.res_elev, state.lastobs_val, state.lastobs_time,
-                 jnp.zeros((n_g,), dtype), courant0),
-                (net.level_nodes, gage_level_active))
+                 jnp.zeros((n_g,), dtype), courant0, state.hybrid,
+                 state.rfc, state.gl),
+                (net.level_nodes, gage_level_active, res_level_active))
 
         new_state = RoutingState(q_new, d_new, res_elev, lo_val, lo_time,
-                                 state.hybrid, state.rfc, state.gl)
+                                 hyb, rfc, gl)
         ys = {"fvd": jnp.stack([q_new, v_new, d_new], axis=-1),
               "nudge": nudge}
         if cfg.return_courant:
@@ -483,7 +500,8 @@ def route(net: NetworkArrays, chan: ChannelParams,
     def topo_res_slot_safe(rows):
         return slot_dev[rows]
 
-    # which wavefront level each gage row lives at (strict mode)
+    # which wavefront level each gage / reservoir row lives at (strict mode)
+    n_res_static = int(net.res_rows.shape[0])
     if not cfg.assume_short_ts:
         ln_np = np.asarray(net.level_nodes)
         rows_np = np.asarray(da.rows)
@@ -492,8 +510,14 @@ def route(net: NetworkArrays, chan: ChannelParams,
             lvl = np.nonzero((ln_np == r).any(axis=1))[0]
             gla[lvl, gi] = True
         gage_level_active = jnp.asarray(gla)
+        rla = np.zeros((ln_np.shape[0], max(n_res_static, 1)), bool)
+        for si, r in enumerate(np.asarray(net.res_rows)):
+            lvl = np.nonzero((ln_np == r).any(axis=1))[0]
+            rla[lvl, si] = True
+        res_level_active = jnp.asarray(rla)
     else:
         gage_level_active = None
+        res_level_active = None
 
     ts = jnp.arange(1, cfg.nts + 1, dtype=jnp.int32)
     qlat_cols = ((ts - 1) // cfg.qts_subdivisions).astype(jnp.int32)
