@@ -495,6 +495,7 @@ def main_v04(argv=None) -> dict:
     elev0 = jnp.asarray(built.res_elev0, dtype)
     all_fvd = []
     all_nudge = []
+    all_courant = []
     step_offset = 0
     for s, run in enumerate(run_sets):
         t_start = time.time()
@@ -546,6 +547,9 @@ def main_v04(argv=None) -> dict:
         all_fvd.append(np.asarray(out["flowveldepth"]))
         if out.get("nudge") is not None and np.asarray(out["nudge"]).size:
             all_nudge.append(np.asarray(out["nudge"]))
+        if cfg.compute_parameters.return_courant \
+                and out.get("courant") is not None:
+            all_courant.append(np.asarray(out["courant"]))
         task_times["route_time"] += time.time() - t_start
         step_offset += run["nts"]
         LOG.info("run set %d/%d: %d steps (%.1fs)", s + 1, len(run_sets),
@@ -797,6 +801,8 @@ def main_v04(argv=None) -> dict:
     return {"fvd": fvd, "ids": out_ids, "built": built,
             "task_times": task_times, "written": written,
             "parity": parity_stats,
+            "courant": (np.concatenate(all_courant)
+                        if all_courant else None),
             "diffusive": diffusive_out,
             "final_state": (np.asarray(q0), np.asarray(d0),
                             np.asarray(elev0))}
