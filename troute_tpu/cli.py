@@ -504,7 +504,12 @@ def main_v04(argv=None) -> dict:
             ql = read_qlat_nexout(run["qlat_files"], topo.ids,
                                   built.nexus_of_wb)
         else:
-            ql = read_qlat_chrtout(run["qlat_files"], topo.ids)
+            ql = read_qlat_chrtout(
+                run["qlat_files"], topo.ids,
+                index_col=fp.qlat_file_index_col,
+                value_col=fp.qlat_file_value_col,
+                gw_bucket_col=fp.qlat_file_gw_bucket_flux_col,
+                runoff_col=fp.qlat_file_terrain_runoff_col)
         task_times["forcing_time"] += time.time() - t_start
 
         set_da = da
@@ -711,11 +716,13 @@ def main_v04(argv=None) -> dict:
                  "h0": np.asarray(elev0)[:topo.reservoir_rows.size]},
                 index=np.asarray(topo.ids)[topo.reservoir_rows])
         written.extend(write_lite_restart(out_dir, end_time, q0_df, wb_df))
-    if da is not None and cfg.compute_parameters \
-            .data_assimilation_parameters.streamflow_da.lastobs_output_folder:
+    lastobs_dir = (cfg.compute_parameters.data_assimilation_parameters
+                   .streamflow_da.lastobs_output_folder
+                   if cfg.compute_parameters.data_assimilation_parameters
+                   .streamflow_da else None) or op.lastobs_output
+    if da is not None and lastobs_dir:
         from troute_tpu.io.output import write_lastobs_nc
-        out_dir = base / cfg.compute_parameters.data_assimilation_parameters \
-            .streamflow_da.lastobs_output_folder
+        out_dir = base / lastobs_dir
         out_dir.mkdir(parents=True, exist_ok=True)
         end_time = t0 + pd.Timedelta(seconds=total_nts * dt)
         p = out_dir / ("nudgingLastObs."

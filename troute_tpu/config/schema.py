@@ -148,6 +148,8 @@ class ForcingParameters(_Permissive):
     qlat_file_index_col: str = "feature_id"
     qlat_file_value_col: str = "q_lateral"
     qlat_const: float = 0.0
+    qlat_file_gw_bucket_flux_col: str = "qBucket"
+    qlat_file_terrain_runoff_col: str = "qSfcLatRunoff"
     nexus_input_folder: Optional[str] = None
     coastal_boundary_input_file: Optional[str] = None
     # pre-enumerated run sets [{qlat_files: [...], nts: N}, ...]
@@ -240,6 +242,8 @@ class OutputParameters(_Permissive):
     chanobs_output: Optional[ChanobsOutputParameters] = None
     lite_restart: Optional[Dict[str, Any]] = None
     lakeout_output: Optional[str] = None
+    # alias of streamflow_da.lastobs_output_folder (reference output.py:192)
+    lastobs_output: Optional[str] = None
     stream_output: Optional[StreamOutput] = None
     test_output: Optional[str] = None
     wrf_hydro_parity_check: Optional[Dict[str, Any]] = None

@@ -12,22 +12,27 @@ import numpy as np
 from troute_tpu.io.netcdf import NetCDFFile
 
 
-def read_qlat_chrtout(files, segment_ids: np.ndarray) -> np.ndarray:
+def read_qlat_chrtout(files, segment_ids: np.ndarray,
+                      index_col: str = "feature_id",
+                      value_col: str = "q_lateral",
+                      gw_bucket_col: str = "qBucket",
+                      runoff_col: str = "qSfcLatRunoff") -> np.ndarray:
     """qlat [n_files, N] from CHRTOUT files, aligned to ``segment_ids``.
 
-    Lateral inflow = qBucket + qSfcLatRunoff when both are present, else
-    the q_lateral variable (reference ``nhd_io.py:397-435``).
+    Lateral inflow = gw_bucket_col + runoff_col when both are present, else
+    the ``value_col`` variable (reference ``nhd_io.py:397-435``; column
+    names configurable via forcing_parameters qlat_file_* keys).
     """
     segment_ids = np.asarray(segment_ids, np.int64)
     out = np.zeros((len(files), segment_ids.size), np.float32)
     for t, path in enumerate(files):
         with NetCDFFile(path) as f:
-            fids = f.read("feature_id").astype(np.int64)
+            fids = f.read(index_col).astype(np.int64)
             names = f.variables
-            if "qBucket" in names and "qSfcLatRunoff" in names:
-                ql = f.read("qBucket") + f.read("qSfcLatRunoff")
+            if gw_bucket_col in names and runoff_col in names:
+                ql = f.read(gw_bucket_col) + f.read(runoff_col)
             else:
-                ql = f.read("q_lateral")
+                ql = f.read(value_col)
         order = np.argsort(fids)
         pos = np.searchsorted(fids[order], segment_ids)
         pos = np.clip(pos, 0, fids.size - 1)
