@@ -739,9 +739,11 @@ def main_v04(argv=None) -> dict:
         files = [f for f in files if f.exists()]
         written.extend(append_chrtout(files, out_ids, fvd, qts))
     rsrto = op.wrf_hydro_restart_output or {}
-    if rsrto.get("wrf_hydro_channel_restart_source_directory"):
+    rst_src = (rsrto.get("wrf_hydro_channel_restart_source_directory")
+               or rsrto.get("wrf_hydro_restart_dir"))
+    if rst_src:
         from troute_tpu.io.restart import append_hydro_rst
-        src = base / rsrto["wrf_hydro_channel_restart_source_directory"]
+        src = base / rst_src
         patt = rsrto.get("wrf_hydro_channel_restart_pattern_filter",
                          "HYDRO_RST.*")
         xwalk = rsrto.get("wrf_hydro_channel_ID_crosswalk_file") \
