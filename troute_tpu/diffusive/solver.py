@@ -709,25 +709,105 @@ def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float):
     return st._replace(y=newY, celerity=celerity, diffusivity=diffusivity)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("save_interval", "dtini_min",
+                              "corrector_mode", "n_saves"))
+def _run_device(dom: DiffusiveDomain, st: DiffusiveState, t_final,
+                save_interval: float, dtini_min: float,
+                corrector_mode: str, n_saves: int, t_start):
+    """The whole adaptive time loop as ONE compiled ``while_loop`` — a
+    single dispatch regardless of internal step count (the host-stepped
+    form pays per-step dispatch latency, which dominates on a tunneled
+    TPU)."""
+    dtype = st.q.dtype
+    R, C = dom.n_reaches, dom.n_cols
+    eps = 1e-6
+
+    def cond(carry):
+        st, _, _, _ = carry
+        return st.t < t_final - eps
+
+    def body(carry):
+        st, max_cel_dx, qs, ys = carry
+        dtini = CFL / max_cel_dx
+        a = jnp.floor(st.t / save_interval)
+        b = jnp.floor((st.t + dtini) / save_interval)
+        dtini = jnp.where(b > a, (a + 1.0) * save_interval - st.t, dtini)
+        dtini = jnp.minimum(dtini, t_final - st.t)
+        dtini = jnp.maximum(dtini, 1e-3)
+
+        qp, qpx_new = predictor(dom, st, dtini, st.t)
+        corr = corrector_jacobi if corrector_mode == "jacobi" \
+            else corrector
+        newY, celerity, diffusivity = corr(dom, st, qp, dtini_min,
+                                           t_next=st.t + dtini)
+        st2 = DiffusiveState(q=qp, y=newY, qpx=qpx_new, celerity=celerity,
+                             diffusivity=diffusivity, t=st.t + dtini)
+        interior = dom.valid & (jnp.arange(C)[None, :] < C - 1)
+        cel_dx = jnp.where(interior, celerity / dom.dx, 0.0)
+        mcd = jnp.maximum(cel_dx.max(), 1e-12)
+
+        # save at interval boundaries (slot k holds t_start+(k+1)*interval)
+        ratio = st2.t / save_interval
+        hit = jnp.abs(ratio - jnp.round(ratio)) < 1e-6 / save_interval
+        start_slots = jnp.round(t_start / save_interval).astype(jnp.int32)
+        slot = jnp.clip(jnp.round(ratio).astype(jnp.int32) - 1
+                        - start_slots, 0, n_saves - 1)
+        qs = qs.at[slot].set(jnp.where(hit, st2.q, qs[slot]))
+        ys = ys.at[slot].set(jnp.where(hit, st2.y, ys[slot]))
+        return st2, mcd, qs, ys
+
+    qs0 = jnp.zeros((n_saves, R, C), dtype)
+    ys0 = jnp.zeros((n_saves, R, C), dtype)
+    st, mcd, qs, ys = jax.lax.while_loop(
+        cond, body, (st, jnp.asarray(1.0 / 100.0, dtype), qs0, ys0))
+    # guarantee the final slot reflects the final state (t_final may not
+    # land exactly on an interval boundary after float accumulation)
+    qs = qs.at[n_saves - 1].set(st.q)
+    ys = ys.at[n_saves - 1].set(st.y)
+    return st, qs, ys
+
+
 def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
-                  save_interval: float, corrector_mode: str = "wavefront"):
-    """Host-driven adaptive time loop (reference ``calculateDT`` logic).
+                  save_interval: float, corrector_mode: str = "wavefront",
+                  dispatch: str = "auto"):
+    """Adaptive time loop (reference ``calculateDT`` logic).
 
     ``corrector_mode``: "wavefront" (sequential node sweep, reference
     parity) or "jacobi" (depth-independent fixed-point iteration — much
     faster on long mainstems, converged to 1e-6).
 
-    Returns (final state, saved {t: DiffusiveState.q/.y snapshots}).
+    ``dispatch``: "host" drives one jitted step per internal dt (fastest
+    per-step on CPU); "device" compiles the whole loop into ONE dispatch
+    (a tunneled/remote TPU pays seconds of RTT per dispatch, so the
+    host-stepped form is pathological there); "auto" picks device off-CPU.
+
+    Returns (final state, saved [(t, q, y), ...] at save-interval
+    boundaries).
     """
+    if dispatch == "auto":
+        dispatch = "host" if jax.default_backend() == "cpu" else "device"
     dtini_min = float(dom.dtini_given) / DTINI_DIVISOR
-    t = float(st.t)
+    t_start = float(st.t)
+    if dispatch == "device":
+        n_saves = int(round((t_final - t_start) / save_interval))
+        if n_saves <= 0:
+            return st, []
+        dtype = st.q.dtype
+        st, qs, ys = _run_device(dom, st, jnp.asarray(t_final, dtype),
+                                 float(save_interval), dtini_min,
+                                 corrector_mode, n_saves,
+                                 jnp.asarray(t_start, dtype))
+        saves = [(t_start + (k + 1) * save_interval, qs[k], ys[k])
+                 for k in range(n_saves)]
+        return st, saves
+
+    t = t_start
     saves = []
-    # initial CFL estimate
     max_cel_dx = 1.0 / 100.0
     eps = 1e-6
     while t < t_final - eps:
         dtini = CFL / max_cel_dx
-        # snap to save-interval boundaries
         a = int(np.floor(t / save_interval))
         b = int(np.floor((t + dtini) / save_interval))
         if b > a:
