@@ -155,3 +155,20 @@ def test_jacobi_corrector_matches_wavefront():
                 - np.asarray(res["jacobi"].q))[valid]
     assert dy.max() < 1e-4
     assert dq.max() < 1e-4
+
+
+def test_device_dispatch_matches_host():
+    """The single-dispatch while_loop form is bit-identical to host
+    stepping (it is the TPU path, where per-step dispatch RTT dominates)."""
+    q_in = 120.0
+    dom = _single_reach_domain(q_in=q_in)
+    q0 = jnp.full((1, dom.n_cols), q_in, jnp.float64)
+    res = {}
+    for disp in ("host", "device"):
+        st = initialize_state(dom, q0, dtini_min=30.0)
+        st, saves = run_diffusive(dom, st, t_final=3600.0,
+                                  save_interval=300.0, dispatch=disp)
+        res[disp] = (np.asarray(st.y), np.asarray(st.q), len(saves))
+    assert res["host"][2] == res["device"][2] == 12
+    np.testing.assert_array_equal(res["host"][0], res["device"][0])
+    np.testing.assert_array_equal(res["host"][1], res["device"][1])
