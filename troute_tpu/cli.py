@@ -145,13 +145,21 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
 
     type_of, gage_of, rfc_gage_of = {}, {}, {}
     if rda.reservoir_parameter_file:
+        usgs_gage_f = (pda.crosswalk_usgs_gage_field
+                       if pda else "usgs_gage_id")
+        usace_gage_f = (pda.crosswalk_usace_gage_field
+                        if pda else "usace_gage_id")
+        usgs_lake_f = (getattr(pda, "crosswalk_usgs_lakeID_field", None)
+                       or "usgs_lake_id") if pda else "usgs_lake_id"
+        usace_lake_f = (getattr(pda, "crosswalk_usace_lakeID_field", None)
+                        or "usace_lake_id") if pda else "usace_lake_id"
         with NetCDFFile(base / rda.reservoir_parameter_file) as f:
             lake_ids = f.read("lake_id").astype(np.int64)
             res_type = f.read("reservoir_type").astype(np.int32)
-            usgs_lakes = f.read("usgs_lake_id").astype(np.int64)
-            usgs_gages = f.read_strings("usgs_gage_id")
-            usace_lakes = f.read("usace_lake_id").astype(np.int64)
-            usace_gages = f.read_strings("usace_gage_id")
+            usgs_lakes = f.read(usgs_lake_f).astype(np.int64)
+            usgs_gages = f.read_strings(usgs_gage_f)
+            usace_lakes = f.read(usace_lake_f).astype(np.int64)
+            usace_gages = f.read_strings(usace_gage_f)
             rfc_lakes = f.read("rfc_lake_id").astype(np.int64)
             rfc_gages = f.read_strings("rfc_gage_id")
         type_of = dict(zip(lake_ids.tolist(), res_type.tolist()))
