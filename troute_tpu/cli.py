@@ -446,6 +446,15 @@ def main_v04(argv=None) -> dict:
                             "falling back to normal-depth boundary",
                             nc_p, dom_p)
     built = build_network(cfg, base, exclude_ids=exclude)
+    pp = cfg.network_topology_parameters.preprocessing_parameters
+    if pp and pp.preprocess_only:
+        # build + cache the network, then stop (reference
+        # preprocess.py:509-533 early exit)
+        LOG.info("preprocess_only: network cached, exiting")
+        return {"fvd": np.zeros((0, built.n_nodes, 3)),
+                "ids": np.asarray(built.topo.ids), "built": built,
+                "task_times": task_times, "written": [], "parity": None,
+                "courant": None, "diffusive": None, "final_state": None}
     topo = built.topo
     net = network_arrays_from_topology(topo, need_levels=False)
     dtype = jnp.float32
