@@ -103,3 +103,60 @@ def test_partition_shapes_and_coverage():
     # basin partition has no cut edges for these independent basins... unless
     # a basin was split; greedy keeps basins whole:
     assert part.cut_edges == 0
+
+
+def test_sharded_with_gage_nudging():
+    """Gage DA in the sharded engine matches the single-device engine,
+    including gages on forced cross-device cuts."""
+    from troute_tpu.routing.engine import GageDA
+
+    nts, dt = 24, 300.0
+    dtype = jnp.float64
+    topo, chan, q0, depth0, qlat_cols, lake_row = _global_setup()
+    rng = np.random.default_rng(5)
+
+    gage_nodes = [3, 8, 22]          # mid-chain, outlet, other basin
+    gage_rows = np.asarray([topo.index_of[g] for g in gage_nodes])
+    obs = np.full((nts + 1, len(gage_nodes)), np.nan, np.float64)
+    obs[2:10, 0] = rng.uniform(5, 9, 8)
+    obs[5:20, 1] = rng.uniform(2, 4, 15)      # gaps elsewhere -> decay
+    obs[1:, 2] = rng.uniform(1, 2, nts)
+    lo_val = np.asarray([np.nan, 3.0, np.nan])
+    lo_time = np.asarray([0.0, -600.0, 0.0])
+
+    da = GageDA(rows=jnp.asarray(gage_rows),
+                obs=jnp.asarray(obs, dtype),
+                lastobs_val=jnp.asarray(lo_val, dtype),
+                lastobs_time=jnp.asarray(lo_time, dtype),
+                decay_coeff=120.0)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    cp = ChannelParams(**{k: jnp.asarray(v, dtype) for k, v in chan.items()})
+    lp = LevelpoolParams(*[jnp.asarray(LAKE_ROWVALS[:, i], dtype)
+                           for i in range(9)])
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True)
+    ref = np.asarray(route(net, cp, lp, cfg, jnp.asarray(q0, dtype),
+                           jnp.asarray(depth0, dtype),
+                           jnp.asarray([ELEV0], dtype),
+                           jnp.asarray(qlat_cols, dtype),
+                           da)["flowveldepth"])
+
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    assignment = (np.arange(topo.n_nodes) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    assert part.cut_edges > 0
+    inp = build_sharded_inputs(
+        part, topo, chan, LAKE_ROWVALS, q0, depth0, {lake_row: ELEV0},
+        qlat_cols, dtype=dtype, gage_rows=gage_rows, gage_obs=obs,
+        gage_lo_val=lo_val, gage_lo_time=lo_time)
+    fvd_sh = np.asarray(route_sharded(mesh, inp, dt, nts,
+                                      qts_subdivisions=4))
+    for d in range(n_dev):
+        for j in range(part.n_local):
+            g = part.global_row[d, j]
+            if g < 0:
+                continue
+            np.testing.assert_allclose(fvd_sh[d, :, j], ref[:, g],
+                                       rtol=0, atol=1e-12,
+                                       err_msg=f"node row {g}")

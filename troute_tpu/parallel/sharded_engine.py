@@ -45,13 +45,21 @@ class ShardedInputs(NamedTuple):
     depth0: jax.Array           # [n_dev, n_local]
     res_elev0: jax.Array        # [n_dev, R]
     qlat: jax.Array             # [n_cols, n_dev, n_local]
+    # streamflow-nudging DA, device-local lanes (-1 = pad slot)
+    gage_slot: jax.Array        # int32 [n_dev, G]
+    gage_obs: jax.Array         # [n_dev, nts+1, G] (NaN = missing)
+    gage_lo_val: jax.Array      # [n_dev, G]
+    gage_lo_time: jax.Array     # [n_dev, G]
 
 
 def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
                          res_params_np: np.ndarray | None,
                          q0, depth0, res_elev_by_row: dict,
                          qlat_cols: np.ndarray,
-                         dtype=jnp.float32) -> ShardedInputs:
+                         dtype=jnp.float32,
+                         gage_rows=None, gage_obs=None,
+                         gage_lo_val=None,
+                         gage_lo_time=None) -> ShardedInputs:
     """Assemble sharded arrays from global host arrays.
 
     Args:
@@ -92,6 +100,31 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
                             for k in ChannelParams._fields})
     qlat_sh = jnp.stack([shard(qlat_cols[c]) for c in range(qlat_cols.shape[0])])
 
+    # gage DA lanes: each gage lives on exactly one device (its owner)
+    n_obs_t = gage_obs.shape[0] if gage_obs is not None else 1
+    if gage_rows is not None and len(gage_rows):
+        per_dev = [[] for _ in range(nd)]
+        for gi, g in enumerate(np.asarray(gage_rows)):
+            per_dev[part.owner[g]].append((int(part.local_slot[g]), gi))
+        G = max(1, max(len(p) for p in per_dev))
+        gslot = np.full((nd, G), -1, np.int64)
+        gobs = np.full((nd, n_obs_t, G), np.nan)
+        glov = np.full((nd, G), np.nan)
+        glot = np.zeros((nd, G))
+        for d in range(nd):
+            for k, (slot, gi) in enumerate(per_dev[d]):
+                gslot[d, k] = slot
+                gobs[d, :, k] = np.asarray(gage_obs)[:, gi]
+                if gage_lo_val is not None:
+                    glov[d, k] = np.asarray(gage_lo_val)[gi]
+                    glot[d, k] = np.asarray(gage_lo_time)[gi]
+    else:
+        G = 1
+        gslot = np.full((nd, G), -1, np.int64)
+        gobs = np.full((nd, n_obs_t, G), np.nan)
+        glov = np.full((nd, G), np.nan)
+        glot = np.zeros((nd, G))
+
     return ShardedInputs(
         upstream_local=jnp.asarray(part.upstream_local, jnp.int32),
         export_slot=jnp.asarray(part.export_slot, jnp.int32),
@@ -106,6 +139,10 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
         q0=shard(q0), depth0=shard(depth0),
         res_elev0=jnp.asarray(res_e0, dtype),
         qlat=qlat_sh,
+        gage_slot=jnp.asarray(gslot, jnp.int32),
+        gage_obs=jnp.asarray(gobs, dtype),
+        gage_lo_val=jnp.asarray(glov, dtype),
+        gage_lo_time=jnp.asarray(glot, dtype),
     )
 
 
@@ -119,9 +156,10 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
     dt_ = jnp.asarray(dt, dtype)
 
     def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
-                   halo_src_pos, valid, is_res, res_slots, chan, res_params):
-        q, depth, res_elev = carry
-        qlat_t = xs
+                   halo_src_pos, valid, is_res, res_slots, chan, res_params,
+                   gage_slot, gage_obs):
+        q, depth, res_elev, lo_val, lo_time = carry
+        qlat_t, t_idx = xs
 
         # halo exchange: export my boundary flows, all-gather, import
         exported = q[export_slot]                     # [E]
@@ -153,26 +191,49 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         d_new = d_new.at[scatter].set(lp_elev, mode="drop")
         res_elev = jnp.where(have, lp_elev, res_elev)
 
+        # streamflow-nudging DA on device-local gage lanes
+        # (simple_da.pyx semantics, identical to engine._apply_nudging)
+        safe_g = jnp.maximum(gage_slot, 0)
+        obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
+        obs_t = jnp.where(gage_slot >= 0, obs_t, jnp.nan)
+        t_seconds = t_idx.astype(dtype) * dt_
+        model = q_new[safe_g]
+        have_obs = ~jnp.isnan(obs_t)
+        minutes = (t_seconds - lo_time) / 60.0
+        weight = jnp.exp(jnp.abs(minutes) / -120.0)
+        shift = (lo_val - model) * weight
+        no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
+        replaced = jnp.where(have_obs, obs_t,
+                             jnp.where(no_memory, model, model + shift))
+        lo_val = jnp.where(have_obs, obs_t, lo_val)
+        lo_time = jnp.where(have_obs, t_seconds, lo_time)
+        g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
+        q_new = q_new.at[g_scatter].set(replaced, mode="drop")
+
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
-        return (q_new, d_new, res_elev), fvd
+        return (q_new, d_new, res_elev, lo_val, lo_time), fvd
 
     def device_fn(upstream_local, export_slot, halo_src_dev, halo_src_pos,
                   valid, is_res, res_slots, chan, res_params, q0, depth0,
-                  res_elev0, qlat):
+                  res_elev0, qlat, gage_slot, gage_obs, gage_lo_val,
+                  gage_lo_time):
         # block shapes carry a leading size-1 device axis; drop it
         sq = lambda a: a[0]
         args = (sq(upstream_local), sq(export_slot), sq(halo_src_dev),
                 sq(halo_src_pos), sq(valid), sq(is_res), sq(res_slots),
-                jax.tree.map(sq, chan), jax.tree.map(sq, res_params))
+                jax.tree.map(sq, chan), jax.tree.map(sq, res_params),
+                sq(gage_slot), sq(gage_obs))
 
         cols = ((jnp.arange(nts) // qts_subdivisions)).astype(jnp.int32)
         qlat_seq = qlat[:, 0][cols]   # [nts, n_local]
+        t_seq = jnp.arange(1, nts + 1, dtype=jnp.int32)
 
         def step(c, x):
             return local_step(c, x, *args)
 
-        (_, _, _), fvd = jax.lax.scan(
-            step, (sq(q0), sq(depth0), sq(res_elev0)), qlat_seq)
+        (_, _, _, _, _), fvd = jax.lax.scan(
+            step, (sq(q0), sq(depth0), sq(res_elev0), sq(gage_lo_val),
+                   sq(gage_lo_time)), (qlat_seq, t_seq))
         return fvd[None]   # [1, nts, n_local, 3]
 
     specs = input_specs()
@@ -190,7 +251,9 @@ def input_specs() -> ShardedInputs:
         chan=ChannelParams(*[P(AXIS)] * len(ChannelParams._fields)),
         res_params=LevelpoolParams(*[P(AXIS)] * len(LevelpoolParams._fields)),
         q0=P(AXIS), depth0=P(AXIS), res_elev0=P(AXIS),
-        qlat=P(None, AXIS))
+        qlat=P(None, AXIS),
+        gage_slot=P(AXIS), gage_obs=P(AXIS), gage_lo_val=P(AXIS),
+        gage_lo_time=P(AXIS))
 
 
 def place_global(mesh: Mesh, inp: ShardedInputs) -> ShardedInputs:
