@@ -160,3 +160,94 @@ def test_sharded_with_gage_nudging():
             np.testing.assert_allclose(fvd_sh[d, :, j], ref[:, g],
                                        rtol=0, atol=1e-12,
                                        err_msg=f"node row {g}")
+
+
+def test_sharded_typed_reservoir_da():
+    """Typed reservoir DA (persistence + Great Lakes) in the sharded
+    engine matches the single-device engine bit-exactly."""
+    from troute_tpu.ops.reservoir_da import (
+        GreatLakesDAState, HybridDAState, RfcDAState)
+    from troute_tpu.parallel.sharded_engine import shard_reservoir_da
+    from troute_tpu.routing.engine import ReservoirDAData
+
+    nts, dt = 24, 300.0
+    dtype = jnp.float64
+    conn = {1: [2], 2: [901], 901: [3], 3: [4], 4: [],
+            10: [903], 903: [11], 11: [4]}
+    rng = np.random.default_rng(9)
+    topo = from_connections(conn, reservoir_ids=[901, 903])
+    n = topo.n_nodes
+    chan = dict(
+        dx=rng.uniform(500, 3000, n), bw=rng.uniform(2, 20, n),
+        tw=rng.uniform(25, 60, n), twcc=rng.uniform(80, 200, n),
+        n=np.full(n, 0.055), ncc=np.full(n, 0.11),
+        cs=rng.uniform(0.3, 1.5, n), s0=rng.uniform(0.001, 0.02, n))
+    q0 = rng.uniform(0.5, 5.0, n)
+    depth0 = rng.uniform(0.05, 0.8, n)
+    parm = np.array([[2.0, 12.0, 1.2, 0.1, 8.0, 0.4, 11.0, 12.0, 10.0],
+                     [500.0, 50.0, 1.0, 0.1, 10.0, 0.4, 45.0, 100.0,
+                      10.0]])
+    lake_rows = {int(topo.ids[r]): int(r) for r in topo.reservoir_rows}
+    elev_by_row = {lake_rows[901]: 10.5, lake_rows[903]: 40.0}
+    q0[lake_rows[901]] = 2.0
+    depth0[lake_rows[901]] = 10.5
+    q0[lake_rows[903]] = 2.0
+    depth0[lake_rows[903]] = 40.0
+    qlat_cols = rng.uniform(0.1, 2.0, (6, n))
+
+    n_res = topo.reservoir_rows.size
+    hobs = np.full((n_res, 20), np.nan)
+    gobs = np.full((n_res, 20), np.nan)
+    gtime = np.zeros((n_res, 20))
+    clim = np.zeros((n_res, 12))
+    wt = np.ones(n_res, np.int32)
+    for s, r in enumerate(topo.reservoir_rows):
+        lk = int(topo.ids[r])
+        if lk == 901:
+            wt[s] = 2
+            hobs[s] = rng.uniform(3, 9, 20)
+        else:
+            wt[s] = 6
+            gobs[s] = rng.uniform(800, 1200, 20)
+            gtime[s] = np.arange(20) * 3600.0
+            clim[s] = rng.uniform(500, 900, 12)
+    res_da = ReservoirDAData.inactive(n_res, nts, dtype)._replace(
+        wbody_type=jnp.asarray(wt),
+        hybrid_obs=jnp.asarray(hobs, dtype),
+        hybrid_obs_time=jnp.asarray(np.arange(20) * 900.0, dtype),
+        gl_obs=jnp.asarray(gobs, dtype),
+        gl_obs_time=jnp.asarray(gtime, dtype),
+        gl_climatology=jnp.asarray(clim, dtype),
+        month_idx=jnp.full(nts + 1, 7, jnp.int32))
+
+    net = network_arrays_from_topology(topo, need_levels=False)
+    cp = ChannelParams(**{k: jnp.asarray(v, dtype) for k, v in chan.items()})
+    lp = LevelpoolParams(*[jnp.asarray(parm[:, i], dtype) for i in range(9)])
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True)
+    elev0 = jnp.asarray([elev_by_row[int(r)]
+                         for r in topo.reservoir_rows], dtype)
+    ref = np.asarray(route(net, cp, lp, cfg, jnp.asarray(q0, dtype),
+                           jnp.asarray(depth0, dtype), elev0,
+                           jnp.asarray(qlat_cols, dtype), None,
+                           res_da)["flowveldepth"])
+
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    assignment = (np.arange(n) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    assert part.cut_edges > 0
+    inp = build_sharded_inputs(part, topo, chan, parm, q0, depth0,
+                               elev_by_row, qlat_cols, dtype=dtype)
+    rda_sh = shard_reservoir_da(part, topo, res_da, np.asarray(inp.res_slots),
+                                dtype=dtype)
+    fvd_sh = np.asarray(route_sharded(mesh, inp, dt, nts,
+                                      qts_subdivisions=4, res_da=rda_sh))
+    for d in range(n_dev):
+        for j in range(part.n_local):
+            g = part.global_row[d, j]
+            if g < 0:
+                continue
+            np.testing.assert_allclose(fvd_sh[d, :, j], ref[:, g],
+                                       rtol=0, atol=1e-12,
+                                       err_msg=f"row {g}")

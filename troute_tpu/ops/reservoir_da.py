@@ -251,3 +251,51 @@ def great_lakes_da(state: GreatLakesDAState, obs, obs_time, now, month_idx,
                               state.update_time + UPDATE_TIME_INTERVAL,
                               state.update_time))
     return outflow, new_state
+
+
+def typed_reservoir_dispatch(wbody_type, hybrid_obs, hybrid_obs_time,
+                             hyb_in, rfc_series, rfc_counts, rfc_use,
+                             rfc_timestep, rfc_persist_seconds, rfc_in,
+                             gl_obs, gl_obs_time, gl_climatology, gl_in,
+                             obs_lookback_hours,
+                             elev_prev, inflow, lp_out, lp_elev,
+                             now, month_i, area, max_depth, orifice_elev,
+                             dt):
+    """Per-type reservoir DA selection on [n_res] lanes (the reference's
+    ``compute_type`` dispatch, mc_reach.pyx:507-717).  Shared by the
+    single-chip and sharded engines so the semantics cannot diverge.
+
+    Returns (outflow, elev, d_scatter, hyb, rfc, gl).
+    """
+    outflow, elev = lp_out, lp_elev
+    wt = wbody_type
+
+    h_out, h_elev, hyb_n = hybrid_persistence_da(
+        hyb_in, hybrid_obs, hybrid_obs_time, now, lp_out, inflow, dt,
+        area, max_depth, orifice_elev, elev_prev, obs_lookback_hours)
+    is_hyb = (wt == 2) | (wt == 3)
+    outflow = jnp.where(is_hyb, h_out, outflow)
+    elev = jnp.where(is_hyb, h_elev, elev)
+    hyb = jax.tree.map(lambda new, old: jnp.where(is_hyb, new, old),
+                       hyb_n, hyb_in)
+
+    r_out, r_elev, rfc_n = rfc_forecast_da(
+        rfc_in, rfc_series, rfc_counts, rfc_use, rfc_timestep,
+        rfc_persist_seconds, wt, now, inflow, elev_prev, lp_out, lp_elev,
+        area * 1.0e6, max_depth, dt)
+    is_rfc = (wt == 4) | (wt == 5)
+    outflow = jnp.where(is_rfc, r_out, outflow)
+    elev = jnp.where(is_rfc, r_elev, elev)
+    rfc = jax.tree.map(lambda new, old: jnp.where(is_rfc, new, old),
+                       rfc_n, rfc_in)
+
+    g_out, gl_n = great_lakes_da(gl_in, gl_obs, gl_obs_time, now, month_i,
+                                 gl_climatology)
+    is_gl = wt == 6
+    outflow = jnp.where(is_gl, g_out, outflow)
+    elev = jnp.where(is_gl, elev_prev, elev)
+    gl = jax.tree.map(lambda new, old: jnp.where(is_gl, new, old),
+                      gl_n, gl_in)
+
+    d_scatter = jnp.where(is_gl, 0.0, elev)
+    return outflow, elev, d_scatter, hyb, rfc, gl

@@ -23,10 +23,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from troute_tpu.ops.levelpool import LevelpoolParams, levelpool_step
 from troute_tpu.ops.muskingum import muskingum_cunge
+from troute_tpu.ops.reservoir_da import (
+    GreatLakesDAState, HybridDAState, RfcDAState,
+    typed_reservoir_dispatch)
 from troute_tpu.parallel.partition import NetworkPartition, scatter_to_shards
 from troute_tpu.routing.engine import ChannelParams
 
 AXIS = "basin"
+
+
+class ShardedResDA(NamedTuple):
+    """Per-device reservoir-DA lanes ([n_dev, R, ...]); mirrors
+    ``routing.engine.ReservoirDAData`` sliced to each shard's
+    reservoirs."""
+
+    wbody_type: jax.Array          # int32 [n_dev, R]
+    hybrid_obs: jax.Array          # [n_dev, R, n_hobs]
+    hybrid_obs_time: jax.Array     # [n_dev, n_hobs]
+    hyb0: HybridDAState            # [n_dev, R] lanes
+    rfc_series: jax.Array          # [n_dev, R, n_counts]
+    rfc_counts: jax.Array          # int32 [n_dev, R]
+    rfc_use: jax.Array             # bool [n_dev, R]
+    rfc_timestep: jax.Array        # [n_dev, R]
+    rfc_persist_seconds: jax.Array
+    rfc0: RfcDAState
+    gl_obs: jax.Array              # [n_dev, R, n_gobs]
+    gl_obs_time: jax.Array
+    gl_climatology: jax.Array      # [n_dev, R, 12]
+    gl0: GreatLakesDAState
+    month_idx: jax.Array           # int32 [n_dev, nts+1] (replicated copies)
+    obs_lookback_hours: float
 
 
 class ShardedInputs(NamedTuple):
@@ -146,19 +172,64 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
     )
 
 
+def shard_reservoir_da(part: NetworkPartition, topo, res_da,
+                       res_slots: np.ndarray, dtype=jnp.float32):
+    """Slice a global ``ReservoirDAData`` ([n_res_global] lanes, ordered
+    by ``topo.reservoir_rows``) into per-device [n_dev, R] lanes matching
+    ``ShardedInputs.res_slots``."""
+    import jax
+
+    nd, R = res_slots.shape
+    slot_of_global = {int(r): i for i, r in enumerate(topo.reservoir_rows)}
+
+    def take(a, fill=0.0):
+        a = np.asarray(a)
+        out = np.full((nd, R) + a.shape[1:], fill, a.dtype)
+        for d in range(nd):
+            for i in range(R):
+                s = res_slots[d, i]
+                if s < 0:
+                    continue
+                g = int(part.global_row[d, s])
+                out[d, i] = a[slot_of_global[g]]
+        return jnp.asarray(out)
+
+    rep = lambda a: jnp.asarray(np.broadcast_to(np.asarray(a),
+                                                (nd,) + np.asarray(a).shape))
+    return ShardedResDA(
+        wbody_type=take(res_da.wbody_type, 1),
+        hybrid_obs=take(res_da.hybrid_obs, np.nan),
+        hybrid_obs_time=rep(res_da.hybrid_obs_time),
+        hyb0=jax.tree.map(take, res_da.hybrid_state0),
+        rfc_series=take(res_da.rfc_series),
+        rfc_counts=take(res_da.rfc_counts, 0),
+        rfc_use=take(res_da.rfc_use, False),
+        rfc_timestep=take(res_da.rfc_timestep, 1.0),
+        rfc_persist_seconds=take(res_da.rfc_persist_seconds),
+        rfc0=jax.tree.map(take, res_da.rfc_state0),
+        gl_obs=take(res_da.gl_obs, np.nan),
+        gl_obs_time=take(res_da.gl_obs_time),
+        gl_climatology=take(res_da.gl_climatology),
+        gl0=jax.tree.map(take, res_da.gl_state0),
+        month_idx=rep(res_da.month_idx),
+        obs_lookback_hours=float(res_da.obs_lookback_hours))
+
+
 def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
-                  qts_subdivisions: int = 1):
+                  qts_subdivisions: int = 1,
+                  res_da: ShardedResDA | None = None):
     """Compiled multi-device routing run (short-timestep mode).
 
     Returns fvd [n_dev, nts, n_local, 3] sharded over the mesh.
     """
     dtype = inp.q0.dtype
     dt_ = jnp.asarray(dt, dtype)
+    have_res_da = res_da is not None
 
     def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
                    halo_src_pos, valid, is_res, res_slots, chan, res_params,
-                   gage_slot, gage_obs):
-        q, depth, res_elev, lo_val, lo_time = carry
+                   gage_slot, gage_obs, rda):
+        q, depth, res_elev, lo_val, lo_time, hyb_s, rfc_s, gl_s = carry
         qlat_t, t_idx = xs
 
         # halo exchange: export my boundary flows, all-gather, import
@@ -185,18 +256,33 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
                                          jnp.zeros_like(inflow), dt_,
                                          res_params)
+        t_seconds = t_idx.astype(dtype) * dt_
+        if have_res_da:
+            month_i = rda.month_idx[jnp.minimum(
+                t_idx, rda.month_idx.shape[0] - 1)]
+            outflow, elev, d_scat, hyb_s, rfc_s, gl_s = \
+                typed_reservoir_dispatch(
+                    rda.wbody_type, rda.hybrid_obs, rda.hybrid_obs_time,
+                    hyb_s, rda.rfc_series, rda.rfc_counts, rda.rfc_use,
+                    rda.rfc_timestep, rda.rfc_persist_seconds, rfc_s,
+                    rda.gl_obs, rda.gl_obs_time, rda.gl_climatology,
+                    gl_s, rda.obs_lookback_hours,
+                    res_elev, inflow, lp_out, lp_elev, t_seconds, month_i,
+                    res_params.area, res_params.max_depth,
+                    res_params.orifice_elev, dt_)
+        else:
+            outflow, elev, d_scat = lp_out, lp_elev, lp_elev
         have = res_slots >= 0
         scatter = jnp.where(have, safe_slots, q_new.shape[0])
-        q_new = q_new.at[scatter].set(lp_out, mode="drop")
-        d_new = d_new.at[scatter].set(lp_elev, mode="drop")
-        res_elev = jnp.where(have, lp_elev, res_elev)
+        q_new = q_new.at[scatter].set(outflow, mode="drop")
+        d_new = d_new.at[scatter].set(d_scat, mode="drop")
+        res_elev = jnp.where(have, elev, res_elev)
 
         # streamflow-nudging DA on device-local gage lanes
         # (simple_da.pyx semantics, identical to engine._apply_nudging)
         safe_g = jnp.maximum(gage_slot, 0)
         obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
         obs_t = jnp.where(gage_slot >= 0, obs_t, jnp.nan)
-        t_seconds = t_idx.astype(dtype) * dt_
         model = q_new[safe_g]
         have_obs = ~jnp.isnan(obs_t)
         minutes = (t_seconds - lo_time) / 60.0
@@ -211,18 +297,32 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         q_new = q_new.at[g_scatter].set(replaced, mode="drop")
 
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
-        return (q_new, d_new, res_elev, lo_val, lo_time), fvd
+        return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
+                gl_s), fvd
 
     def device_fn(upstream_local, export_slot, halo_src_dev, halo_src_pos,
                   valid, is_res, res_slots, chan, res_params, q0, depth0,
                   res_elev0, qlat, gage_slot, gage_obs, gage_lo_val,
-                  gage_lo_time):
+                  gage_lo_time, *rda_flat):
         # block shapes carry a leading size-1 device axis; drop it
         sq = lambda a: a[0]
+        if have_res_da:
+            rda_d = jax.tree.unflatten(rda_treedef, rda_flat)
+            rda_d = jax.tree.map(sq, rda_d)
+            rda_l = ShardedResDA(obs_lookback_hours=lookback_static,
+                                 **rda_d)
+            hyb0, rfc0, gl0 = rda_l.hyb0, rda_l.rfc0, rda_l.gl0
+        else:
+            rda_l = None
+            R = res_slots.shape[-1]
+            z = jnp.zeros((R,), dtype)
+            hyb0 = HybridDAState(z, z, z, z)
+            rfc0 = RfcDAState(jnp.zeros((R,), jnp.int32), z)
+            gl0 = GreatLakesDAState(z, z, z)
         args = (sq(upstream_local), sq(export_slot), sq(halo_src_dev),
                 sq(halo_src_pos), sq(valid), sq(is_res), sq(res_slots),
                 jax.tree.map(sq, chan), jax.tree.map(sq, res_params),
-                sq(gage_slot), sq(gage_obs))
+                sq(gage_slot), sq(gage_obs), rda_l)
 
         cols = ((jnp.arange(nts) // qts_subdivisions)).astype(jnp.int32)
         qlat_seq = qlat[:, 0][cols]   # [nts, n_local]
@@ -231,15 +331,27 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         def step(c, x):
             return local_step(c, x, *args)
 
-        (_, _, _, _, _), fvd = jax.lax.scan(
+        _, fvd = jax.lax.scan(
             step, (sq(q0), sq(depth0), sq(res_elev0), sq(gage_lo_val),
-                   sq(gage_lo_time)), (qlat_seq, t_seq))
+                   sq(gage_lo_time), hyb0, rfc0, gl0), (qlat_seq, t_seq))
         return fvd[None]   # [1, nts, n_local, 3]
 
-    specs = input_specs()
+    specs = list(input_specs())
+    rda_args = ()
+    rda_treedef = None
+    lookback_static = 48.0
+    if have_res_da:
+        # obs_lookback_hours is a static float, not an array: close over
+        # it and flatten only the array fields
+        lookback_static = float(res_da.obs_lookback_hours)
+        rda_dict = {k: v for k, v in res_da._asdict().items()
+                    if k != "obs_lookback_hours"}
+        rda_flat, rda_treedef = jax.tree.flatten(rda_dict)
+        rda_args = tuple(rda_flat)
+        specs = specs + [P(AXIS)] * len(rda_flat)
     fn = jax.shard_map(device_fn, mesh=mesh, in_specs=tuple(specs),
                        out_specs=P(AXIS), check_vma=False)
-    return jax.jit(fn)(*inp)
+    return jax.jit(fn)(*inp, *rda_args)
 
 
 def input_specs() -> ShardedInputs:

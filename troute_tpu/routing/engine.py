@@ -42,8 +42,8 @@ from troute_tpu.network.topology import NODE_RESERVOIR, RoutingTopology
 from troute_tpu.ops.levelpool import LevelpoolParams, levelpool_step
 from troute_tpu.ops.muskingum import muskingum_cunge
 from troute_tpu.ops.reservoir_da import (
-    GreatLakesDAState, HybridDAState, RfcDAState, great_lakes_da,
-    hybrid_persistence_da, rfc_forecast_da)
+    GreatLakesDAState, HybridDAState, RfcDAState,
+    typed_reservoir_dispatch)
 
 
 class ChannelParams(NamedTuple):
@@ -299,53 +299,17 @@ def route(net: NetworkArrays, chan: ChannelParams,
         lp_out, lp_elev = levelpool_step(elev_prev, inflow, inflow,
                                          jnp.zeros_like(inflow), dt,
                                          res_params)
-        outflow, elev = lp_out, lp_elev
-        hyb, rfc, gl = hyb_in, rfc_in, gl_in
-
-        if have_res_da:
-            wt = res_da.wbody_type
-            # USGS(2)/USACE(3) hybrid persistence
-            h_out, h_elev, hyb_n = hybrid_persistence_da(
-                hyb_in, res_da.hybrid_obs, res_da.hybrid_obs_time,
-                now, lp_out, inflow, dt, res_params.area,
-                res_params.max_depth, res_params.orifice_elev, elev_prev,
-                res_da.obs_lookback_hours)
-            is_hyb = (wt == 2) | (wt == 3)
-            outflow = jnp.where(is_hyb, h_out, outflow)
-            elev = jnp.where(is_hyb, h_elev, elev)
-            hyb = jax.tree.map(
-                lambda new, old: jnp.where(is_hyb, new, old), hyb_n,
-                hyb_in)
-
-            # RFC(4) / glacier(5) forecast DA
-            r_out, r_elev, rfc_n = rfc_forecast_da(
-                rfc_in, res_da.rfc_series, res_da.rfc_counts,
-                res_da.rfc_use, res_da.rfc_timestep,
-                res_da.rfc_persist_seconds, wt, now, inflow, elev_prev,
-                lp_out, lp_elev, res_params.area * 1.0e6,
-                res_params.max_depth, dt)
-            is_rfc = (wt == 4) | (wt == 5)
-            outflow = jnp.where(is_rfc, r_out, outflow)
-            elev = jnp.where(is_rfc, r_elev, elev)
-            rfc = jax.tree.map(
-                lambda new, old: jnp.where(is_rfc, new, old), rfc_n,
-                rfc_in)
-
-            # Great Lakes(6): climatology/persistence only, no levelpool
-            g_out, gl_n = great_lakes_da(
-                gl_in, res_da.gl_obs, res_da.gl_obs_time, now, month_i,
-                res_da.gl_climatology)
-            is_gl = wt == 6
-            outflow = jnp.where(is_gl, g_out, outflow)
-            elev = jnp.where(is_gl, elev_prev, elev)
-            gl = jax.tree.map(
-                lambda new, old: jnp.where(is_gl, new, old), gl_n, gl_in)
-
-            d_scatter = jnp.where(is_gl, 0.0, elev)
-        else:
-            d_scatter = elev
-
-        return outflow, elev, d_scatter, hyb, rfc, gl
+        if not have_res_da:
+            return lp_out, lp_elev, lp_elev, hyb_in, rfc_in, gl_in
+        return typed_reservoir_dispatch(
+            res_da.wbody_type, res_da.hybrid_obs, res_da.hybrid_obs_time,
+            hyb_in, res_da.rfc_series, res_da.rfc_counts, res_da.rfc_use,
+            res_da.rfc_timestep, res_da.rfc_persist_seconds, rfc_in,
+            res_da.gl_obs, res_da.gl_obs_time, res_da.gl_climatology,
+            gl_in, res_da.obs_lookback_hours,
+            elev_prev, inflow, lp_out, lp_elev, now, month_i,
+            res_params.area, res_params.max_depth,
+            res_params.orifice_elev, dt)
 
     def reservoirs(q_new, d_new, inflow_all, state: RoutingState, now,
                    month_i):
