@@ -65,3 +65,56 @@ def test_stepped_matches_scan():
     np.testing.assert_allclose(
         np.asarray(out_step["nudge"]), np.asarray(out_scan["nudge"]),
         rtol=1e-9, atol=1e-12)
+
+
+def test_stepped_reservoir_da_matches_scan():
+    """route_stepped with typed reservoir DA (the production TPU path)
+    matches route()'s device-side scan exactly."""
+    import numpy as np
+
+    from troute_tpu.network.topology import from_connections
+    from troute_tpu.ops.levelpool import LevelpoolParams
+    from troute_tpu.routing.engine import (
+        ChannelParams, ReservoirDAData, RoutingConfig,
+        network_arrays_from_topology, route, route_stepped)
+
+    nts, dt = 8, 300.0
+    dtype = jnp.float32
+    conn = {1: [2], 2: [901], 901: [3], 3: []}
+    topo = from_connections(conn, reservoir_ids=[901])
+    n = topo.n_nodes
+    rng = np.random.default_rng(3)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(800, 2500, n), dtype),
+        bw=jnp.asarray(rng.uniform(3, 15, n), dtype),
+        tw=jnp.asarray(rng.uniform(20, 50, n), dtype),
+        twcc=jnp.asarray(rng.uniform(70, 160, n), dtype),
+        n=jnp.full(n, 0.05, dtype), ncc=jnp.full(n, 0.1, dtype),
+        cs=jnp.asarray(rng.uniform(0.4, 1.2, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.002, 0.015, n), dtype))
+    lp = LevelpoolParams(*[jnp.asarray([v], dtype) for v in
+                           (2.0, 12.0, 1.2, 0.1, 8.0, 0.4, 11.0, 12.0,
+                            10.0)])
+    hobs = np.full((1, 30), np.nan)
+    hobs[0, 2:20] = rng.uniform(3, 9, 18)
+    res_da = ReservoirDAData.inactive(1, nts, dtype)._replace(
+        wbody_type=jnp.asarray([2], jnp.int32),
+        hybrid_obs=jnp.asarray(hobs, dtype),
+        hybrid_obs_time=jnp.asarray(np.arange(30) * 900.0, dtype))
+    q0 = jnp.asarray(rng.uniform(1, 4, n), dtype)
+    d0 = jnp.asarray(rng.uniform(0.1, 0.5, n), dtype)
+    d0 = d0.at[topo.index_of[901]].set(10.5)
+    elev0 = jnp.asarray([10.5], dtype)
+    qlat = jnp.asarray(rng.uniform(0.2, 2.0, (6, n)), dtype)
+
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True, kernel="pallas")
+    out_scan = route(net, cp, lp, cfg, q0, d0, elev0, qlat, None, res_da)
+    out_step = route_stepped(net, cp, lp, cfg, q0, d0, elev0, qlat, None,
+                             res_da)
+    np.testing.assert_array_equal(np.asarray(out_scan["flowveldepth"]),
+                                  np.asarray(out_step["flowveldepth"]))
+    np.testing.assert_array_equal(
+        np.asarray(out_scan["state"].hybrid.persisted_outflow),
+        np.asarray(out_step["state"].hybrid.persisted_outflow))

@@ -549,8 +549,15 @@ def main_v04(argv=None) -> dict:
             assume_short_ts=cfg.compute_parameters.assume_short_ts,
             return_courant=cfg.compute_parameters.return_courant,
             kernel=kernel)
-        out = route(net, cp, lp, rcfg, q0, d0, elev0,
-                    jnp.asarray(ql, dtype), set_da, set_res_da)
+        if kernel == "pallas" and rcfg.assume_short_ts:
+            # Pallas cannot live inside lax.scan (remote-compiler hang);
+            # the host-stepped driver with 24-step unrolled dispatches is
+            # the production TPU path
+            out = route_stepped(net, cp, lp, rcfg, q0, d0, elev0,
+                                jnp.asarray(ql, dtype), set_da, set_res_da)
+        else:
+            out = route(net, cp, lp, rcfg, q0, d0, elev0,
+                        jnp.asarray(ql, dtype), set_da, set_res_da)
         state = out["state"]
         q0, d0, elev0 = state.q, state.depth, state.res_elev
         set_seconds = run["nts"] * dt

@@ -526,9 +526,11 @@ import functools
 def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
                     t_seconds, upstream, chan: ChannelParams,
                     res_params: LevelpoolParams, is_res, res_rows,
-                    gage_rows, decay_coeff, dt):
+                    gage_rows, decay_coeff, dt, res_da=None,
+                    da_states=None, month_i=None):
     """Body of one short-timestep routing step (Pallas MC + reservoirs +
-    nudging); traced inside the jitted single/multi-step kernels."""
+    nudging, optional typed reservoir DA); traced inside the jitted
+    single/multi-step kernels."""
     dtype = q.dtype
     vals = q[jnp.maximum(upstream, 0)]
     up_prev = jnp.where(upstream >= 0, vals, 0.0).sum(axis=1)
@@ -548,9 +550,25 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
         lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
                                          jnp.zeros_like(inflow),
                                          jnp.asarray(dt, dtype), res_params)
-        q_new = q_new.at[res_rows].set(lp_out)
-        d_new = d_new.at[res_rows].set(lp_elev)
-        res_elev = lp_elev
+        if res_da is not None:
+            hyb_s, rfc_s, gl_s = da_states
+            outflow, elev, d_scat, hyb_s, rfc_s, gl_s = \
+                typed_reservoir_dispatch(
+                    res_da.wbody_type, res_da.hybrid_obs,
+                    res_da.hybrid_obs_time, hyb_s, res_da.rfc_series,
+                    res_da.rfc_counts, res_da.rfc_use, res_da.rfc_timestep,
+                    res_da.rfc_persist_seconds, rfc_s, res_da.gl_obs,
+                    res_da.gl_obs_time, res_da.gl_climatology, gl_s,
+                    res_da.obs_lookback_hours, res_elev, inflow, lp_out,
+                    lp_elev, t_seconds, month_i, res_params.area,
+                    res_params.max_depth, res_params.orifice_elev,
+                    jnp.asarray(dt, dtype))
+            da_states = (hyb_s, rfc_s, gl_s)
+        else:
+            outflow, elev, d_scat = lp_out, lp_elev, lp_elev
+        q_new = q_new.at[res_rows].set(outflow)
+        d_new = d_new.at[res_rows].set(d_scat)
+        res_elev = elev
 
     nudge = jnp.zeros((gage_rows.shape[0],), dtype)
     if gage_rows.shape[0]:
@@ -559,7 +577,8 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
         q_new, nudge, lo_val, lo_time = _apply_nudging(
             q_new, t_seconds, da, lo_val, lo_time, obs_t)
 
-    return q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge
+    return (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge,
+            da_states)
 
 
 @functools.partial(jax.jit, static_argnames=("decay_coeff", "dt"))
@@ -576,7 +595,8 @@ def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
     """
     return _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t,
                            obs_t, t_seconds, upstream, chan, res_params,
-                           is_res, res_rows, gage_rows, decay_coeff, dt)
+                           is_res, res_rows, gage_rows, decay_coeff,
+                           dt)[:7]
 
 
 @functools.partial(jax.jit,
@@ -587,7 +607,8 @@ def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
                           chan: ChannelParams,
                           res_params: LevelpoolParams, is_res, res_rows,
                           gage_rows, decay_coeff, dt, k_steps,
-                          collect):
+                          collect, res_da=None, da_states=None,
+                          month_block=None):
     """``k_steps`` short timesteps unrolled in ONE compiled program (a
     Python loop, not ``lax.scan`` — see the Mosaic note above).  Amortizes
     the per-dispatch host/tunnel latency that otherwise dominates the
@@ -596,20 +617,25 @@ def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
     fvds, nudges = [], []
     for k in range(k_steps):
         t_seconds = t0_seconds + jnp.asarray(k * dt, q.dtype)
-        q, v, depth, res_elev, lo_val, lo_time, nudge = _one_short_step(
+        month_i = month_block[k] if res_da is not None else None
+        (q, v, depth, res_elev, lo_val, lo_time, nudge,
+         da_states) = _one_short_step(
             q, depth, res_elev, lo_val, lo_time, ql_block[k], obs_block[k],
             t_seconds, upstream, chan, res_params, is_res, res_rows,
-            gage_rows, decay_coeff, dt)
+            gage_rows, decay_coeff, dt, res_da=res_da,
+            da_states=da_states, month_i=month_i)
         nudges.append(nudge)
         if collect:
             fvds.append(jnp.stack([q, v, depth], axis=-1))
     fvd = jnp.stack(fvds) if collect else None
-    return q, depth, res_elev, lo_val, lo_time, fvd, jnp.stack(nudges)
+    return (q, depth, res_elev, lo_val, lo_time, fvd, jnp.stack(nudges),
+            da_states)
 
 
 def route_stepped(net: NetworkArrays, chan: ChannelParams,
                   res_params: LevelpoolParams, cfg: RoutingConfig,
                   q0, depth0, res_elev0, qlat, da: GageDA | None = None,
+                  res_da: ReservoirDAData | None = None,
                   collect: bool = True):
     """Host-driven production routing (short-timestep + Pallas kernel).
 
@@ -645,6 +671,9 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     n_obs_t = da.obs.shape[0] if have_da else 0
 
     q, depth, res_elev = q0, depth0, res_elev0
+    da_states = (None if res_da is None else
+                 (res_da.hybrid_state0, res_da.rfc_state0,
+                  res_da.gl_state0))
     fvd_blocks = []
     nudge_blocks = []
     # K timesteps per dispatch: each host->device dispatch rides the
@@ -668,20 +697,25 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         else:
             obs_block = jnp.zeros((k, 0), dtype)
         t0_seconds = jnp.asarray(t * cfg.dt, dtype)
-        q, depth, res_elev, lo_val, lo_time, fvd_b, nudge_b = \
-            _stepped_kernel_multi(
+        month_block = (res_da.month_idx[jnp.clip(
+            jnp.asarray([t + j for j in range(k)]), 0,
+            res_da.month_idx.shape[0] - 1)] if res_da is not None else None)
+        (q, depth, res_elev, lo_val, lo_time, fvd_b, nudge_b,
+         da_states) = _stepped_kernel_multi(
                 q, depth, res_elev, lo_val, lo_time, ql_block, obs_block,
                 t0_seconds, net.upstream, chan, res_params,
                 net.is_reservoir, net.res_rows, gage_rows, decay, cfg.dt,
-                k_steps=k, collect=collect)
+                k_steps=k, collect=collect, res_da=res_da,
+                da_states=da_states, month_block=month_block)
         if collect:
             fvd_blocks.append(fvd_b[:, :n_real])
             nudge_blocks.append(nudge_b)
         t += k
 
+    hyb, rfc, gl = da_states if da_states is not None else (None,) * 3
     state = RoutingState(q=q[:n_real], depth=depth[:n_real],
                          res_elev=res_elev, lastobs_val=lo_val,
-                         lastobs_time=lo_time)
+                         lastobs_time=lo_time, hybrid=hyb, rfc=rfc, gl=gl)
     out = {"state": state, "flowveldepth": None, "nudge": None}
     if collect:
         out["flowveldepth"] = jnp.concatenate(fvd_blocks)
