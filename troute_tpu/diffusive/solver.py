@@ -292,7 +292,7 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
 
 
 def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
-                z_ds, dx_cur, y_old_depth, active=None):
+                z_ds, dx_cur, y_old_depth, active=None, grids=None):
     """Vectorized Newton/bisection depth solve
     (reference ``rtsafe``/``funcd_diffdepth``, diffusive.f90:1568-1711).
 
@@ -328,11 +328,15 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     y_ds = jnp.maximum(y_ds_elev - z_ds, 0.005)
     slope = jnp.maximum((z_cur - z_ds) / dx_cur, SO_LLM)
 
-    el_ds_grid = xsec[rr, ds_col, COL_ELEV, :]
+    # the [R, nel] elevation/uniform grids are loop-invariant across
+    # jacobi sweeps — callers may precompute them once (``grids``)
+    el_ds_grid = (grids[1] if grids is not None
+                  else xsec[rr, ds_col, COL_ELEV, :])
     conv_ds = tab(ds_col, el_ds_grid, COL_CONV, y_ds + z_ds)
     sf_ds = jnp.abs(q_ds) * q_ds / jnp.maximum(conv_ds, 1e-12) ** 2
 
-    el_grid = xsec[rr, cur_col, COL_ELEV, :]
+    el_grid = (grids[0] if grids is not None
+               else xsec[rr, cur_col, COL_ELEV, :])
 
     def f_df(y_cur):
         """Diffusive-momentum residual + derivative; one elevation-grid
@@ -356,7 +360,8 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
         df = 1.0 + (jnp.abs(q_cur) * q_cur / conv ** 3) * dx_cur * topw * dkda
         return f, df
 
-    uni_grid = xsec[rr, cur_col, COL_UNIFORM, :]
+    uni_grid = (grids[2] if grids is not None
+                else xsec[rr, cur_col, COL_UNIFORM, :])
     elv_norm = tab(cur_col, uni_grid, COL_ELEV, jnp.abs(q_cur))
     y_norm = elv_norm - z_cur
     x1 = 0.5 * (y_norm + y_old_depth) * 0.1
@@ -609,6 +614,9 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     dx_cur = dom.dx[rrf, curf]
     y_old_depth = st.y[rrf, curf] - z_cur
     max_sweeps = int(dom.bwd_active.shape[0]) + 2
+    grids = (dom.xsec[rrf, curf, COL_ELEV, :],
+             dom.xsec[rrf, dsf, COL_ELEV, :],
+             dom.xsec[rrf, curf, COL_UNIFORM, :])
 
     def sweep(carry):
         y, _delta, k = carry
@@ -617,7 +625,8 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         y1 = y.at[rr, C - 1].set(y_bot)
         y_up = _rtsafe_vec(
             dom.xsec, rrf, curf, dsf, y1[rrf, dsf], q_cur, q_ds,
-            z_cur, z_ds, dx_cur, y_old_depth, active=interior)
+            z_cur, z_ds, dx_cur, y_old_depth, active=interior,
+            grids=grids)
         elev_up = jnp.minimum(y_up + z_cur, 1.0e5)
         new_vals = jnp.where(interior, elev_up, y1[rrf, curf])
         y2 = y1.at[rrf, curf].set(new_vals)
