@@ -518,8 +518,11 @@ def main_v04(argv=None) -> dict:
         t_start = time.time()
         if nexus_mode:
             from troute_tpu.network.hyfeatures import read_qlat_nexout
+            binary_dir = getattr(fp, "binary_nexus_file_folder", None)
             ql = read_qlat_nexout(run["qlat_files"], topo.ids,
-                                  built.nexus_of_wb)
+                                  built.nexus_of_wb,
+                                  binary_folder=(base / str(binary_dir)
+                                                 if binary_dir else None))
         else:
             ql = read_qlat_chrtout(
                 run["qlat_files"], topo.ids,

@@ -119,19 +119,51 @@ def read_lake_attributes(path):
     return lake_ids, params
 
 
-def read_qlat_nexout(files, segment_ids, nexus_of_wb):
+def read_qlat_nexout(files, segment_ids, nexus_of_wb, binary_folder=None):
     """qlat [n_files, N] from NEXOUT CSVs: each file has one time column of
     nexus discharges; a nexus's flow becomes lateral inflow to the
-    flowpath directly downstream of it."""
+    flowpath directly downstream of it.
+
+    ``binary_folder``: when set, the per-file CSVs are converted once into
+    one parquet table keyed by file stem and reread from there on
+    subsequent runs (reference ``nex_files_to_binary``,
+    hyfeature_network_utilities.py:452 — NEXOUT csv parsing dominates
+    repeat-run forcing time at scale).
+    """
     import pandas as pd
 
     segment_ids = np.asarray(segment_ids, np.int64)
     nex_col = np.asarray(
         [nexus_of_wb.get(int(s), -1) for s in segment_ids], np.int64)
+
+    frames = None
+    if binary_folder is not None:
+        from pathlib import Path
+        binary_folder = Path(binary_folder)
+        binary_folder.mkdir(parents=True, exist_ok=True)
+        cache = binary_folder / "nexout.parquet"
+        stems = [Path(f).name for f in files]
+        if cache.exists():
+            tbl = pd.read_parquet(cache)
+            if all(s in tbl.columns for s in stems):
+                frames = {s: tbl[s] for s in stems}
+        if frames is None:
+            cols = {}
+            for f in files:
+                df = pd.read_csv(f, index_col=0)
+                cols[Path(f).name] = df.iloc[:, 0]
+            tbl = pd.DataFrame(cols)
+            tbl.to_parquet(cache)
+            frames = cols
+
     out = np.zeros((len(files), segment_ids.size), np.float32)
     for t, f in enumerate(files):
-        df = pd.read_csv(f, index_col=0)
-        series = df.iloc[:, 0]
+        if frames is not None:
+            from pathlib import Path
+            series = frames[Path(f).name]
+        else:
+            df = pd.read_csv(f, index_col=0)
+            series = df.iloc[:, 0]
         vals = series.reindex(nex_col).to_numpy(np.float64)
         out[t] = np.where(np.isfinite(vals), vals, 0.0)
     return out
