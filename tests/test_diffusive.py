@@ -172,3 +172,38 @@ def test_device_dispatch_matches_host():
     assert res["host"][2] == res["device"][2] == 12
     np.testing.assert_array_equal(res["host"][0], res["device"][0])
     np.testing.assert_array_equal(res["host"][1], res["device"][1])
+
+
+def test_fuzz_random_geometries_stay_finite():
+    """Random (including near-degenerate) channel geometries route an hour
+    without NaN/Inf in either corrector mode."""
+    rng = np.random.default_rng(123)
+    for trial in range(6):
+        n = int(rng.integers(3, 10))
+        dx = rng.uniform(80, 5000, n)          # includes very short segs
+        bo = rng.uniform(0.5, 30, n)
+        tw = bo * rng.uniform(1.0, 3.0, n)     # tw == bo possible
+        twcc = tw * rng.uniform(1.0, 3.0, n)   # twcc == tw possible
+        s0 = rng.uniform(1e-5, 0.05, n)        # near-flat to steep
+        z = np.concatenate([[0.0], np.cumsum(dx[:-1] * s0[:-1])])[::-1]
+        r = dict(z=z, dx=dx, bo=bo,
+                 traps=1.0 / np.maximum(rng.uniform(0.05, 2.0, n), 1e-6),
+                 tw=tw, twcc=twcc,
+                 mann=rng.uniform(0.02, 0.15, n),
+                 manncc=rng.uniform(0.04, 0.3, n))
+        nts = 12
+        qlat = np.zeros((nts, 1, n))
+        trib = np.full((nts, 1), float(rng.uniform(0.05, 300)))
+        dom = build_domain([r], [-1], qlat, 300.0, trib, 300.0, 300.0)
+        q0 = jnp.full((1, dom.n_cols), float(trib[0, 0]), jnp.float64)
+        for mode in ("wavefront", "jacobi"):
+            st = initialize_state(dom, q0, dtini_min=30.0)
+            st, _ = run_diffusive(dom, st, t_final=3600.0,
+                                  save_interval=300.0, corrector_mode=mode)
+            assert np.isfinite(np.asarray(st.q)).all(), \
+                f"trial {trial} mode {mode} q"
+            assert np.isfinite(np.asarray(st.y)).all(), \
+                f"trial {trial} mode {mode} y"
+            assert (np.asarray(st.y)[dom.valid]
+                    >= np.asarray(dom.z)[dom.valid] - 1e-6).all(), \
+                f"trial {trial} mode {mode} negative depth"
