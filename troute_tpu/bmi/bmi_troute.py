@@ -385,13 +385,25 @@ class BmiTrouteTpu:
             q = q.at[jnp.asarray(rows)].set(
                 jnp.asarray(vals[:rows.size], q.dtype))
 
+        use_pallas = bool(
+            self._cfg is not None
+            and str(self._cfg.compute_parameters.compute_kernel).lower()
+            in ("pallas", "tpu"))
         cfg = RoutingConfig(dt=self._dt, nts=nts, qts_subdivisions=1,
-                            assume_short_ts=True)
+                            assume_short_ts=True,
+                            kernel="pallas" if use_pallas else "xla")
         q_before = np.asarray(q)
         da = self._build_gage_da(nts)
-        out = self._route_jit(self._net, self._chan, self._lp, cfg=cfg,
-                              q0=q, depth0=self._d, res_elev0=self._elev,
-                              qlat=jnp.asarray(ql), da=da)
+        if use_pallas:
+            from troute_tpu.routing.engine import route_stepped
+            out = route_stepped(self._net, self._chan, self._lp, cfg,
+                                q, self._d, self._elev, jnp.asarray(ql),
+                                da)
+        else:
+            out = self._route_jit(self._net, self._chan, self._lp, cfg=cfg,
+                                  q0=q, depth0=self._d,
+                                  res_elev0=self._elev,
+                                  qlat=jnp.asarray(ql), da=da)
         st = out["state"]
         self._q, self._d, self._elev = st.q, st.depth, st.res_elev
         if da is not None:
