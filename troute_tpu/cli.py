@@ -474,8 +474,8 @@ def main_v04(argv=None) -> dict:
     if explicit_sets:
         # pre-listed run sets (reference AbstractNetwork.py:747: the
         # forcing_parameters may enumerate qlat_files/nts per set)
-        folder = base / fp.qlat_input_folder if fp.qlat_input_folder \
-            else base
+        src_folder = fp.qlat_input_folder or fp.nexus_input_folder
+        folder = base / src_folder if src_folder else base
         run_sets = [{"qlat_files": [folder / Path(f).name
                                     for f in s["qlat_files"]],
                      "nts": int(s.get("nts",
