@@ -513,6 +513,8 @@ def main_v04(argv=None) -> dict:
     all_fvd = []
     all_nudge = []
     all_courant = []
+    op = cfg.output_parameters
+    written = []
     step_offset = 0
     for s, run in enumerate(run_sets):
         t_start = time.time()
@@ -583,6 +585,27 @@ def main_v04(argv=None) -> dict:
         all_fvd.append(np.asarray(out["flowveldepth"]))
         if out.get("nudge") is not None and np.asarray(out["nudge"]).size:
             all_nudge.append(np.asarray(out["nudge"]))
+        # lite restart at each run-set boundary (reference __main__.py:270)
+        if op.lite_restart \
+                and op.lite_restart.get("lite_restart_output_directory") \
+                and s < len(run_sets) - 1:
+            from troute_tpu.io.restart import write_lite_restart
+            lr_dir = base / op.lite_restart["lite_restart_output_directory"]
+            lr_dir.mkdir(parents=True, exist_ok=True)
+            set_end = t0 + pd.Timedelta(
+                seconds=(step_offset + run["nts"]) * dt)
+            lr_q0 = pd.DataFrame(
+                {"qu0": np.zeros(built.n_nodes, np.float32),
+                 "qd0": np.asarray(q0), "h0": np.asarray(d0)},
+                index=np.asarray(topo.ids))
+            lr_wb = None
+            if topo.reservoir_rows.size:
+                lr_wb = pd.DataFrame(
+                    {"qd0": np.asarray(q0)[topo.reservoir_rows],
+                     "h0": np.asarray(elev0)[:topo.reservoir_rows.size]},
+                    index=np.asarray(topo.ids)[topo.reservoir_rows])
+            written.extend(write_lite_restart(lr_dir, set_end, lr_q0,
+                                              lr_wb))
         if cfg.compute_parameters.return_courant \
                 and out.get("courant") is not None:
             all_courant.append(np.asarray(out["courant"]))
@@ -671,8 +694,6 @@ def main_v04(argv=None) -> dict:
 
     # ---- outputs ----
     t_start = time.time()
-    op = cfg.output_parameters
-    written = []
     def _subset(segments):
         """Restrict (ids, fvd) to requested segment ids (reference
         csv_output_segments / parquet_output_segments, output.py:198)."""
