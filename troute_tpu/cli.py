@@ -606,6 +606,25 @@ def main_v04(argv=None) -> dict:
                     index=np.asarray(topo.ids)[topo.reservoir_rows])
             written.extend(write_lite_restart(lr_dir, set_end, lr_q0,
                                               lr_wb))
+        # per-set lastobs (reference passes lastobs_df into the output
+        # generator each run set, __main__.py:319)
+        lastobs_dir_set = (cfg.compute_parameters
+                           .data_assimilation_parameters.streamflow_da
+                           .lastobs_output_folder
+                           if cfg.compute_parameters
+                           .data_assimilation_parameters.streamflow_da
+                           else None)
+        if da is not None and lastobs_dir_set and s < len(run_sets) - 1:
+            from troute_tpu.io.output import write_lastobs_nc
+            lo_dir = base / lastobs_dir_set
+            lo_dir.mkdir(parents=True, exist_ok=True)
+            set_end = t0 + pd.Timedelta(
+                seconds=(step_offset + run["nts"]) * dt)
+            p = lo_dir / ("nudgingLastObs."
+                          + set_end.strftime("%Y-%m-%d_%H:%M:%S") + ".nc")
+            written.append(write_lastobs_nc(
+                p, built.gage_ids, np.asarray(state.lastobs_time),
+                np.asarray(state.lastobs_val), set_end))
         if cfg.compute_parameters.return_courant \
                 and out.get("courant") is not None:
             all_courant.append(np.asarray(out["courant"]))
