@@ -126,7 +126,10 @@ def test_daforcing_writes_lite_restart(da_config, tmp_path):
     assert len(files) == 1
     from troute_tpu.io.restart import read_lite_restart
     df = read_lite_restart(files[0])
-    np.testing.assert_allclose(df.loc[101].to_numpy(), [1.0, 2.0, 0.5])
+    np.testing.assert_allclose(
+        df.loc[101, ["qu0", "qd0", "h0"]].to_numpy(np.float64),
+        [1.0, 2.0, 0.5])
+    assert "time" in df.columns  # reference read_lite_restart needs it
     # flag reset after write
     assert int(bmi.get_value("write_lite_restart")[0]) == 0
 

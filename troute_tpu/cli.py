@@ -105,7 +105,7 @@ def assemble_gage_da(cfg, built, base, t0, nts, dt, dtype):
         obs=jnp.asarray(obs, dtype),
         lastobs_val=jnp.asarray(lo_val, dtype),
         lastobs_time=jnp.asarray(lo_time, dtype),
-        decay_coeff=120.0)
+        decay_coeff=float(dap.da_decay_coefficient))
 
 
 def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
@@ -545,6 +545,7 @@ def main_v04(argv=None) -> dict:
             off = step_offset * dt
             set_res_da = res_da._replace(
                 hybrid_obs_time=res_da.hybrid_obs_time - off,
+                gl_obs_time=res_da.gl_obs_time - off,
                 month_idx=res_da.month_idx[step_offset:])
         t_start = time.time()
         kernel = ("pallas" if str(cfg.compute_parameters.compute_kernel)
@@ -580,8 +581,16 @@ def main_v04(argv=None) -> dict:
                     state.hybrid.persistence_update_time - set_seconds))
             rfc_state = state.rfc._replace(
                 update_time=state.rfc.update_time - set_seconds)
+            # Great Lakes state persists across run sets with its clocks
+            # re-based, like the reference great_lake.update_after_compute
+            # (DataAssimilation.py:751-791): keep assimilated outflows,
+            # subtract the elapsed set seconds from the time state
+            gl_state = state.gl._replace(
+                assimilated_time=state.gl.assimilated_time - set_seconds,
+                update_time=state.gl.update_time - set_seconds)
             res_da = res_da._replace(hybrid_state0=hyb_state,
-                                     rfc_state0=rfc_state)
+                                     rfc_state0=rfc_state,
+                                     gl_state0=gl_state)
         all_fvd.append(np.asarray(out["flowveldepth"]))
         if out.get("nudge") is not None and np.asarray(out["nudge"]).size:
             all_nudge.append(np.asarray(out["nudge"]))
@@ -594,9 +603,12 @@ def main_v04(argv=None) -> dict:
             lr_dir.mkdir(parents=True, exist_ok=True)
             set_end = t0 + pd.Timedelta(
                 seconds=(step_offset + run["nts"]) * dt)
+            # reference new_q0 (AbstractNetwork.py:177-190) fills qu0 and
+            # qd0 from the same final-flow column, so the restart carries
+            # qu0 == qd0 — match that, not zeros
             lr_q0 = pd.DataFrame(
-                {"qu0": np.zeros(built.n_nodes, np.float32),
-                 "qd0": np.asarray(q0), "h0": np.asarray(d0)},
+                {"qu0": np.asarray(q0), "qd0": np.asarray(q0),
+                 "h0": np.asarray(d0)},
                 index=np.asarray(topo.ids))
             lr_wb = None
             if topo.reservoir_rows.size:
@@ -622,8 +634,12 @@ def main_v04(argv=None) -> dict:
                 seconds=(step_offset + run["nts"]) * dt)
             p = lo_dir / ("nudgingLastObs."
                           + set_end.strftime("%Y-%m-%d_%H:%M:%S") + ".nc")
+            # state.lastobs_time is relative to the run set's START; the
+            # file is stamped at the set END, so re-base the offsets the
+            # same way the hand-off does (= da.lastobs_time)
             written.append(write_lastobs_nc(
-                p, built.gage_ids, np.asarray(state.lastobs_time),
+                p, built.gage_ids,
+                np.asarray(state.lastobs_time) - set_seconds,
                 np.asarray(state.lastobs_val), set_end))
         if cfg.compute_parameters.return_courant \
                 and out.get("courant") is not None:
@@ -776,9 +792,10 @@ def main_v04(argv=None) -> dict:
         out_dir = base / op.lite_restart["lite_restart_output_directory"]
         out_dir.mkdir(parents=True, exist_ok=True)
         end_time = t0 + pd.Timedelta(seconds=total_nts * dt)
+        # qu0 == qd0 per reference new_q0 (AbstractNetwork.py:177-190)
         q0_df = pd.DataFrame(
-            {"qu0": np.zeros(built.n_nodes, np.float32),
-             "qd0": np.asarray(q0), "h0": np.asarray(d0)},
+            {"qu0": np.asarray(q0), "qd0": np.asarray(q0),
+             "h0": np.asarray(d0)},
             index=np.asarray(topo.ids))
         wb_df = None
         if topo.reservoir_rows.size:

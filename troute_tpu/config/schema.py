@@ -197,6 +197,9 @@ class DataAssimilationParameters(_Permissive):
     timeslice_lookback_hours: Optional[int] = 24
     interpolation_limit_min: Optional[int] = 59
     qc_threshold: Optional[float] = 1.0
+    # nudging decay time constant in minutes (reference
+    # DataAssimilation.py:85 default 120)
+    da_decay_coefficient: float = 120.0
     streamflow_da: Optional[StreamflowDAParameters] = None
     reservoir_da: Optional[ReservoirDAParameters] = None
 

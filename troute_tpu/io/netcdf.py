@@ -83,7 +83,7 @@ class NetCDFFile:
                       for row in data]
             return np.asarray(joined)
         if data.dtype.kind == "S":
-            return np.char.decode(data, "utf-8")
+            return np.char.strip(np.char.decode(data, "utf-8"))
         return data
 
 

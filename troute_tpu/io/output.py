@@ -123,17 +123,35 @@ def write_lakeout_nc(path, lake_ids, outflow, water_elevation, inflow, t0):
 
 
 def write_lastobs_nc(path, gage_ids, lastobs_time, lastobs_discharge, t0):
-    """Persisted last-observation state for DA warm restart."""
-    gid = np.asarray([str(g).ljust(15) for g in gage_ids], dtype="S15")
+    """Persisted last-observation state for DA warm restart.
+
+    Writes the reference nudgingLastObs schema (``lastobs_df_output``,
+    nhd_io.py:1737-1773): char ``stationId`` ('|S15', stationIdInd), char
+    ``time`` ('|S19' timestamps, stationIdInd x timeInd) and ``discharge``
+    (stationIdInd x timeInd), with global ``modelTimeAtOutput``.
+
+    ``lastobs_time`` is the observation time in seconds relative to ``t0``
+    (the model time at output; non-positive, NaN = never observed — the
+    reference fills NaN offsets with 0 so the timestamp equals ``t0``).
+    """
+    from datetime import timedelta
+
+    gid = np.asarray([str(g).ljust(15)[:15] for g in gage_ids], dtype="S15")
+    off = np.nan_to_num(np.asarray(lastobs_time, np.float64), nan=0.0)
+    stamps = [(t0 + timedelta(seconds=float(s)))
+              .strftime("%Y-%m-%d_%H:%M:%S") for s in off]
+    times = np.asarray(stamps, dtype="S19").reshape(-1, 1)
+    disch = np.asarray(lastobs_discharge, np.float64).reshape(-1, 1)
     write_netcdf(
         path,
         variables={
             "stationId": gid,
-            "time_since_lastobs": np.asarray(lastobs_time, np.float64),
-            "lastobs_discharge": np.asarray(lastobs_discharge, np.float64),
+            "time": times,
+            "discharge": disch,
         },
-        dims={"time_since_lastobs": ("stationId",),
-              "lastobs_discharge": ("stationId",)},
+        dims={"stationId": ("stationIdInd",),
+              "time": ("stationIdInd", "timeInd"),
+              "discharge": ("stationIdInd", "timeInd")},
         global_attrs={"modelTimeAtOutput":
                       t0.strftime("%Y-%m-%d_%H:%M:%S")})
     return path

@@ -55,13 +55,23 @@ def read_wrf_hydro_waterbody_restart(restart_file, lakeparm_file,
 
 def write_lite_restart(path_prefix, timestamp, q0_df, waterbody_df):
     """Write lite channel/waterbody restarts (pickled DataFrames, matching
-    the reference's format so runs can resume across frameworks)."""
+    the reference's format so runs can resume across frameworks).
+
+    The reference (``nhd_io.write_lite_restart``, nhd_io.py:1480-1500)
+    stamps both frames with a ``time`` column that its reader requires
+    (``read_lite_restart`` does ``df['time'].iloc[0]``, nhd_io.py:1453);
+    add it here so t-route can consume these files.
+    """
     ts = timestamp.strftime("%Y%m%d%H%M")
     chan_path = Path(str(path_prefix)) / f"channel_restart_{ts}"
     wb_path = Path(str(path_prefix)) / f"waterbody_restart_{ts}"
+    q0_df = q0_df.copy()
+    q0_df["time"] = timestamp
     with open(chan_path, "wb") as f:
         pickle.dump(q0_df, f)
     if waterbody_df is not None:
+        waterbody_df = waterbody_df.copy()
+        waterbody_df["time"] = timestamp
         with open(wb_path, "wb") as f:
             pickle.dump(waterbody_df, f)
     return chan_path, wb_path

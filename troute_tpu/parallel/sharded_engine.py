@@ -217,7 +217,8 @@ def shard_reservoir_da(part: NetworkPartition, topo, res_da,
 
 def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   qts_subdivisions: int = 1,
-                  res_da: ShardedResDA | None = None):
+                  res_da: ShardedResDA | None = None,
+                  decay_coeff: float = 120.0):
     """Compiled multi-device routing run (short-timestep mode).
 
     Returns fvd [n_dev, nts, n_local, 3] sharded over the mesh.
@@ -286,7 +287,7 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         model = q_new[safe_g]
         have_obs = ~jnp.isnan(obs_t)
         minutes = (t_seconds - lo_time) / 60.0
-        weight = jnp.exp(jnp.abs(minutes) / -120.0)
+        weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
         shift = (lo_val - model) * weight
         no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
         replaced = jnp.where(have_obs, obs_t,
