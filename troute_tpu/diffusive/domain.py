@@ -149,4 +149,5 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
         db_depth=(None if db_depth is None
                   else jnp.asarray(db_depth, dtype)),
         dt_db=float(dt_db),
+        xsec_min=jnp.asarray(tab.min(axis=-1), dtype),
     )

@@ -77,6 +77,11 @@ class DiffusiveDomain(NamedTuple):
     # when the series has gaps, diffusive_utils_v02.py:642)
     db_depth: jax.Array | None = None   # [R, n_db] depth (m), NaN = no data
     dt_db: float = 3600.0               # boundary series timestep (s)
+    # [R, C, 11] per-column table minima: the reference's r_interpol
+    # (diffusive.f90:2581-2585) returns min(y) for below-range lookups —
+    # hit at perched junctions where a reach bottom sits above the
+    # downstream head's surface.  None -> computed on the fly.
+    xsec_min: jax.Array | None = None
 
     @property
     def n_reaches(self):
@@ -97,9 +102,13 @@ class DiffusiveState(NamedTuple):
 
 
 def _interp_series(series, dt_series, t, start_offset=0.0):
-    """Linear interpolation of a [n_t, ...] series at time t (seconds)."""
+    """Linear interpolation of a [n_t, ...] series at time t (seconds),
+    with first/last-segment linear extrapolation out of range like the
+    reference's ``intp_y`` (diffusive.f90:2671-2699) — the tributary
+    series is genuinely read one dt past its end on the final step
+    (``tf0 = t + dtini``, :677)."""
     n = series.shape[0]
-    pos = jnp.clip((t - start_offset) / dt_series, 0.0, n - 1.0)
+    pos = (t - start_offset) / dt_series
     i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
     w = pos - i0
     return series[i0] * (1.0 - w) + series[i0 + 1] * w
@@ -270,9 +279,13 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     qpx_new = jnp.concatenate([qpx_rows[::-1].T, qpx_last[:, None]], axis=1)
 
     # junction hand-off: head-node inflow = sum of upstream mainstem bottom
-    # discharges (this step) + tributary series + total reach lateral flow
+    # discharges (this step) + tributary series + total reach lateral flow.
+    # The reference clamps qp at q_llm before the downstream reach reads it
+    # (diffusive.f90:1321-1330 runs before the next reach's :663-681), so
+    # gather the clamped bottom values.
     up = dom.up_reaches
     bottoms = qp[:, C - 1]
+    bottoms = jnp.where(jnp.abs(bottoms) < Q_LLM, Q_LLM, bottoms)
     q_usrch = jnp.where(up >= 0, bottoms[jnp.maximum(up, 0)], 0.0).sum(axis=1)
     tf0 = t + dtini
     q_trib = _interp_series(dom.trib_q, dom.dt_trib, tf0)
@@ -441,15 +454,18 @@ def _col_interp(xs_col, z_col, xcol, ycol, x, squared=False):
 MINDEPTH_NSTAB = 0.1    # diffusive.f90:264
 
 
-def _tailwater_elevation(dom: DiffusiveDomain, qp, t_next, dtype):
+def _tailwater_elevation(dom: DiffusiveDomain, qp, t_next, dtype,
+                         signed_q=False):
     """[R] bottom-boundary elevation per reach: the coastal observed-depth
     series where present (dsbc_option == 1, time-interpolated with linear
     end extrapolation like the reference intp_y, diffusive.f90:2671-2699),
-    normal depth otherwise."""
+    normal depth otherwise.  ``signed_q`` reproduces the reference's
+    *initialization* lookup which passes the signed discharge
+    (diffusive.f90:554) where the time loop passes ``abs`` (:733)."""
     C = dom.n_cols
+    q_bot = qp[:, C - 1] if signed_q else jnp.abs(qp[:, C - 1])
     elv_norm_bot = _col_interp(
-        dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV,
-        jnp.abs(qp[:, C - 1]))
+        dom.xsec[:, C - 1], dom.z[:, C - 1], COL_UNIFORM, COL_ELEV, q_bot)
     if dom.db_depth is None:
         return elv_norm_bot
     n_db = dom.db_depth.shape[1]
@@ -468,7 +484,7 @@ def _tailwater_elevation(dom: DiffusiveDomain, qp, t_next, dtype):
 
 
 def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
-              t_next=0.0):
+              t_next=0.0, init_mode=False):
     """Depth/WSE sweep over the flattened global node wavefront.
 
     One scan step processes at most ONE node per reach (the schedule in
@@ -476,6 +492,11 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
     longest downstream node path — the same critical path the reference's
     reach-by-reach recursion walks, but with all parallel branches solved
     simultaneously.  Returns (newY, celerity, diffusivity) [R, C].
+
+    ``init_mode`` reproduces the reference initialization sweep
+    (diffusive.f90:563-571): the rtsafe warm start is the reach's flat
+    bottom depth instead of the previous timestep's surface, and the
+    tailwater lookup uses the signed discharge.
     """
     R, C = dom.n_reaches, dom.n_cols
     oldY = st.y
@@ -486,13 +507,16 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
         """arr [R, C(, ...)] -> [R(, ...)] at per-reach column."""
         return arr[rr, col]
 
-    y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype)
+    y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype,
+                                      signed_q=init_mode)
+    xmin = (dom.xsec_min if dom.xsec_min is not None
+            else dom.xsec.min(axis=-1))
 
     vsearch = jax.vmap(
         lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
 
     def node_step(carry, xs):
-        newY, cel2, dif2 = carry
+        newY, cel2, dif2, wdepth = carry
         active, col = xs
         safe = jnp.clip(col, 0, C - 1)
 
@@ -506,6 +530,8 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
         entering = active & (safe == C - 1)
         newY = newY.at[rr, C - 1].set(
             jnp.where(entering, y_bot, newY[:, C - 1]))
+        # flat-depth warm start for init_mode (reference :566-569)
+        wdepth = jnp.where(entering, y_bot - dom.z[:, C - 1], wdepth)
 
         # hydraulics at the scheduled node: pointwise table fetches at a
         # shared squared-depth grid search (reference interpolates
@@ -515,30 +541,37 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
         q_i = gather_cols(qp, safe)
         el_i = dom.xsec[rr, safe, COL_ELEV, :]          # [R, nel]
         nel = el_i.shape[-1]
+        xmin_i = xmin[rr, safe]                          # [R, 11]
 
         def interp_at(grid, x, c):
+            """r_interpol semantics (diffusive.f90:2553-2594): linear in
+            range, last-segment extrapolation above, min(column) below."""
             idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
             g1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
             g2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
             w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
             v1 = dom.xsec[rr, safe, c, idx]
             v2 = dom.xsec[rr, safe, c, idx + 1]
-            return v1 + (v2 - v1) * w
+            return jnp.where(x < grid[:, 0], xmin_i[:, c],
+                             v1 + (v2 - v1) * w)
 
         # conveyance interpolates against squared depth (reference
         # diffusive.f90:1437); topwidth/skk against elevation
         d2_grid = (el_i - z_i[:, None]) ** 2
         co = jnp.maximum(interp_at(d2_grid, (y_i - z_i) ** 2, COL_CONV),
                          1e-12)
-        bo = jnp.maximum(interp_at(el_i, y_i, COL_TOPW), 1e-3)
+        bo = jnp.maximum(interp_at(el_i, y_i, COL_TOPW), 1e-12)
         sk = interp_at(el_i, y_i, COL_SKK)
         sfi = q_i * jnp.abs(q_i) / co ** 2
 
         cel_i = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
             * jnp.abs(q_i) ** 0.4 / bo ** 0.4 \
             / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
-        dx_ref = jnp.where(safe > 0, gather_cols(dom.dx,
-                                                 jnp.maximum(safe - 1, 0)),
+        # C_ulm uses dx(i-1) except at the reach HEAD node which uses its
+        # own dx (reference i>1 test, diffusive.f90:1487-1491); head_col
+        # comparison, not column 0, or short reaches read padded dx
+        dx_ref = jnp.where(safe > dom.head_col,
+                           gather_cols(dom.dx, jnp.maximum(safe - 1, 0)),
                            gather_cols(dom.dx, safe))
         cel_i = jnp.minimum(cel_i, CFL * dx_ref / dtini_min)
         dif_i = jnp.abs(q_i) / 2.0 / bo / jnp.maximum(jnp.abs(sfi), 1e-12)
@@ -551,22 +584,25 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
         # depth at the upstream neighbor via Newton/bisection
         up_col = jnp.maximum(safe - 1, 0)
         solve_mask = active & (safe > 0) & (safe - 1 >= dom.head_col)
+        y_old_depth = (wdepth if init_mode
+                       else gather_cols(oldY, up_col)
+                       - gather_cols(dom.z, up_col))
         y_up = _rtsafe_vec(
             dom.xsec, rr, up_col, safe, y_i,
             gather_cols(qp, up_col), q_i,
             gather_cols(dom.z, up_col), z_i,
             gather_cols(dom.dx, up_col),
-            gather_cols(oldY, up_col) - gather_cols(dom.z, up_col),
+            y_old_depth,
             active=solve_mask)
         elev_up = jnp.minimum(y_up + gather_cols(dom.z, up_col), 1.0e5)
         newY = newY.at[rr, up_col].set(
             jnp.where(solve_mask, elev_up, gather_cols(newY, up_col)))
-        return (newY, cel2, dif2), None
+        return (newY, cel2, dif2, wdepth), None
 
     cel2_0 = jnp.zeros((R, C), dtype)
     dif2_0 = jnp.zeros((R, C), dtype)
-    (newY, cel2, dif2), _ = jax.lax.scan(
-        node_step, (st.y, cel2_0, dif2_0),
+    (newY, cel2, dif2, _), _ = jax.lax.scan(
+        node_step, (st.y, cel2_0, dif2_0, jnp.zeros((R,), dtype)),
         (dom.bwd_active, dom.bwd_col))
 
     # reach-average celerity/diffusivity (reference :1540-1551)
@@ -581,7 +617,7 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
 
 
 def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
-                     dtini_min, t_next=0.0, tol=1e-6):
+                     dtini_min, t_next=0.0, tol=1e-6, init_mode=False):
     """Fixed-point (Jacobi) form of the depth sweep.
 
     The wavefront corrector substitutes node depths bottom-up along a
@@ -597,7 +633,8 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     R, C = dom.n_reaches, dom.n_cols
     dtype = qp.dtype
     rr = jnp.arange(R)
-    y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype)
+    y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype,
+                                      signed_q=init_mode)
 
     # flattened interior lanes: cur node (r, c), downstream node (r, c+1)
     rrf = jnp.repeat(jnp.arange(R), C - 1)
@@ -623,9 +660,13 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         y_junc = y[jnp.maximum(ds, 0), ds_head_col]
         y_bot = jnp.where(ds >= 0, y_junc, y_tw_const)
         y1 = y.at[rr, C - 1].set(y_bot)
+        # init_mode warm start: the reach's (current-iterate) flat bottom
+        # depth, like the reference init sweep (diffusive.f90:566-569)
+        y_old = ((y_bot - dom.z[:, C - 1])[rrf] if init_mode
+                 else y_old_depth)
         y_up = _rtsafe_vec(
             dom.xsec, rrf, curf, dsf, y1[rrf, dsf], q_cur, q_ds,
-            z_cur, z_ds, dx_cur, y_old_depth, active=interior,
+            z_cur, z_ds, dx_cur, y_old, active=interior,
             grids=grids)
         elev_up = jnp.minimum(y_up + z_cur, 1.0e5)
         new_vals = jnp.where(interior, elev_up, y1[rrf, curf])
@@ -646,27 +687,34 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     q_a = qp[rrA, colA]
     el_a = dom.xsec[rrA, colA, COL_ELEV, :]
     nel = el_a.shape[-1]
+    xmin = (dom.xsec_min if dom.xsec_min is not None
+            else dom.xsec.min(axis=-1))
+    xmin_a = xmin[rrA, colA]
     vsearch = jax.vmap(
         lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
 
     def interp_at(grid, x, c):
+        """r_interpol semantics — see the wavefront corrector."""
         idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
         g1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
         g2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
         w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
         v1 = dom.xsec[rrA, colA, c, idx]
         v2 = dom.xsec[rrA, colA, c, idx + 1]
-        return v1 + (v2 - v1) * w
+        return jnp.where(x < grid[:, 0], xmin_a[:, c],
+                         v1 + (v2 - v1) * w)
 
     d2_grid = (el_a - z_a[:, None]) ** 2
     co = jnp.maximum(interp_at(d2_grid, (y_a - z_a) ** 2, COL_CONV), 1e-12)
-    bo = jnp.maximum(interp_at(el_a, y_a, COL_TOPW), 1e-3)
+    bo = jnp.maximum(interp_at(el_a, y_a, COL_TOPW), 1e-12)
     sk = interp_at(el_a, y_a, COL_SKK)
     sfi = q_a * jnp.abs(q_a) / co ** 2
     cel_a = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
         * jnp.abs(q_a) ** 0.4 / bo ** 0.4 \
         / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
-    dx_ref = jnp.where(colA > 0, dom.dx[rrA, jnp.maximum(colA - 1, 0)],
+    # same head-node dx rule as the wavefront mode (diffusive.f90:1487-1491)
+    dx_ref = jnp.where(colA > dom.head_col[rrA],
+                       dom.dx[rrA, jnp.maximum(colA - 1, 0)],
                        dom.dx[rrA, colA])
     cel_a = jnp.minimum(cel_a, CFL * dx_ref / dtini_min)
     dif_a = jnp.abs(q_a) / 2.0 / bo / jnp.maximum(jnp.abs(sfi), 1e-12)
@@ -700,21 +748,27 @@ def diffusive_step(dom: DiffusiveDomain, st: DiffusiveState, dtini,
     return new_state, max_cel_dx
 
 
-def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float):
-    """Initial elevations: normal depth at tailwater bottoms, junction
-    hand-up, then one corrector pass (reference diffusive.f90:530-585)."""
+def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float,
+                     corrector_mode: str = "wavefront"):
+    """Reference initialization (diffusive.f90:530-582): tailwater bottoms
+    at normal depth (signed-q lookup, :554) or the coastal series at t=0,
+    junction hand-up downstream-to-upstream, flat-depth rtsafe warm start,
+    then one backward sweep.  ``iniq`` is NOT clamped at q_llm — the
+    reference passes it through raw (:362-364)."""
     R, C = dom.n_reaches, dom.n_cols
     dtype = q_init.dtype
-    q = jnp.maximum(jnp.abs(q_init), Q_LLM)
-    # start from normal-depth elevation at every node
+    q = jnp.asarray(q_init, dtype)
+    # seed surface at normal depth (only padded columns keep this; every
+    # valid node is overwritten by the init sweep)
     elv_norm = _table_interp(dom.xsec, COL_UNIFORM, COL_ELEV, jnp.abs(q))
     st = DiffusiveState(
         q=q, y=elv_norm, qpx=jnp.zeros((R, C), dtype),
         celerity=jnp.ones((R, C), dtype),
         diffusivity=jnp.full((R, C), 10.0, dtype),
         t=jnp.asarray(0.0, dtype))
-    newY, celerity, diffusivity = corrector(dom, st, q, dtini_min,
-                                            t_next=0.0)
+    corr = corrector_jacobi if corrector_mode == "jacobi" else corrector
+    newY, celerity, diffusivity = corr(dom, st, q, dtini_min,
+                                       t_next=0.0, init_mode=True)
     return st._replace(y=newY, celerity=celerity, diffusivity=diffusivity)
 
 
@@ -768,8 +822,11 @@ def _run_device(dom: DiffusiveDomain, st: DiffusiveState, t_final,
 
     qs0 = jnp.zeros((n_saves, R, C), dtype)
     ys0 = jnp.zeros((n_saves, R, C), dtype)
+    # maxCelerity=1 / minDx initial CFL state (reference :613-614)
+    interior0 = dom.valid & (jnp.arange(C)[None, :] < C - 1)
+    mcd0 = 1.0 / jnp.min(jnp.where(interior0, dom.dx, jnp.inf))
     st, mcd, qs, ys = jax.lax.while_loop(
-        cond, body, (st, jnp.asarray(1.0 / 100.0, dtype), qs0, ys0))
+        cond, body, (st, jnp.asarray(mcd0, dtype), qs0, ys0))
     # guarantee the final slot reflects the final state (t_final may not
     # land exactly on an interval boundary after float accumulation)
     qs = qs.at[n_saves - 1].set(st.q)
@@ -813,7 +870,11 @@ def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
 
     t = t_start
     saves = []
-    max_cel_dx = 1.0 / 100.0
+    # maxCelerity=1 / minDx initial CFL state (reference :613-614)
+    interior0 = np.asarray(dom.valid) \
+        & (np.arange(dom.n_cols)[None, :] < dom.n_cols - 1)
+    max_cel_dx = 1.0 / float(
+        np.where(interior0, np.asarray(dom.dx), np.inf).min())
     eps = 1e-6
     while t < t_final - eps:
         dtini = CFL / max_cel_dx

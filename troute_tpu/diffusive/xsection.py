@@ -107,7 +107,10 @@ def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
     for k in range(5, nel):
         grid[..., k] = z + el_incr * (k - 4)
 
-    # evaluate first row slightly above the notch bottom (reference quirk)
+    # evaluate first row slightly above the notch bottom; the reference
+    # ALSO stores the perturbed value in the elevation column
+    # (el1(j,kkk) = el_now after the +0.00001, diffusive.f90:2296-2300,
+    # :2368) — so eval_el is both the geometry argument and the stored grid
     eval_el = grid.copy()
     eval_el[..., 0] = z_notch + 1e-5
 
@@ -116,12 +119,14 @@ def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
         e, z[None], bo[None], traps[None], tw[None], twcc[None], hbf[None])
     # area3 etc: [3, nel, R, C]
 
+    # sub-section conveyance zeroed when peri <= TOLERANCE=1e-8
+    # (reference diffusive.f90:2374-2377)
     with np.errstate(divide="ignore", invalid="ignore"):
-        r3 = np.where(peri3 > 1e-10, area3 / peri3, 0.0)
+        r3 = np.where(peri3 > 1e-8, area3 / peri3, 0.0)
         n3 = np.stack([np.broadcast_to(manncc, area3.shape[1:]),
                        np.broadcast_to(mann, area3.shape[1:]),
                        np.broadcast_to(manncc, area3.shape[1:])])
-        conv3 = np.where(peri3 > 1e-10,
+        conv3 = np.where(peri3 > 1e-8,
                          (1.0 / n3) * area3 * r3 ** (2.0 / 3.0), 0.0)
 
     area = area3.sum(axis=0)     # [nel, R, C]
@@ -141,8 +146,9 @@ def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
         (conv[:1] / np.maximum(area[:1], 1e-12)),
         np.diff(conv, axis=0) / safe_dA])
 
-    # first moment of area via midpoint accumulation (reference method)
-    el = np.moveaxis(grid, -1, 0)
+    # first moment of area via midpoint accumulation (reference method);
+    # centers use the STORED (perturbed-row-0) elevations like el1
+    el = np.moveaxis(eval_el, -1, 0)
     centers = 0.5 * (el[1:] + el[:-1])
     first_moment = np.zeros_like(area)
     acc_a = dA
