@@ -63,7 +63,7 @@ def simulate_reference(conn, chan, q0, depth0, qlat, nts, dt,
                                p_idx=0.0, p_ut=0.0)
         elif wtype in (4, 5):
             da_state[k] = dict(ts_idx=int(v.get("ts_idx0", 0)),
-                               update_time=0.0)
+                               update_time=float(v.get("update_time0", 0.0)))
         elif wtype == 6:
             da_state[k] = dict(assim_out=np.nan, assim_time=0.0,
                                update_time=0.0)
