@@ -82,6 +82,24 @@ def test_cli_end_to_end(lc_config, tmp_path):
     assert qf.shape == (10907,) and np.isfinite(ef).all()
 
 
+def test_cli_courant_on_stepped_pallas_path(lc_config, tmp_path):
+    """return_courant with the pallas kernel (the production stepped
+    driver) emits per-step cn/ck/X like the reference hot loop does in
+    every mode (MCsingleSegStime_f2py_NOLOOP.f90:342-367)."""
+    cfg = yaml.safe_load(open(lc_config))
+    cfg["compute_parameters"]["compute_kernel"] = "pallas"
+    cfg["compute_parameters"]["return_courant"] = True
+    cfg["compute_parameters"]["forcing_parameters"]["nts"] = 12
+    cfg["output_parameters"] = {}
+    p = tmp_path / "cfg_courant.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    res = main_v04(["-f", str(p)])
+    cour = res["courant"]
+    assert cour is not None and cour.shape == (12, 10907, 3)
+    assert np.isfinite(cour).all()
+    assert (cour[:, :, 1] >= 0).all()        # celerity ck
+
+
 def test_forcing_set_grouping():
     files = [f"f{i}" for i in range(24)]
     sets = build_forcing_sets(files, dt=300.0, qts_subdivisions=12, nts=288,

@@ -63,7 +63,7 @@ def _setup(nts=36, with_gage=True, seed=3):
 
 
 def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
-                dtype=jnp.float64):
+                dtype=jnp.float64, return_courant=False):
     topo = from_connections(CONN, reservoir_ids=[LAKE_ID])
     net = network_arrays_from_topology(topo, need_levels=not short)
     perm = topo.ids  # row order
@@ -104,7 +104,8 @@ def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
                     decay_coeff=gages["decay_coeff"])
 
     cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
-                        assume_short_ts=short)
+                        assume_short_ts=short,
+                        return_courant=return_courant)
     out = route(net, cp, lp, cfg, q0_arr, d0_arr, elev0, qlat_arr, da)
     return out, idx
 

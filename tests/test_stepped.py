@@ -67,6 +67,51 @@ def test_stepped_matches_scan():
         rtol=1e-9, atol=1e-12)
 
 
+def test_stepped_returns_courant():
+    """return_courant on the production stepped driver emits cn/ck/X
+    matching the xla scan engine (reference computes the diagnostics in
+    the hot kernel in ALL modes, MCsingleSegStime_f2py_NOLOOP.f90:342-367)."""
+    nts, dt = 24, 300.0
+    ids, chan, q0, depth0, qlat, _ = _setup(nts)
+    out_scan, idx = _run_engine(ids, chan, q0, depth0, qlat, None, nts, dt,
+                                short=True, dtype=jnp.float64,
+                                return_courant=True)
+
+    topo = from_connections(CONN, reservoir_ids=[LAKE_ID])
+    net = network_arrays_from_topology(topo, need_levels=False)
+    dtype = jnp.float64
+    perm = topo.ids
+
+    def col(name, default=1.0):
+        return jnp.asarray([chan[int(i)].get(name, default)
+                            if int(i) != LAKE_ID else default
+                            for i in perm], dtype)
+
+    cp = ChannelParams(dx=col("dx"), bw=col("bw"), tw=col("tw"),
+                       twcc=col("twcc"), n=col("n"), ncc=col("ncc"),
+                       cs=col("cs"), s0=col("s0"))
+    lp = LevelpoolParams(*[jnp.asarray([LAKE[k]], dtype) for k in (
+        "area", "max_depth", "orifice_area", "orifice_coeff",
+        "orifice_elev", "weir_coeff", "weir_elev", "weir_length",
+        "dam_length")])
+    q0_arr = jnp.asarray([q0[int(i)] for i in perm], dtype)
+    d0_arr = jnp.asarray([depth0[int(i)] for i in perm], dtype)
+    n_cols = len(next(iter(qlat.values())))
+    qlat_arr = jnp.asarray(
+        np.stack([np.array([qlat[int(i)][c] for i in perm])
+                  for c in range(n_cols)]), dtype)
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True, return_courant=True)
+    out_step = route_stepped(net, cp, lp, cfg, q0_arr, d0_arr,
+                             jnp.asarray([LAKE["elev0"]], dtype), qlat_arr)
+
+    cour = out_step.get("courant")
+    assert cour is not None and cour.shape == (nts, topo.n_nodes, 3)
+    np.testing.assert_allclose(np.asarray(cour),
+                               np.asarray(out_scan["courant"]),
+                               rtol=1e-9, atol=1e-12)
+
+
 def test_stepped_reservoir_da_matches_scan():
     """route_stepped with typed reservoir DA (the production TPU path)
     matches route()'s device-side scan exactly."""

@@ -559,10 +559,6 @@ def main_v04(argv=None) -> dict:
             # Pallas cannot live inside lax.scan (remote-compiler hang);
             # the host-stepped driver with 24-step unrolled dispatches is
             # the production TPU path
-            if rcfg.return_courant:
-                LOG.warning("return_courant is not produced by the "
-                            "stepped pallas driver; use the xla kernel "
-                            "for Courant diagnostics")
             out = route_stepped(net, cp, lp, rcfg, q0, d0, elev0,
                                 jnp.asarray(ql, dtype), set_da, set_res_da)
         else:

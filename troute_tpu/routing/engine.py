@@ -527,7 +527,7 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
                     t_seconds, upstream, chan: ChannelParams,
                     res_params: LevelpoolParams, is_res, res_rows,
                     gage_rows, decay_coeff, dt, res_da=None,
-                    da_states=None, month_i=None):
+                    da_states=None, month_i=None, return_courant=False):
     """Body of one short-timestep routing step (Pallas MC + reservoirs +
     nudging, optional typed reservoir DA); traced inside the jitted
     single/multi-step kernels."""
@@ -539,7 +539,11 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
     out = muskingum_cunge_pallas(
         up_prev, up_prev, q, ql_t, chan.dx, chan.bw, chan.tw, chan.twcc,
         chan.n, chan.ncc, chan.cs, chan.s0, depth, float(dt),
-        with_diagnostics=False)
+        with_diagnostics=return_courant)
+    # cn/ck/X diagnostics straight from the kernel, like the reference hot
+    # loop (MCsingleSegStime_f2py_NOLOOP.f90:342-367) and route()'s modes
+    courant = (jnp.stack([out.cn, out.ck, out.X], axis=-1)
+               if return_courant else None)
 
     q_new = jnp.where(is_res, q, out.qdc)
     v_new = jnp.where(is_res, 0.0, out.velc)
@@ -578,7 +582,7 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
             q_new, t_seconds, da, lo_val, lo_time, obs_t)
 
     return (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge,
-            da_states)
+            da_states, courant)
 
 
 @functools.partial(jax.jit, static_argnames=("decay_coeff", "dt"))
@@ -601,35 +605,39 @@ def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
 
 @functools.partial(jax.jit,
                    static_argnames=("decay_coeff", "dt", "k_steps",
-                                    "collect"))
+                                    "collect", "return_courant"))
 def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
                           obs_block, t0_seconds, upstream,
                           chan: ChannelParams,
                           res_params: LevelpoolParams, is_res, res_rows,
                           gage_rows, decay_coeff, dt, k_steps,
                           collect, res_da=None, da_states=None,
-                          month_block=None):
+                          month_block=None, return_courant=False):
     """``k_steps`` short timesteps unrolled in ONE compiled program (a
     Python loop, not ``lax.scan`` — see the Mosaic note above).  Amortizes
     the per-dispatch host/tunnel latency that otherwise dominates the
     production stepper's wall time.
     """
-    fvds, nudges = [], []
+    fvds, nudges, courants = [], [], []
     for k in range(k_steps):
         t_seconds = t0_seconds + jnp.asarray(k * dt, q.dtype)
         month_i = month_block[k] if res_da is not None else None
         (q, v, depth, res_elev, lo_val, lo_time, nudge,
-         da_states) = _one_short_step(
+         da_states, courant) = _one_short_step(
             q, depth, res_elev, lo_val, lo_time, ql_block[k], obs_block[k],
             t_seconds, upstream, chan, res_params, is_res, res_rows,
             gage_rows, decay_coeff, dt, res_da=res_da,
-            da_states=da_states, month_i=month_i)
+            da_states=da_states, month_i=month_i,
+            return_courant=return_courant)
         nudges.append(nudge)
         if collect:
             fvds.append(jnp.stack([q, v, depth], axis=-1))
+            if return_courant:
+                courants.append(courant)
     fvd = jnp.stack(fvds) if collect else None
+    cour = jnp.stack(courants) if courants else None
     return (q, depth, res_elev, lo_val, lo_time, fvd, jnp.stack(nudges),
-            da_states)
+            da_states, cour)
 
 
 def route_stepped(net: NetworkArrays, chan: ChannelParams,
@@ -676,6 +684,7 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                   res_da.gl_state0))
     fvd_blocks = []
     nudge_blocks = []
+    courant_blocks = []
     # K timesteps per dispatch: each host->device dispatch rides the
     # (tunnel) latency once for K compiled steps.  K trades compile size
     # for dispatch amortization; the tail reuses a smaller unroll.
@@ -701,15 +710,18 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
             jnp.asarray([t + j for j in range(k)]), 0,
             res_da.month_idx.shape[0] - 1)] if res_da is not None else None)
         (q, depth, res_elev, lo_val, lo_time, fvd_b, nudge_b,
-         da_states) = _stepped_kernel_multi(
+         da_states, cour_b) = _stepped_kernel_multi(
                 q, depth, res_elev, lo_val, lo_time, ql_block, obs_block,
                 t0_seconds, net.upstream, chan, res_params,
                 net.is_reservoir, net.res_rows, gage_rows, decay, cfg.dt,
                 k_steps=k, collect=collect, res_da=res_da,
-                da_states=da_states, month_block=month_block)
+                da_states=da_states, month_block=month_block,
+                return_courant=cfg.return_courant)
         if collect:
             fvd_blocks.append(fvd_b[:, :n_real])
             nudge_blocks.append(nudge_b)
+            if cfg.return_courant:
+                courant_blocks.append(cour_b[:, :n_real])
         t += k
 
     hyb, rfc, gl = da_states if da_states is not None else (None,) * 3
@@ -720,4 +732,6 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     if collect:
         out["flowveldepth"] = jnp.concatenate(fvd_blocks)
         out["nudge"] = jnp.concatenate(nudge_blocks)
+        if cfg.return_courant:
+            out["courant"] = jnp.concatenate(courant_blocks)
     return out
