@@ -1,10 +1,16 @@
-"""Benchmark: CONUS-scale Muskingum-Cunge routing throughput on one chip.
+"""Benchmark: CONUS-scale routing throughput (MC + diffusive) on one chip.
 
 Builds a synthetic river network with CONUS NWM statistics (2,729,077
 segments, ~14.7k independent basins, junction-rich topology, CONUS
 parameter distributions), routes it in production configuration
 (``assume_short_ts=True``, dt=300 s, f32) on the default JAX backend (the
 real TPU chip under the driver), and reports segment-timesteps/second.
+
+Also benches the diffusive-wave solver on a CONUS-mainstem-scale
+synthetic reach tree (the BASELINE metric is "MC + diffusive"): a binary
+tree of 2,048 reaches x 16 nodes (~33k nodes, the scale of the NWM
+Mainstems diffusive domain, ``doc/AGU_Poster.md:37-51``), run through the
+single-dispatch device loop in both f64 (reference precision) and f32.
 
 Baseline: the reference publishes no absolute throughput; the only
 operational number is the NWM production load of ~7e6 routing
@@ -50,8 +56,103 @@ def channel_params(n, rng):
         s0=rng.uniform(0.001, 0.02, n).astype(np.float32))
 
 
+def bench_diffusive(n_reaches=2048, n_nodes=16, dtype_name="float64"):
+    """Diffusive seg-ts/s on a mainstem-scale synthetic binary reach tree.
+
+    Throughput counts routing timesteps (dt=300 s over a 2 h window), the
+    same accounting as the MC metric; the solver internally takes CFL-
+    adaptive sub-steps.
+    """
+    import jax
+    import jax.numpy as jnp
+    from troute_tpu.diffusive.domain import build_domain
+    from troute_tpu.diffusive.solver import initialize_state, run_diffusive
+
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
+    rng = np.random.default_rng(2)
+    dt = 300.0
+    nts = 24                     # 2 h window at routing dt
+    n_t = nts + 2
+
+    # binary tree of reaches: reach j drains to (j-1)//2, reach 0 = TW
+    level = np.zeros(n_reaches, np.int64)
+    ds_reach = np.full(n_reaches, -1, np.int64)
+    for j in range(1, n_reaches):
+        ds_reach[j] = (j - 1) // 2
+        level[j] = level[ds_reach[j]] + 1
+    dx = 1500.0
+    s0 = 0.0005
+    reaches = []
+    for j in range(n_reaches):
+        z_head = (level[j] + 1) * n_nodes * dx * s0
+        z = z_head - s0 * dx * np.arange(n_nodes)
+        ones = np.ones(n_nodes)
+        reaches.append(dict(
+            z=z, dx=np.full(n_nodes, dx),
+            bo=rng.uniform(15, 40) * ones, traps=ones.copy(),
+            tw=rng.uniform(60, 120) * ones, twcc=rng.uniform(200, 400) * ones,
+            mann=0.035 * ones, manncc=0.07 * ones))
+    qlat = np.full((n_t, n_reaches, n_nodes), 0.05)
+    # tributary inflow at leaf heads; small contribution elsewhere
+    trib = np.full((n_t, n_reaches), 2.0)
+    leaves = np.setdiff1d(np.arange(n_reaches), ds_reach)
+    trib[:, leaves] = rng.uniform(20, 80, leaves.size)
+
+    t0 = time.time()
+    dom = build_domain(reaches, ds_reach, qlat, dt, trib, dt, dt,
+                       dtype=dtype)
+    n_total = int(np.asarray(dom.valid).sum())
+    q0 = jnp.full((n_reaches, n_nodes), 30.0, dtype)
+    st0 = initialize_state(dom, q0, dt / 10.0, corrector_mode="jacobi")
+    jax.block_until_ready(st0.y)
+    print(f"diffusive[{dtype_name}] domain build+init: "
+          f"{time.time()-t0:.1f}s (R={n_reaches}, C={n_nodes})",
+          file=sys.stderr)
+
+    def run():
+        st, saves = run_diffusive(dom, st0, t_final=nts * dt,
+                                  save_interval=dt,
+                                  corrector_mode="jacobi",
+                                  dispatch="device")
+        jax.block_until_ready(st.q)
+        return st
+
+    t0 = time.time()
+    st = run()
+    print(f"diffusive[{dtype_name}] first run (compile+exec): "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+    best = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        st = run()
+        best = min(best, time.time() - t0)
+    assert np.isfinite(np.asarray(st.q)).all()
+    assert np.isfinite(np.asarray(st.y)).all()
+    seg_ts_per_s = n_total * nts / best
+    print(f"diffusive[{dtype_name}] steady-state: {best:.3f}s for {nts} "
+          f"routing steps -> {seg_ts_per_s:.3e} seg-ts/s", file=sys.stderr)
+    return seg_ts_per_s
+
+
+def _diffusive_subprocess(dtype_name: str):
+    """Run one diffusive bench in a fresh process: f64 needs
+    jax_enable_x64, which must not leak into the f32 MC Pallas kernel
+    (Mosaic rejects stray f64 scalars in 32-bit kernels)."""
+    import subprocess
+    r = subprocess.run([sys.executable, __file__, "--diffusive", dtype_name],
+                       capture_output=True, text=True, timeout=1800)
+    sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        raise RuntimeError(f"diffusive bench subprocess failed: "
+                           f"{r.stderr[-500:]}")
+    return float(r.stdout.strip().splitlines()[-1])
+
+
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_troute_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from troute_tpu.network.topology import build_topology
     from troute_tpu.ops.levelpool import LevelpoolParams
@@ -104,13 +205,34 @@ def main():
     print(f"steady-state: {best:.3f}s for {nts} steps -> "
           f"{seg_ts_per_s:.3e} segment-timesteps/s", file=sys.stderr)
 
+    diff = {}
+    for dtype_name in ("float64", "float32"):
+        try:
+            diff[dtype_name] = round(_diffusive_subprocess(dtype_name), 1)
+        except Exception as e:       # keep the headline metric robust
+            print(f"diffusive[{dtype_name}] bench failed: {e!r}",
+                  file=sys.stderr)
+            diff[dtype_name] = None
+
     print(json.dumps({
         "metric": "segment-timesteps/s per chip (MC short-ts, CONUS-scale synthetic)",
         "value": round(seg_ts_per_s, 1),
         "unit": "segment-timesteps/s",
         "vs_baseline": round(seg_ts_per_s / BASELINE_CALCS_PER_S, 3),
+        "diffusive_f64_seg_ts_per_s": diff["float64"],
+        "diffusive_f32_seg_ts_per_s": diff["float32"],
+        "diffusive_domain": "synthetic mainstem tree R=2048 C=16 (~33k nodes)",
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--diffusive":
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_troute_bench")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if sys.argv[2] == "float64":
+            jax.config.update("jax_enable_x64", True)
+        print(bench_diffusive(dtype_name=sys.argv[2]))
+    else:
+        main()

@@ -133,10 +133,12 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
     use_rfc = bool(rfc and rfc.reservoir_rfc_forecasts)
     if not (use_usgs or use_usace or use_rfc or use_gl):
         return None
-    # usgs/usace/rfc typing comes from the parameter file; the Great Lakes
-    # are identified by their hardcoded ids (reference great_lake class
+    # usgs/usace/rfc typing comes from the parameter file (NHD) or the
+    # geopackage-derived crosswalks (HYFeatures); the Great Lakes are
+    # identified by their hardcoded ids (reference great_lake class
     # needs no parameter file, DataAssimilation.py:710)
-    if not rda.reservoir_parameter_file and not use_gl:
+    hyf_da = getattr(built, "hyf_da", None)
+    if not rda.reservoir_parameter_file and not use_gl and hyf_da is None:
         return None
     res_rows = built.topo.reservoir_rows
     n_res = res_rows.size
@@ -169,6 +171,23 @@ def assemble_reservoir_da(cfg, built, base, t0, nts, dt, dtype):
             gage_of.update({int(l): g
                             for l, g in zip(usace_lakes, usace_gages)})
         rfc_gage_of = {int(l): g for l, g in zip(rfc_lakes, rfc_gages)}
+    elif hyf_da is not None:
+        # HYFeatures: types/gages derived from the geopackage itself
+        # (HYFeaturesNetwork.preprocess_data_assimilation:606-703).  Order
+        # matters: USGS type 2 overwrites USACE type 3 for lakes carrying
+        # both designations, and RFC type 4 last (reference :683-699)
+        if use_usace:
+            for lk, g in hyf_da.usace_lake_gage.items():
+                type_of[int(lk)] = 3
+                gage_of[int(lk)] = g
+        if use_usgs:
+            for lk, g in hyf_da.usgs_lake_gage.items():
+                type_of[int(lk)] = 2
+                gage_of[int(lk)] = g
+        if use_rfc:
+            for lk, g in hyf_da.rfc_lake_gage.items():
+                type_of[int(lk)] = 4
+                rfc_gage_of[int(lk)] = g
 
     wtypes = np.ones(n_res, np.int32)
     res_gages = {}

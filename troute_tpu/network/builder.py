@@ -43,6 +43,7 @@ class BuiltNetwork:
     segment_rows: np.ndarray     # rows that are MC segments
     nexus_of_wb: dict | None = None   # HYFeatures: wb id -> upstream nexus
     wb_downstream_nexus: dict | None = None  # HYFeatures: wb id -> downstream nexus
+    hyf_da: object | None = None      # HYFeatures: HyfDAInfo gage crosswalks
 
     @property
     def n_nodes(self):
@@ -90,10 +91,11 @@ def build_network(cfg: Config, base: Path,
     geo = base / sp.geo_file_path
     nexus_of_wb = None
     wb_ds_nexus = None
+    hyf_da = None
     is_hyfeatures = str(geo).endswith(".gpkg")
     if is_hyfeatures:
         from troute_tpu.network.hyfeatures import read_geopkg
-        rl, nexus_of_wb, wb_ds_nexus = read_geopkg(geo)
+        rl, nexus_of_wb, wb_ds_nexus, hyf_da = read_geopkg(geo, columns)
         if mask_ids is not None:
             keep = np.isin(rl.ids, mask_ids)
             rl = RouteLinkData(
@@ -132,14 +134,37 @@ def build_network(cfg: Config, base: Path,
         if is_hyfeatures:
             from troute_tpu.io.routelink import LakeParmData
             from troute_tpu.network.hyfeatures import read_lake_attributes
-            lids, parms = read_lake_attributes(base / (lp_file or
-                                                       sp.geo_file_path))
+            lids, parms, outlet_wb = read_lake_attributes(
+                base / (lp_file or sp.geo_file_path))
+            if outlet_wb is not None:
+                # new-format lakes layer: hl_link lake ids with the outlet
+                # wb flowpath in 'id'; lake ids colliding with segment ids
+                # get the reference's synthetic offset
+                # (HYFeaturesNetwork.py:477-504)
+                seg_set = set(int(s) for s in rl.ids)
+                remap = {int(l): (int(l) + int(9.99e11)
+                                  if int(l) in seg_set else int(l))
+                         for l in lids}
+                lids = np.asarray([remap[int(l)] for l in lids], np.int64)
+                known = set(lids.tolist())
+                for lk, wb_seg in outlet_wb.items():
+                    lk = remap.get(int(lk), int(lk))
+                    if lk in known and int(wb_seg) in seg_set:
+                        waterbodies[int(wb_seg)] = lk
+                # member segments via the waterbody attribute column
+                wb_mask = rl.waterbody != rl.waterbody_null
+                for seg, lake in zip(rl.ids[wb_mask], rl.waterbody[wb_mask]):
+                    lk = remap.get(int(lake), int(lake))
+                    if lk in known:
+                        waterbodies[int(seg)] = lk
+            else:
+                known = set(lids.tolist())
+                # old-format gpkg lakes are flowpaths themselves
+                # (wb id == lake id)
+                for seg in rl.ids:
+                    if int(seg) in known:
+                        waterbodies[int(seg)] = int(seg)
             lake_params = LakeParmData(lake_ids=lids, params=parms)
-            known = set(lids.tolist())
-            # gpkg lakes are flowpaths themselves (wb id == lake id)
-            for seg in rl.ids:
-                if int(seg) in known:
-                    waterbodies[int(seg)] = int(seg)
         else:
             wb_mask = rl.waterbody != rl.waterbody_null
             lake_ids_in_domain = set(
@@ -278,7 +303,7 @@ def build_network(cfg: Config, base: Path,
         gage_ids=np.asarray(gage_ids, dtype=object),
         lake_crosswalk=lake_crosswalk, segment_rows=seg_rows,
         nexus_of_wb=nexus_of_wb,
-        wb_downstream_nexus=wb_ds_nexus)
+        wb_downstream_nexus=wb_ds_nexus, hyf_da=hyf_da)
     if cache_path is not None:
         cache_path.parent.mkdir(parents=True, exist_ok=True)
         with open(cache_path, "wb") as f:
