@@ -45,7 +45,7 @@ inp = build_sharded_inputs(part, topo, chan, LAKE_ROWVALS, q0, depth0,
                            {lake_row: ELEV0}, qlat_cols, dtype=jnp.float64)
 mesh = Mesh(np.array(jax.devices()), ("basin",))
 inp_g = place_global(mesh, inp)
-fvd = route_sharded(mesh, inp_g, dt, nts, qts_subdivisions=4)
+fvd = route_sharded(mesh, inp_g, dt, nts, qts_subdivisions=4).fvd
 full = np.asarray(multihost_utils.process_allgather(fvd, tiled=True))
 if pid == 0:
     np.save(f"{outdir}/fvd_mp.npy", full)

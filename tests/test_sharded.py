@@ -16,7 +16,7 @@ from troute_tpu.ops.levelpool import LevelpoolParams
 from troute_tpu.parallel.partition import (
     gather_from_shards, greedy_basin_assignment, partition_network)
 from troute_tpu.parallel.sharded_engine import (
-    build_sharded_inputs, route_sharded)
+    build_sharded_inputs, route_sharded, route_sharded_fvd)
 from troute_tpu.routing.engine import (
     ChannelParams, RoutingConfig, network_arrays_from_topology, route)
 
@@ -86,7 +86,7 @@ def test_sharded_matches_single_device(forced_cut):
     inp = build_sharded_inputs(
         part, topo, chan, LAKE_ROWVALS, q0, depth0,
         {lake_row: ELEV0}, qlat_cols, dtype=dtype)
-    fvd_sh = np.asarray(route_sharded(mesh, inp, dt, nts,
+    fvd_sh = np.asarray(route_sharded_fvd(mesh, inp, dt, nts,
                                       qts_subdivisions=4))
 
     # reassemble global [nts, N, 3]
@@ -150,7 +150,7 @@ def test_sharded_with_gage_nudging():
         part, topo, chan, LAKE_ROWVALS, q0, depth0, {lake_row: ELEV0},
         qlat_cols, dtype=dtype, gage_rows=gage_rows, gage_obs=obs,
         gage_lo_val=lo_val, gage_lo_time=lo_time)
-    fvd_sh = np.asarray(route_sharded(mesh, inp, dt, nts,
+    fvd_sh = np.asarray(route_sharded_fvd(mesh, inp, dt, nts,
                                       qts_subdivisions=4))
     for d in range(n_dev):
         for j in range(part.n_local):
@@ -241,7 +241,7 @@ def test_sharded_typed_reservoir_da():
                                elev_by_row, qlat_cols, dtype=dtype)
     rda_sh = shard_reservoir_da(part, topo, res_da, np.asarray(inp.res_slots),
                                 dtype=dtype)
-    fvd_sh = np.asarray(route_sharded(mesh, inp, dt, nts,
+    fvd_sh = np.asarray(route_sharded_fvd(mesh, inp, dt, nts,
                                       qts_subdivisions=4, res_da=rda_sh))
     for d in range(n_dev):
         for j in range(part.n_local):
@@ -251,3 +251,143 @@ def test_sharded_typed_reservoir_da():
             np.testing.assert_allclose(fvd_sh[d, :, j], ref[:, g],
                                        rtol=0, atol=1e-12,
                                        err_msg=f"row {g}")
+
+
+def test_neighbor_exchange_plan_and_equivalence():
+    """The ppermute plan covers every cut edge exactly once, each round is
+    a partial permutation, and the neighbor path is bit-identical to the
+    all_gather path (which is itself bit-exact vs the single device)."""
+    nts, dt = 12, 300.0
+    dtype = jnp.float64
+    topo, chan, q0, depth0, qlat_cols, lake_row = _global_setup()
+    n_dev = 8
+    assignment = (np.arange(topo.n_nodes) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    assert part.cut_edges > 0
+
+    # plan properties: every halo slot is delivered by exactly one
+    # (round, message) entry, and each round's pairs form a partial
+    # permutation (each device sends <= 1 and receives <= 1)
+    delivered = np.zeros((n_dev, part.n_halo), np.int64)
+    for d in range(n_dev):
+        for r in range(part.recv_pos.shape[1]):
+            for pos in part.recv_pos[d, r]:
+                if pos >= 0:
+                    delivered[d, pos] += 1
+    expected = (part.halo_src_dev >= 0).astype(np.int64)
+    np.testing.assert_array_equal(delivered, expected)
+    for r in range(part.perm_pairs.shape[0]):
+        pairs = [(s, d) for s, d in part.perm_pairs[r] if s >= 0]
+        srcs = [s for s, _ in pairs]
+        dsts = [d for _, d in pairs]
+        assert len(set(srcs)) == len(srcs)
+        assert len(set(dsts)) == len(dsts)
+    # neighbor traffic is sized by actual cut edges, not devices x exports
+    W = part.send_slot.shape[-1]
+    n_rounds = part.perm_pairs.shape[0]
+    assert n_rounds * W <= n_dev * part.n_export, \
+        "neighbor plan should not exceed all_gather traffic"
+
+    devices = jax.devices()[:n_dev]
+    mesh = Mesh(np.array(devices), ("basin",))
+    inp = build_sharded_inputs(
+        part, topo, chan, LAKE_ROWVALS, q0, depth0,
+        {lake_row: ELEV0}, qlat_cols, dtype=dtype)
+    fvd_nb = np.asarray(route_sharded_fvd(mesh, inp, dt, nts,
+                                      qts_subdivisions=4,
+                                      exchange="neighbor"))
+    fvd_ag = np.asarray(route_sharded_fvd(mesh, inp, dt, nts,
+                                      qts_subdivisions=4,
+                                      exchange="allgather"))
+    np.testing.assert_array_equal(fvd_nb, fvd_ag)
+
+
+def test_route_sharded_global_full_contract():
+    """``route_sharded_global`` reproduces ``route()``'s full output
+    contract — flowveldepth, nudge magnitudes, and the final RoutingState
+    (flows, depths, reservoir elevations, lastobs, typed-DA states) — so
+    the CLI can swap engines per run set."""
+    from troute_tpu.ops.reservoir_da import HybridDAState
+    from troute_tpu.parallel.sharded_engine import route_sharded_global
+    from troute_tpu.routing.engine import GageDA, ReservoirDAData
+
+    nts, dt = 24, 300.0
+    dtype = jnp.float64
+    conn = {1: [2], 2: [901], 901: [3], 3: [4], 4: [],
+            10: [903], 903: [11], 11: [4]}
+    rng = np.random.default_rng(9)
+    topo = from_connections(conn, reservoir_ids=[901, 903])
+    n = topo.n_nodes
+    chan = dict(
+        dx=rng.uniform(500, 3000, n), bw=rng.uniform(2, 20, n),
+        tw=rng.uniform(25, 60, n), twcc=rng.uniform(80, 200, n),
+        n=np.full(n, 0.055), ncc=np.full(n, 0.11),
+        cs=rng.uniform(0.3, 1.5, n), s0=rng.uniform(0.001, 0.02, n))
+    q0 = rng.uniform(0.5, 5.0, n)
+    depth0 = rng.uniform(0.05, 0.8, n)
+    parm = np.array([[2.0, 12.0, 1.2, 0.1, 8.0, 0.4, 11.0, 12.0, 10.0],
+                     [500.0, 50.0, 1.0, 0.1, 10.0, 0.4, 45.0, 100.0,
+                      10.0]])
+    lake_rows = {int(topo.ids[r]): int(r) for r in topo.reservoir_rows}
+    elev_by_row = {lake_rows[901]: 10.5, lake_rows[903]: 40.0}
+    for lk in (901, 903):
+        q0[lake_rows[lk]] = 2.0
+        depth0[lake_rows[lk]] = elev_by_row[lake_rows[lk]]
+    qlat_cols = rng.uniform(0.1, 2.0, (6, n))
+
+    n_res = topo.reservoir_rows.size
+    hobs = np.full((n_res, 20), np.nan)
+    wt = np.ones(n_res, np.int32)
+    for s, r in enumerate(topo.reservoir_rows):
+        if int(topo.ids[r]) == 901:
+            wt[s] = 2
+            hobs[s] = rng.uniform(3, 9, 20)
+    res_da = ReservoirDAData.inactive(n_res, nts, dtype)._replace(
+        wbody_type=jnp.asarray(wt),
+        hybrid_obs=jnp.asarray(hobs, dtype),
+        hybrid_obs_time=jnp.asarray(np.arange(20) * 900.0, dtype),
+        month_idx=jnp.full(nts + 1, 7, jnp.int32))
+
+    gage_rows = np.asarray([topo.index_of[3], topo.index_of[11]])
+    obs = np.full((nts + 1, 2), np.nan)
+    obs[2:12, 0] = rng.uniform(5, 9, 10)
+    obs[1:, 1] = rng.uniform(1, 2, nts)
+    da = GageDA(rows=jnp.asarray(gage_rows), obs=jnp.asarray(obs, dtype),
+                lastobs_val=jnp.asarray([np.nan, 3.0], dtype),
+                lastobs_time=jnp.asarray([0.0, -600.0], dtype),
+                decay_coeff=120.0)
+
+    net = network_arrays_from_topology(topo, need_levels=False)
+    cp = ChannelParams(**{k: jnp.asarray(v, dtype) for k, v in chan.items()})
+    lp = LevelpoolParams(*[jnp.asarray(parm[:, i], dtype) for i in range(9)])
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True)
+    elev0 = jnp.asarray([elev_by_row[int(r)]
+                         for r in topo.reservoir_rows], dtype)
+    ref = route(net, cp, lp, cfg, jnp.asarray(q0, dtype),
+                jnp.asarray(depth0, dtype), elev0,
+                jnp.asarray(qlat_cols, dtype), da, res_da)
+
+    n_dev = 4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    assignment = (np.arange(n) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    got = route_sharded_global(mesh, topo, chan, parm, cfg, q0, depth0,
+                               elev0, qlat_cols, da=da, res_da=res_da,
+                               part=part, dtype=dtype)
+
+    np.testing.assert_allclose(got["flowveldepth"],
+                               np.asarray(ref["flowveldepth"]),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(got["nudge"], np.asarray(ref["nudge"]),
+                               rtol=0, atol=1e-12)
+    rs, gs = ref["state"], got["state"]
+    for name in ("q", "depth", "res_elev", "lastobs_val", "lastobs_time"):
+        np.testing.assert_allclose(np.asarray(getattr(gs, name)),
+                                   np.asarray(getattr(rs, name)),
+                                   rtol=0, atol=1e-12, err_msg=name)
+    for tree_name in ("hybrid", "rfc", "gl"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-12),
+            getattr(gs, tree_name), getattr(rs, tree_name))

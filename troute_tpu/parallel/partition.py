@@ -48,6 +48,21 @@ class NetworkPartition:
     # [n_dev, n_halo] source (device, export position) for each halo slot
     halo_src_dev: np.ndarray
     halo_src_pos: np.ndarray
+    # --- neighbor-exchange plan (ppermute rounds; SURVEY §2.4) ---
+    # [n_rounds, n_pairs, 2] (src_dev, dst_dev) partial permutation per
+    # round; -1 pad.  Each device sends/receives at most one message per
+    # round (greedy edge coloring of the device communication digraph), so
+    # rounds = max neighbor degree, and each message carries only that
+    # pair's actual cut-edge values — unlike the all_gather fallback which
+    # broadcasts every exported value to every device.
+    perm_pairs: np.ndarray
+    # [n_dev, n_rounds, W] local slots packed into the round's send buffer
+    send_slot: np.ndarray
+    # [n_dev, n_rounds, W] halo positions the received buffer lands in (-1 pad)
+    recv_pos: np.ndarray
+    # [n_dev, n_boundary] local rows with any remote upstream (-1 pad);
+    # the rows recomputed after the exchange in the overlapped step
+    boundary_rows: np.ndarray
 
     @property
     def cut_edges(self) -> int:
@@ -163,12 +178,58 @@ def partition_network(topo: RoutingTopology, n_dev: int,
             halo_src_dev[d, h] = sd
             halo_src_pos[d, h] = sp
 
+    # ---- neighbor-exchange plan ----
+    # message (s -> d): the halo values device d imports from device s.
+    # msg[(s, d)] = list of (src local slot on s, halo position on d)
+    msgs: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for d in range(n_dev):
+        for h, (sd, sp) in enumerate(imports[d]):
+            msgs.setdefault((sd, d), []).append((exports[sd][sp], h))
+
+    # greedy edge coloring: each round is a partial permutation
+    rounds: list[dict[tuple[int, int], list]] = []
+    for key, vals in sorted(msgs.items(),
+                            key=lambda kv: -len(kv[1])):
+        s, d = key
+        placed = False
+        for rnd in rounds:
+            if all(ks != s for ks, _ in rnd) and \
+                    all(kd != d for _, kd in rnd):
+                rnd[key] = vals
+                placed = True
+                break
+        if not placed:
+            rounds.append({key: vals})
+
+    n_rounds = len(rounds)
+    W = max((len(v) for v in msgs.values()), default=0)
+    n_pairs = max((len(r) for r in rounds), default=0)
+    perm_pairs = np.full((n_rounds, max(n_pairs, 1), 2), -1, np.int64)
+    send_slot = np.zeros((n_dev, n_rounds, max(W, 1)), np.int64)
+    recv_pos = np.full((n_dev, n_rounds, max(W, 1)), -1, np.int64)
+    for r, rnd in enumerate(rounds):
+        for p, ((s, d), vals) in enumerate(sorted(rnd.items())):
+            perm_pairs[r, p] = (s, d)
+            for w, (slot, hpos) in enumerate(vals):
+                send_slot[s, r, w] = slot
+                recv_pos[d, r, w] = hpos
+
+    # rows whose upstream list references any halo slot
+    boundary = [np.flatnonzero((upstream_local[d] >= n_local).any(axis=1))
+                for d in range(n_dev)]
+    B = max((b.size for b in boundary), default=0)
+    boundary_rows = np.full((n_dev, max(B, 1)), -1, np.int64)
+    for d, b in enumerate(boundary):
+        boundary_rows[d, :b.size] = b
+
     return NetworkPartition(
         n_dev=n_dev, n_local=n_local, n_halo=n_halo, n_export=n_export,
         global_row=global_row, owner=assignment.astype(np.int64),
         local_slot=local_slot, upstream_local=upstream_local,
         export_slot=export_slot, halo_src_dev=halo_src_dev,
-        halo_src_pos=halo_src_pos)
+        halo_src_pos=halo_src_pos, perm_pairs=perm_pairs,
+        send_slot=send_slot, recv_pos=recv_pos,
+        boundary_rows=boundary_rows)
 
 
 def scatter_to_shards(part: NetworkPartition, arr: np.ndarray,

@@ -62,6 +62,12 @@ class ShardedInputs(NamedTuple):
     export_slot: jax.Array      # int32 [n_dev, E]
     halo_src_dev: jax.Array     # int32 [n_dev, H]
     halo_src_pos: jax.Array     # int32 [n_dev, H]
+    # neighbor-exchange plan (partition.py): per-round ppermute pairs
+    # (replicated) + per-device send/recv packing + boundary row lists
+    perm_pairs: jax.Array       # int32 [n_rounds, n_pairs, 2] (replicated)
+    send_slot: jax.Array        # int32 [n_dev, n_rounds, W]
+    recv_pos: jax.Array         # int32 [n_dev, n_rounds, W]
+    boundary_rows: jax.Array    # int32 [n_dev, B] (-1 pad)
     valid: jax.Array            # bool  [n_dev, n_local] (pad rows False)
     is_reservoir: jax.Array     # bool  [n_dev, n_local]
     res_slots: jax.Array        # int32 [n_dev, R] local slots of reservoirs, -1 pad
@@ -73,9 +79,25 @@ class ShardedInputs(NamedTuple):
     qlat: jax.Array             # [n_cols, n_dev, n_local]
     # streamflow-nudging DA, device-local lanes (-1 = pad slot)
     gage_slot: jax.Array        # int32 [n_dev, G]
+    gage_index: jax.Array       # int32 [n_dev, G] global gage ordinal (-1 pad)
     gage_obs: jax.Array         # [n_dev, nts+1, G] (NaN = missing)
     gage_lo_val: jax.Array      # [n_dev, G]
     gage_lo_time: jax.Array     # [n_dev, G]
+
+
+class ShardedRunResult(NamedTuple):
+    """Sharded outputs of ``route_sharded`` ([n_dev, ...] leading axis)."""
+
+    fvd: jax.Array              # [n_dev, nts, n_local, 3]
+    nudge: jax.Array            # [n_dev, nts, G]
+    q: jax.Array                # [n_dev, n_local] final flows
+    depth: jax.Array            # [n_dev, n_local]
+    res_elev: jax.Array         # [n_dev, R]
+    lo_val: jax.Array           # [n_dev, G]
+    lo_time: jax.Array          # [n_dev, G]
+    hyb: HybridDAState          # [n_dev, R] lanes
+    rfc: RfcDAState
+    gl: GreatLakesDAState
 
 
 def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
@@ -134,12 +156,14 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
             per_dev[part.owner[g]].append((int(part.local_slot[g]), gi))
         G = max(1, max(len(p) for p in per_dev))
         gslot = np.full((nd, G), -1, np.int64)
+        gindex = np.full((nd, G), -1, np.int64)
         gobs = np.full((nd, n_obs_t, G), np.nan)
         glov = np.full((nd, G), np.nan)
         glot = np.zeros((nd, G))
         for d in range(nd):
             for k, (slot, gi) in enumerate(per_dev[d]):
                 gslot[d, k] = slot
+                gindex[d, k] = gi
                 gobs[d, :, k] = np.asarray(gage_obs)[:, gi]
                 if gage_lo_val is not None:
                     glov[d, k] = np.asarray(gage_lo_val)[gi]
@@ -147,6 +171,7 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
     else:
         G = 1
         gslot = np.full((nd, G), -1, np.int64)
+        gindex = np.full((nd, G), -1, np.int64)
         gobs = np.full((nd, n_obs_t, G), np.nan)
         glov = np.full((nd, G), np.nan)
         glot = np.zeros((nd, G))
@@ -156,6 +181,10 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
         export_slot=jnp.asarray(part.export_slot, jnp.int32),
         halo_src_dev=jnp.asarray(part.halo_src_dev, jnp.int32),
         halo_src_pos=jnp.asarray(part.halo_src_pos, jnp.int32),
+        perm_pairs=jnp.asarray(part.perm_pairs, jnp.int32),
+        send_slot=jnp.asarray(part.send_slot, jnp.int32),
+        recv_pos=jnp.asarray(part.recv_pos, jnp.int32),
+        boundary_rows=jnp.asarray(part.boundary_rows, jnp.int32),
         valid=jnp.asarray(valid),
         is_reservoir=jnp.asarray(is_res),
         res_slots=jnp.asarray(res_slots, jnp.int32),
@@ -166,6 +195,7 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
         res_elev0=jnp.asarray(res_e0, dtype),
         qlat=qlat_sh,
         gage_slot=jnp.asarray(gslot, jnp.int32),
+        gage_index=jnp.asarray(gindex, jnp.int32),
         gage_obs=jnp.asarray(gobs, dtype),
         gage_lo_val=jnp.asarray(glov, dtype),
         gage_lo_time=jnp.asarray(glot, dtype),
@@ -218,38 +248,101 @@ def shard_reservoir_da(part: NetworkPartition, topo, res_da,
 def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   qts_subdivisions: int = 1,
                   res_da: ShardedResDA | None = None,
-                  decay_coeff: float = 120.0):
+                  decay_coeff: float = 120.0,
+                  exchange: str = "neighbor"):
     """Compiled multi-device routing run (short-timestep mode).
+
+    ``exchange`` picks the halo mechanism (both bit-identical):
+
+    * ``"neighbor"`` (default): per-round ``ppermute`` partial
+      permutations sized by actual cut edges — traffic per device is
+      O(its own boundary), flat in device count.  The full-domain MC
+      solve runs on local-only upstream sums first (no dependency on the
+      collective, so XLA can overlap it with the permutes), then the few
+      boundary rows are recomputed with the imported halo values.
+    * ``"allgather"``: every exported value broadcast to every device;
+      one-pass solve.  O(devices x exports) traffic.
 
     Returns fvd [n_dev, nts, n_local, 3] sharded over the mesh.
     """
     dtype = inp.q0.dtype
     dt_ = jnp.asarray(dt, dtype)
     have_res_da = res_da is not None
+    n_halo = int(inp.halo_src_dev.shape[-1])
+    # static ppermute schedule from the (replicated) plan array
+    perm_np = np.asarray(inp.perm_pairs)
+    perms = tuple(
+        tuple((int(s), int(d)) for s, d in perm_np[r] if s >= 0)
+        for r in range(perm_np.shape[0]))
+
+    def mc_rows(up_prev, q, qlat_t, depth, chan):
+        return muskingum_cunge(up_prev, up_prev, q, qlat_t, chan.dx,
+                               chan.bw, chan.tw, chan.twcc, chan.n,
+                               chan.ncc, chan.cs, chan.s0, depth, dt_)
 
     def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
-                   halo_src_pos, valid, is_res, res_slots, chan, res_params,
-                   gage_slot, gage_obs, rda):
+                   halo_src_pos, perm_pairs, send_slot, recv_pos,
+                   boundary_rows, valid, is_res, res_slots, chan,
+                   res_params, gage_slot, gage_obs, rda):
         q, depth, res_elev, lo_val, lo_time, hyb_s, rfc_s, gl_s = carry
         qlat_t, t_idx = xs
-
-        # halo exchange: export my boundary flows, all-gather, import
-        exported = q[export_slot]                     # [E]
-        all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
-        halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
-        halo = jnp.where(halo_src_dev >= 0, halo, 0.0)
-        q_ext = jnp.concatenate([q, halo])
-
         up = upstream_local
-        vals = q_ext[jnp.maximum(up, 0)]
-        up_prev = jnp.where(up >= 0, vals, 0.0).sum(axis=1)
+        n_local = q.shape[0]
 
-        out = muskingum_cunge(up_prev, up_prev, q, qlat_t, chan.dx, chan.bw,
-                              chan.tw, chan.twcc, chan.n, chan.ncc, chan.cs,
-                              chan.s0, depth, dt_)
-        q_new = jnp.where(valid & ~is_res, out.qdc, q)
-        v_new = jnp.where(valid & ~is_res, out.velc, 0.0)
-        d_new = jnp.where(valid & ~is_res, out.depthc, depth)
+        if exchange == "neighbor":
+            # interior pass first: upstream sums from owned nodes only
+            # (boundary rows get provisional values, fixed below) — no
+            # data dependency on the collective, so the big solve and the
+            # permutes overlap
+            local_up = (up >= 0) & (up < n_local)
+            vals = jnp.where(local_up,
+                             q[jnp.clip(up, 0, n_local - 1)], 0.0)
+            up_prev = vals.sum(axis=1)
+            out = mc_rows(up_prev, q, qlat_t, depth, chan)
+            qdc, velc, depthc = out.qdc, out.velc, out.depthc
+
+            # sparse neighbor exchange: one ppermute per round, each
+            # message holding only that device pair's cut-edge values
+            halo = jnp.zeros((n_halo,), dtype)
+            for r, perm in enumerate(perms):
+                if not perm:
+                    continue
+                buf = q[send_slot[r]]
+                rec = jax.lax.ppermute(buf, AXIS, perm)
+                pos = recv_pos[r]
+                halo = halo.at[jnp.where(pos >= 0, pos, n_halo)].set(
+                    rec, mode="drop")
+            q_ext = jnp.concatenate([q, halo])
+
+            # recompute the boundary rows with the true upstream sums
+            b = boundary_rows
+            safe_b = jnp.maximum(b, 0)
+            up_b = up[safe_b]
+            vals_b = jnp.where(up_b >= 0, q_ext[jnp.maximum(up_b, 0)], 0.0)
+            up_prev_b = vals_b.sum(axis=1)
+            chan_b = jax.tree.map(lambda a: a[safe_b], chan)
+            out_b = mc_rows(up_prev_b, q[safe_b], qlat_t[safe_b],
+                            depth[safe_b], chan_b)
+            scat_b = jnp.where(b >= 0, safe_b, n_local)
+            qdc = qdc.at[scat_b].set(out_b.qdc, mode="drop")
+            velc = velc.at[scat_b].set(out_b.velc, mode="drop")
+            depthc = depthc.at[scat_b].set(out_b.depthc, mode="drop")
+            up_prev = up_prev.at[scat_b].set(up_prev_b, mode="drop")
+        else:
+            # halo exchange: export boundary flows, all-gather, import
+            exported = q[export_slot]                     # [E]
+            all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
+            halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
+            halo = jnp.where(halo_src_dev >= 0, halo, 0.0)
+            q_ext = jnp.concatenate([q, halo])
+            vals = q_ext[jnp.maximum(up, 0)]
+            up_prev = jnp.where(up >= 0, vals, 0.0).sum(axis=1)
+            out = mc_rows(up_prev, q, qlat_t, depth, chan)
+            qdc, velc, depthc = out.qdc, out.velc, out.depthc
+
+        q_new = jnp.where(valid & ~is_res, qdc, q)
+        v_new = jnp.where(valid & ~is_res, velc, 0.0)
+        d_new = jnp.where(valid & ~is_res, depthc, depth)
 
         # reservoirs: padded per-device slots
         safe_slots = jnp.maximum(res_slots, 0)
@@ -292,6 +385,9 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
         replaced = jnp.where(have_obs, obs_t,
                              jnp.where(no_memory, model, model + shift))
+        nudge = jnp.where(gage_slot >= 0,
+                          jnp.where(have_obs, obs_t - model,
+                                    jnp.where(no_memory, 0.0, shift)), 0.0)
         lo_val = jnp.where(have_obs, obs_t, lo_val)
         lo_time = jnp.where(have_obs, t_seconds, lo_time)
         g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
@@ -299,12 +395,13 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
 
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
         return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
-                gl_s), fvd
+                gl_s), (fvd, nudge)
 
     def device_fn(upstream_local, export_slot, halo_src_dev, halo_src_pos,
+                  perm_pairs, send_slot, recv_pos, boundary_rows,
                   valid, is_res, res_slots, chan, res_params, q0, depth0,
-                  res_elev0, qlat, gage_slot, gage_obs, gage_lo_val,
-                  gage_lo_time, *rda_flat):
+                  res_elev0, qlat, gage_slot, gage_index, gage_obs,
+                  gage_lo_val, gage_lo_time, *rda_flat):
         # block shapes carry a leading size-1 device axis; drop it
         sq = lambda a: a[0]
         if have_res_da:
@@ -321,7 +418,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             rfc0 = RfcDAState(jnp.zeros((R,), jnp.int32), z)
             gl0 = GreatLakesDAState(z, z, z)
         args = (sq(upstream_local), sq(export_slot), sq(halo_src_dev),
-                sq(halo_src_pos), sq(valid), sq(is_res), sq(res_slots),
+                sq(halo_src_pos), perm_pairs, sq(send_slot), sq(recv_pos),
+                sq(boundary_rows), sq(valid), sq(is_res), sq(res_slots),
                 jax.tree.map(sq, chan), jax.tree.map(sq, res_params),
                 sq(gage_slot), sq(gage_obs), rda_l)
 
@@ -332,10 +430,16 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         def step(c, x):
             return local_step(c, x, *args)
 
-        _, fvd = jax.lax.scan(
+        carry, (fvd, nudge) = jax.lax.scan(
             step, (sq(q0), sq(depth0), sq(res_elev0), sq(gage_lo_val),
                    sq(gage_lo_time), hyb0, rfc0, gl0), (qlat_seq, t_seq))
-        return fvd[None]   # [1, nts, n_local, 3]
+        q_f, d_f, re_f, lov_f, lot_f, hyb_f, rfc_f, gl_f = carry
+        add1 = lambda a: a[None]
+        return ShardedRunResult(
+            fvd=fvd[None], nudge=nudge[None], q=q_f[None], depth=d_f[None],
+            res_elev=re_f[None], lo_val=lov_f[None], lo_time=lot_f[None],
+            hyb=jax.tree.map(add1, hyb_f), rfc=jax.tree.map(add1, rfc_f),
+            gl=jax.tree.map(add1, gl_f))
 
     specs = list(input_specs())
     rda_args = ()
@@ -350,23 +454,38 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         rda_flat, rda_treedef = jax.tree.flatten(rda_dict)
         rda_args = tuple(rda_flat)
         specs = specs + [P(AXIS)] * len(rda_flat)
+    out_specs = ShardedRunResult(
+        fvd=P(AXIS), nudge=P(AXIS), q=P(AXIS), depth=P(AXIS),
+        res_elev=P(AXIS), lo_val=P(AXIS), lo_time=P(AXIS),
+        hyb=HybridDAState(*[P(AXIS)] * len(HybridDAState._fields)),
+        rfc=RfcDAState(*[P(AXIS)] * len(RfcDAState._fields)),
+        gl=GreatLakesDAState(*[P(AXIS)] * len(GreatLakesDAState._fields)))
     fn = jax.shard_map(device_fn, mesh=mesh, in_specs=tuple(specs),
-                       out_specs=P(AXIS), check_vma=False)
+                       out_specs=out_specs, check_vma=False)
     return jax.jit(fn)(*inp, *rda_args)
+
+
+
+def route_sharded_fvd(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
+                      **kw):
+    """``route_sharded`` returning only the fvd array (test convenience)."""
+    return route_sharded(mesh, inp, dt, nts, **kw).fvd
 
 
 def input_specs() -> ShardedInputs:
     """Per-field PartitionSpecs matching ``ShardedInputs``."""
     return ShardedInputs(
         upstream_local=P(AXIS), export_slot=P(AXIS), halo_src_dev=P(AXIS),
-        halo_src_pos=P(AXIS), valid=P(AXIS), is_reservoir=P(AXIS),
+        halo_src_pos=P(AXIS), perm_pairs=P(),
+        send_slot=P(AXIS), recv_pos=P(AXIS), boundary_rows=P(AXIS),
+        valid=P(AXIS), is_reservoir=P(AXIS),
         res_slots=P(AXIS),
         chan=ChannelParams(*[P(AXIS)] * len(ChannelParams._fields)),
         res_params=LevelpoolParams(*[P(AXIS)] * len(LevelpoolParams._fields)),
         q0=P(AXIS), depth0=P(AXIS), res_elev0=P(AXIS),
         qlat=P(None, AXIS),
-        gage_slot=P(AXIS), gage_obs=P(AXIS), gage_lo_val=P(AXIS),
-        gage_lo_time=P(AXIS))
+        gage_slot=P(AXIS), gage_index=P(AXIS), gage_obs=P(AXIS),
+        gage_lo_val=P(AXIS), gage_lo_time=P(AXIS))
 
 
 def place_global(mesh: Mesh, inp: ShardedInputs) -> ShardedInputs:
@@ -390,3 +509,114 @@ def place_global(mesh: Mesh, inp: ShardedInputs) -> ShardedInputs:
 
     return jax.tree.unflatten(
         treedef, [put(a, s) for a, s in zip(leaves, spec_leaves)])
+
+
+def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
+                         res_params_np, cfg, q0, depth0, res_elev0,
+                         qlat_cols, da=None, res_da=None,
+                         part: NetworkPartition | None = None,
+                         dtype=jnp.float32):
+    """Multi-device routing with the ``route()`` contract on GLOBAL arrays.
+
+    Partitions the network over ``mesh`` (greedy basin packing unless a
+    ``part`` is supplied), shards channel/reservoir/DA state, runs
+    ``route_sharded`` (neighbor ppermute halo exchange), and reassembles
+    global outputs: ``{"flowveldepth": [nts, N, 3], "nudge": [nts, G],
+    "state": RoutingState}`` — so the CLI's run-set loop can hand state
+    across sets exactly as with the single-device engine.  This is the
+    multi-chip production entry (``parallel_compute_method: sharded``);
+    the reference's closest analog is the joblib by-subnetwork scheduler
+    (``compute.py:553-907``), which is single-node.
+    """
+    from troute_tpu.parallel.partition import (
+        gather_from_shards, partition_network)
+    from troute_tpu.routing.engine import GageDA, RoutingState
+
+    if not cfg.assume_short_ts:
+        raise ValueError("route_sharded_global supports short-timestep "
+                         "mode only")
+    n_dev = int(np.prod(mesh.devices.shape))
+    if part is None:
+        part = partition_network(topo, n_dev)
+
+    res_rows = np.asarray(topo.reservoir_rows)
+    res_elev_by_row = {int(r): float(np.asarray(res_elev0)[i])
+                       for i, r in enumerate(res_rows)}
+    have_da = da is not None and int(da.rows.shape[0]) > 0
+    inp = build_sharded_inputs(
+        part, topo, chan_np,
+        np.asarray(res_params_np) if res_params_np is not None else None,
+        np.asarray(q0), np.asarray(depth0), res_elev_by_row,
+        np.asarray(qlat_cols), dtype=dtype,
+        gage_rows=np.asarray(da.rows) if have_da else None,
+        gage_obs=np.asarray(da.obs) if have_da else None,
+        gage_lo_val=np.asarray(da.lastobs_val) if have_da else None,
+        gage_lo_time=np.asarray(da.lastobs_time) if have_da else None)
+
+    rda_sh = None
+    if res_da is not None:
+        rda_sh = shard_reservoir_da(part, topo, res_da,
+                                    np.asarray(inp.res_slots), dtype=dtype)
+
+    res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
+                        qts_subdivisions=cfg.qts_subdivisions,
+                        res_da=rda_sh,
+                        decay_coeff=(da.decay_coeff if have_da else 120.0))
+
+    # ---- reassemble global outputs ----
+    fvd_sh = np.asarray(res.fvd)                       # [D, nts, L, 3]
+    fvd = gather_from_shards(part, fvd_sh.transpose(0, 2, 1, 3))
+    fvd = fvd.transpose(1, 0, 2)                       # [nts, N, 3]
+
+    gidx = np.asarray(inp.gage_index)                  # [D, G]
+    n_g = int(da.rows.shape[0]) if have_da else 0
+    nudge = np.zeros((cfg.nts, n_g), fvd.dtype)
+    if have_da:
+        nudge_sh = np.asarray(res.nudge)               # [D, nts, G]
+        lov = np.full((n_g,), np.nan, fvd.dtype)
+        lot = np.zeros((n_g,), fvd.dtype)
+        lov_sh, lot_sh = np.asarray(res.lo_val), np.asarray(res.lo_time)
+        for d in range(gidx.shape[0]):
+            for k in range(gidx.shape[1]):
+                gi = gidx[d, k]
+                if gi >= 0:
+                    nudge[:, gi] = nudge_sh[d, :, k]
+                    lov[gi] = lov_sh[d, k]
+                    lot[gi] = lot_sh[d, k]
+    else:
+        lov = np.zeros((0,), fvd.dtype)
+        lot = np.zeros((0,), fvd.dtype)
+
+    # reservoir lanes back to global slot order (topo.reservoir_rows)
+    slot_of_global = {int(r): i for i, r in enumerate(res_rows)}
+    res_slots_np = np.asarray(inp.res_slots)
+    lane_of_slot = {}                                   # global slot -> (d, i)
+    for d in range(res_slots_np.shape[0]):
+        for i in range(res_slots_np.shape[1]):
+            s = res_slots_np[d, i]
+            if s >= 0:
+                g = int(part.global_row[d, s])
+                lane_of_slot[slot_of_global[g]] = (d, i)
+
+    def gather_res(a_sh, fill=0.0):
+        a_sh = np.asarray(a_sh)
+        out = np.full((res_rows.size,) + a_sh.shape[2:], fill, a_sh.dtype)
+        for gs, (d, i) in lane_of_slot.items():
+            out[gs] = a_sh[d, i]
+        return jnp.asarray(out)
+
+    n_res = res_rows.size
+    relev = (gather_res(res.res_elev) if n_res
+             else jnp.asarray(np.asarray(res_elev0)))
+    state = RoutingState(
+        q=jnp.asarray(gather_from_shards(part, np.asarray(res.q))),
+        depth=jnp.asarray(gather_from_shards(part, np.asarray(res.depth))),
+        res_elev=relev,
+        lastobs_val=jnp.asarray(lov), lastobs_time=jnp.asarray(lot),
+        hybrid=(jax.tree.map(gather_res, res.hyb) if res_da is not None
+                else None),
+        rfc=(jax.tree.map(gather_res, res.rfc) if res_da is not None
+             else None),
+        gl=(jax.tree.map(gather_res, res.gl) if res_da is not None
+            else None))
+    return {"flowveldepth": fvd, "nudge": nudge, "state": state}
