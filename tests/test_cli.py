@@ -301,3 +301,27 @@ def test_cli_explicit_forcing_sets(lc_config, tmp_path):
 
     assert res["fvd"].shape == ref["fvd"].shape == (36, 10907, 3)
     np.testing.assert_allclose(res["fvd"], ref["fvd"], rtol=1e-6, atol=1e-6)
+
+
+def test_cli_sharded_matches_default(lc_config, tmp_path):
+    """`parallel_compute_method: sharded` routes the LowerColorado AnA
+    (full DA: nudging + persistence reservoirs) over the 8-device CPU
+    mesh via the balanced basin-splitting partition and matches the
+    single-device engine bit-for-bit, including warm final state."""
+    cfg = yaml.safe_load(open(lc_config))
+    cfg["compute_parameters"]["forcing_parameters"]["nts"] = 24
+    cfg["output_parameters"] = {}
+    p0 = tmp_path / "cfg_single.yaml"
+    yaml.safe_dump(cfg, open(p0, "w"))
+    ref = main_v04(["-f", str(p0)])
+
+    cfg["compute_parameters"]["parallel_compute_method"] = "sharded"
+    p1 = tmp_path / "cfg_sharded.yaml"
+    yaml.safe_dump(cfg, open(p1, "w"))
+    import jax
+    assert len(jax.devices()) >= 8
+    got = main_v04(["-f", str(p1)])
+
+    np.testing.assert_array_equal(got["fvd"], ref["fvd"])
+    for a, b in zip(got["final_state"], ref["final_state"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

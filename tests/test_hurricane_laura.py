@@ -180,3 +180,29 @@ def test_parquet_topobathy_equivalent(tmp_path):
     for key in h1.natural_xsec:
         for a, b in zip(h1.natural_xsec[key], h2.natural_xsec[key]):
             np.testing.assert_array_equal(a, b)
+
+
+def test_laura_hybrid_sharded_matches_single_device(tmp_path):
+    """The full hybrid configuration (MC + natural-xsec diffusive
+    mainstems) on a multi-device mesh: MC routes sharded over 8 CPU
+    devices with the basin-splitting partition, tributary series feed the
+    diffusive solver, and everything matches the single-device run
+    bit-for-bit (VERDICT: sharded hybrid; reference coupling
+    compute.py:1740-1884)."""
+    from troute_tpu.cli import main_v04
+
+    p = _rs_config(tmp_path, refac=False)
+    ref = main_v04(["-f", str(p)])
+
+    cfg = yaml.safe_load(open(p))
+    cfg["compute_parameters"]["parallel_compute_method"] = "sharded"
+    p2 = tmp_path / "cfg_sharded.yaml"
+    yaml.safe_dump(cfg, open(p2, "w"))
+    got = main_v04(["-f", str(p2)])
+
+    np.testing.assert_array_equal(got["fvd"], ref["fvd"])
+    d_ref, d_got = ref["diffusive"], got["diffusive"]
+    assert d_ref is not None and d_got is not None
+    np.testing.assert_array_equal(d_got["ids"], d_ref["ids"])
+    np.testing.assert_array_equal(d_got["q"], d_ref["q"])
+    np.testing.assert_array_equal(d_got["depth"], d_ref["depth"])

@@ -391,3 +391,59 @@ def test_route_sharded_global_full_contract():
             lambda a, b: np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=0, atol=1e-12),
             getattr(gs, tree_name), getattr(rs, tree_name))
+
+
+def test_balanced_assignment_splits_large_basin():
+    """``balanced_assignment`` splits a single large basin into ~equal
+    device loads at subtree boundaries (the Mississippi problem the
+    reference's by-network pool cannot split, AGU_Poster.md:211-214)."""
+    from troute_tpu.parallel.partition import balanced_assignment
+
+    # one basin: a 64-node mainstem with a tributary every 4th node
+    conn = {i: [i + 1] for i in range(64)}
+    conn[64] = []
+    for i in range(0, 64, 4):
+        conn[1000 + i] = [i]
+    topo = from_connections(conn)
+    n_dev = 8
+    a = balanced_assignment(topo, n_dev)
+    assert (a >= 0).all()
+    loads = np.bincount(a, minlength=n_dev)
+    assert loads.sum() == topo.n_nodes
+    assert loads.max() <= -(-topo.n_nodes // n_dev) + 1
+    part = partition_network(topo, n_dev, a)
+    # subtree splitting keeps cuts sparse: a few per device boundary,
+    # not O(network width)
+    assert 0 < part.cut_edges <= 3 * n_dev
+    # and the routed result stays exact
+    rng = np.random.default_rng(3)
+    n = topo.n_nodes
+    chan = dict(
+        dx=rng.uniform(500, 3000, n), bw=rng.uniform(2, 20, n),
+        tw=rng.uniform(25, 60, n), twcc=rng.uniform(80, 200, n),
+        n=np.full(n, 0.055), ncc=np.full(n, 0.11),
+        cs=rng.uniform(0.3, 1.5, n), s0=rng.uniform(0.001, 0.02, n))
+    q0 = rng.uniform(0.5, 5.0, n)
+    depth0 = rng.uniform(0.05, 0.8, n)
+    qlat_cols = rng.uniform(0.1, 3.0, (6, n))
+    nts, dt = 12, 300.0
+    dtype = jnp.float64
+    net = network_arrays_from_topology(topo, need_levels=False)
+    cp = ChannelParams(**{k: jnp.asarray(v, dtype) for k, v in chan.items()})
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True)
+    ref = np.asarray(route(net, cp, lp, cfg, jnp.asarray(q0, dtype),
+                           jnp.asarray(depth0, dtype),
+                           jnp.zeros((1,), dtype),
+                           jnp.asarray(qlat_cols, dtype),
+                           None)["flowveldepth"])
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    inp = build_sharded_inputs(part, topo, chan, None, q0, depth0, {},
+                               qlat_cols, dtype=dtype)
+    fvd_sh = np.asarray(route_sharded_fvd(mesh, inp, dt, nts,
+                                          qts_subdivisions=4))
+    from troute_tpu.parallel.partition import gather_from_shards
+    got = gather_from_shards(part, fvd_sh.transpose(0, 2, 1, 3))
+    got = got.transpose(1, 0, 2)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)

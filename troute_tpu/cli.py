@@ -532,6 +532,7 @@ def main_v04(argv=None) -> dict:
     all_fvd = []
     all_nudge = []
     all_courant = []
+    shard_ctx = None   # (mesh, partition) once parallel_compute_method=sharded
     op = cfg.output_parameters
     written = []
     step_offset = 0
@@ -574,7 +575,34 @@ def main_v04(argv=None) -> dict:
             assume_short_ts=cfg.compute_parameters.assume_short_ts,
             return_courant=cfg.compute_parameters.return_courant,
             kernel=kernel)
-        if kernel == "pallas" and rcfg.assume_short_ts:
+        pcm = str(cfg.compute_parameters.parallel_compute_method or "")
+        if pcm == "sharded" and rcfg.assume_short_ts \
+                and not rcfg.return_courant and len(jax.devices()) > 1:
+            # multi-device domain decomposition (no reference analog —
+            # its joblib pool is single-node, SURVEY §2.4): partition
+            # once, then route each run set over the device mesh with
+            # ppermute halo exchange
+            from jax.sharding import Mesh
+            from troute_tpu.parallel.partition import (
+                balanced_assignment, partition_network)
+            from troute_tpu.parallel.sharded_engine import (
+                route_sharded_global)
+            if shard_ctx is None:
+                devs = jax.devices()
+                part0 = partition_network(
+                    topo, len(devs), balanced_assignment(topo, len(devs)))
+                shard_ctx = (Mesh(np.array(devs), ("basin",)), part0)
+                LOG.info("sharded routing: %d devices, %d nodes/device, "
+                         "%d cut edges, %d exchange rounds", len(devs),
+                         part0.n_local, part0.cut_edges,
+                         part0.perm_pairs.shape[0])
+            mesh_s, part_s = shard_ctx
+            out = route_sharded_global(
+                mesh_s, topo, built.chan, built.res_params, rcfg,
+                np.asarray(q0), np.asarray(d0), np.asarray(elev0),
+                np.asarray(ql, np.float64), da=set_da,
+                res_da=set_res_da, part=part_s, dtype=dtype)
+        elif kernel == "pallas" and rcfg.assume_short_ts:
             # Pallas cannot live inside lax.scan (remote-compiler hang);
             # the host-stepped driver with 24-step unrolled dispatches is
             # the production TPU path

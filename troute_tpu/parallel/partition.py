@@ -249,3 +249,60 @@ def gather_from_shards(part: NetworkPartition, arr: np.ndarray) -> np.ndarray:
     mask = part.global_row >= 0
     out[part.global_row[mask]] = arr[mask]
     return out
+
+
+def balanced_assignment(topo: RoutingTopology, n_dev: int) -> np.ndarray:
+    """Device assignment that SPLITS large basins at subtree boundaries.
+
+    ``greedy_basin_assignment`` keeps basins whole, so one giant basin
+    (the Mississippi is ~half of CONUS, ``doc/AGU_Poster.md:211-214``)
+    caps scaling at 2x — the same wall the reference's by-network joblib
+    pool hits.  Here each device gets ~N/n_dev nodes built from whole
+    drainage subtrees where they fit; a node whose subtree exceeds the
+    remaining capacity is assigned alone and its upstream children are
+    recursed into, producing cut edges only at the few chosen split
+    points (not the O(width) cuts a row-chunk split would make).
+    """
+    n = topo.n_nodes
+    if n == 0:
+        return np.zeros(0, np.int32)
+    down = topo.downstream
+    # subtree size (self + full upstream closure): accumulate in level
+    # order — every node has a strictly smaller level than its downstream
+    size = np.ones(n, np.int64)
+    for v in np.argsort(topo.level, kind="stable"):
+        d = down[v]
+        if d >= 0:
+            size[d] += size[v]
+
+    cap = -(-n // n_dev)
+    assignment = np.full(n, -1, np.int32)
+    dev, filled = 0, 0
+    tails = np.flatnonzero(down < 0)
+    # largest basins first so the split points land in the big ones
+    stack = list(tails[np.argsort(size[tails])])
+    up = topo.upstream
+    while stack:
+        v = int(stack.pop())
+        if filled >= cap and dev < n_dev - 1:
+            dev += 1
+            filled = 0
+        if size[v] <= cap - filled:
+            # claim the whole subtree
+            sub = [v]
+            while sub:
+                u = sub.pop()
+                assignment[u] = dev
+                for k in up[u]:
+                    if k >= 0:
+                        sub.append(int(k))
+            filled += int(size[v])
+        else:
+            # too big: keep the node, recurse into its tributaries
+            assignment[v] = dev
+            filled += 1
+            kids = [int(k) for k in up[v] if k >= 0]
+            # biggest child last -> processed first
+            for k in sorted(kids, key=lambda u: size[u]):
+                stack.append(k)
+    return assignment

@@ -375,8 +375,11 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         # streamflow-nudging DA on device-local gage lanes
         # (simple_da.pyx semantics, identical to engine._apply_nudging)
         safe_g = jnp.maximum(gage_slot, 0)
+        # past the end of the observation table means "missing" (decay
+        # nudging), exactly like the engine's obs_seq NaN fill
         obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
-        obs_t = jnp.where(gage_slot >= 0, obs_t, jnp.nan)
+        obs_t = jnp.where((gage_slot >= 0) & (t_idx < gage_obs.shape[0]),
+                          obs_t, jnp.nan)
         model = q_new[safe_g]
         have_obs = ~jnp.isnan(obs_t)
         minutes = (t_seconds - lo_time) / 60.0
