@@ -325,3 +325,31 @@ def test_cli_sharded_matches_default(lc_config, tmp_path):
     np.testing.assert_array_equal(got["fvd"], ref["fvd"])
     for a, b in zip(got["final_state"], ref["final_state"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cli_test_output_pickle_and_courant_csv(lc_config, tmp_path):
+    """`test_output` pickles the reference-shaped flowveldepth frame
+    (index = link ids, flat (timestep, q|v|d) tuple columns,
+    output.py:320-322) and return_courant adds courant_*.csv next to the
+    fvd csv (output.py:452-470)."""
+    cfg = yaml.safe_load(open(lc_config))
+    cfg["compute_parameters"]["forcing_parameters"]["nts"] = 12
+    cfg["compute_parameters"]["return_courant"] = True
+    cfg["output_parameters"] = {
+        "csv_output": {"csv_output_folder": str(tmp_path / "out")},
+        "test_output": str(tmp_path / "out" / "fvd_test.pkl"),
+    }
+    p = tmp_path / "cfg_test_output.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    res = main_v04(["-f", str(p)])
+
+    import pandas as pd
+    df = pd.read_pickle(tmp_path / "out" / "fvd_test.pkl")
+    assert df.shape == (10907, 12 * 3)
+    assert df.columns[0] == (0, "q") and df.columns[-1] == (11, "d")
+    np.testing.assert_allclose(df[(3, "q")].values,
+                               res["fvd"][3, :, 0], rtol=1e-6)
+    cour_csv = list((tmp_path / "out").glob("courant_*.csv"))
+    assert len(cour_csv) == 1
+    cdf = pd.read_csv(cour_csv[0], index_col=0)
+    assert cdf.shape == (10907, 12 * 3)

@@ -786,6 +786,32 @@ def main_v04(argv=None) -> dict:
         p = out_dir / f"flowveldepth_{t0.strftime('%Y%m%d%H%M')}.csv"
         sub_ids, sub_fvd = _subset(op.csv_output.get("csv_output_segments"))
         written.append(write_flowveldepth_csv(p, sub_ids, sub_fvd, t0, dt))
+        if all_courant:
+            # reference writes courant_*.csv beside the fvd csv when
+            # return_courant is on (output.py:452-470)
+            cour = np.concatenate(all_courant)
+            cdf = pd.DataFrame(
+                cour.transpose(1, 0, 2).reshape(cour.shape[1], -1),
+                index=np.asarray(topo.ids)[:cour.shape[1]],
+                columns=[(t, v) for t in range(cour.shape[0])
+                         for v in ("cn", "ck", "X")])
+            pc = out_dir / f"courant_{t0.strftime('%Y%m%d%H%M')}.csv"
+            cdf.to_csv(pc)
+            written.append(pc)
+    if op.test_output:
+        # pickle of the full flowveldepth DataFrame in the reference's
+        # test frame shape: index = segment ids (lakes under outlet link
+        # ids), flat (timestep, 'q'|'v'|'d') tuple columns
+        # (output.py:320-322, qvd_columns :209-211)
+        tp = base / op.test_output
+        tp.parent.mkdir(parents=True, exist_ok=True)
+        tdf = pd.DataFrame(
+            fvd.transpose(1, 0, 2).reshape(fvd.shape[1], -1),
+            index=out_ids,
+            columns=[(t, v) for t in range(fvd.shape[0])
+                     for v in ("q", "v", "d")])
+        tdf.to_pickle(tp)
+        written.append(tp)
     if op.stream_output and op.stream_output.stream_output_directory:
         import yaml as _yaml
 
