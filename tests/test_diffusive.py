@@ -207,3 +207,29 @@ def test_fuzz_random_geometries_stay_finite():
             assert (np.asarray(st.y)[dom.valid]
                     >= np.asarray(dom.z)[dom.valid] - 1e-6).all(), \
                 f"trial {trial} mode {mode} negative depth"
+
+
+def test_xsec_table_jax_matches_numpy():
+    """The device-side table builder (used for large synthetic domains)
+    matches the NumPy oracle-path builder to summation-order noise."""
+    import jax
+    from troute_tpu.diffusive.xsection import (
+        build_xsec_tables, build_xsec_tables_jax)
+
+    rng = np.random.default_rng(7)
+    R, C = 24, 6
+    z = rng.uniform(0, 100, (R, C))
+    bo = rng.uniform(15, 40, (R, C))
+    traps = rng.uniform(0.5, 2.0, (R, C))
+    tw = bo + rng.uniform(10, 60, (R, C))
+    twcc = tw + rng.uniform(100, 300, (R, C))
+    mann = np.full((R, C), 0.035)
+    manncc = np.full((R, C), 0.07)
+    dxa = rng.uniform(500, 3000, (R, C))
+    t_np, z_np = build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc,
+                                   dxa)
+    t_jx, z_jx = build_xsec_tables_jax(z, bo, traps, tw, twcc, mann,
+                                       manncc, dxa)
+    np.testing.assert_allclose(np.asarray(t_jx), t_np, rtol=1e-9,
+                               atol=1e-9)
+    np.testing.assert_allclose(z_jx, z_np)

@@ -62,7 +62,16 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
     mann = right_align("mann", 0.05)
     manncc = right_align("manncc", 0.1)
 
-    tab, z_adj = build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx)
+    if natural_xsec is None and z.size >= 2048:
+        # big synthetic domains: build the table on-device (fused XLA, no
+        # multi-GB host temporaries — this VM faults fresh pages at
+        # ~10 MB/s — and on TPU the table never crosses the tunnel)
+        from troute_tpu.diffusive.xsection import build_xsec_tables_jax
+        tab, z_adj = build_xsec_tables_jax(z, bo, traps, tw, twcc, mann,
+                                           manncc, dx, dtype=dtype)
+    else:
+        tab, z_adj = build_xsec_tables(z, bo, traps, tw, twcc, mann,
+                                       manncc, dx)
 
     if natural_xsec:
         # override nodes that carry surveyed bathymetry (reference: natural

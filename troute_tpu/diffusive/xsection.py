@@ -26,6 +26,8 @@ Geometry quirks reproduced exactly:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 NEL = 501
@@ -79,7 +81,7 @@ def _region_geometry(e, z, bo, traps, tw, twcc, hbf):
 
 
 def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
-                      so_llm=0.0001, nel=NEL):
+                      so_llm=0.0001, nel=NEL, chunk=256):
     """Build lookup tables for all nodes.
 
     Args:
@@ -87,34 +89,55 @@ def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
             (z = bed elevation, bo = bottom width, traps = side slope
             dx/dy, tw = bankfull top width, twcc = floodplain width)
         dx: [R, C] downstream segment lengths (dx[:, -1] unused)
+        chunk: reaches per pass.  Large domains are processed in chunks
+            so every [nel, chunk, C] temporary stays below glibc's mmap
+            threshold and gets heap-reused: this VM faults fresh mmap
+            pages at ~10 MB/s, so allocation — not arithmetic — is the
+            cost at mainstem scale.
 
     Returns:
         (xsec_tab [R, C, 11, nel], z_adj [R, C]) where z_adj is the
         notch-lowered datum the solver must use.
     """
+    R = np.shape(z)[0]
+    if R > chunk:
+        tabs, zs = [], []
+        for lo in range(0, R, chunk):
+            hi = min(lo + chunk, R)
+            t, za = _build_xsec_tables_chunk(
+                z[lo:hi], bo[lo:hi], traps[lo:hi], tw[lo:hi], twcc[lo:hi],
+                mann[lo:hi], manncc[lo:hi], dx[lo:hi], so_llm, nel)
+            tabs.append(t)
+            zs.append(za)
+        return np.concatenate(tabs), np.concatenate(zs)
+    return _build_xsec_tables_chunk(z, bo, traps, tw, twcc, mann, manncc,
+                                    dx, so_llm, nel)
+
+
+def _build_xsec_tables_chunk(z, bo, traps, tw, twcc, mann, manncc, dx,
+                             so_llm, nel):
     R, C = np.shape(z)
     z = np.asarray(z, np.float64)
     hbf = (tw - bo) / (2.0 * traps)
 
-    # elevation grid per node [R, C, nel]
+    # elevation grid built directly in [nel, R, C] layout: every bulk op
+    # below runs elevation-major, and a transposed [R, C, nel] grid makes
+    # them all cache-line-hostile (measured 25x slower at CONUS-mainstem
+    # scale)
     z_notch = z - 0.01
-    el_range = 2.0 * hbf
-    grid = np.zeros((R, C, nel))
-    grid[..., 0] = z_notch
-    for k in range(1, 5):
-        grid[..., k] = z_notch + 0.01 * k / 4.0
-    el_incr = el_range / (nel - 6.0)
-    for k in range(5, nel):
-        grid[..., k] = z + el_incr * (k - 4)
-
+    el_incr = 2.0 * hbf / (nel - 6.0)
+    eval_el = np.empty((nel, R, C))
     # evaluate first row slightly above the notch bottom; the reference
     # ALSO stores the perturbed value in the elevation column
     # (el1(j,kkk) = el_now after the +0.00001, diffusive.f90:2296-2300,
     # :2368) — so eval_el is both the geometry argument and the stored grid
-    eval_el = grid.copy()
-    eval_el[..., 0] = z_notch + 1e-5
+    eval_el[0] = z_notch + 1e-5
+    for k in range(1, 5):
+        eval_el[k] = z_notch + 0.01 * k / 4.0
+    for k in range(5, nel):
+        eval_el[k] = z + el_incr * (k - 4)
 
-    e = np.moveaxis(eval_el, -1, 0)          # [nel, R, C]
+    e = eval_el                              # [nel, R, C]
     area3, peri3, topw3 = _region_geometry(
         e, z[None], bo[None], traps[None], tw[None], twcc[None], hbf[None])
     # area3 etc: [3, nel, R, C]
@@ -147,14 +170,15 @@ def build_xsec_tables(z, bo, traps, tw, twcc, mann, manncc, dx,
         np.diff(conv, axis=0) / safe_dA])
 
     # first moment of area via midpoint accumulation (reference method);
-    # centers use the STORED (perturbed-row-0) elevations like el1
-    el = np.moveaxis(eval_el, -1, 0)
+    # centers use the STORED (perturbed-row-0) elevations like el1.
+    # fm[j] = sum_{i<j} dA_i (el_j - c_i) = el_j * cumsum(dA)_j
+    #         - cumsum(dA * c)_j  — O(nel) instead of the naive O(nel^2)
+    el = eval_el
     centers = 0.5 * (el[1:] + el[:-1])
-    first_moment = np.zeros_like(area)
-    acc_a = dA
-    for j in range(1, nel):
-        first_moment[j] = ((acc_a[:j] * (el[j][None] - centers[:j]))
-                           .sum(axis=0))
+    z1 = np.zeros_like(area[:1])
+    cs_a = np.concatenate([z1, np.cumsum(dA, axis=0)])
+    cs_ac = np.concatenate([z1, np.cumsum(dA * centers, axis=0)])
+    first_moment = el * cs_a - cs_ac
 
     # Einstein-Horton composite roughness
     peri_abs = np.abs(peri3)
@@ -298,3 +322,117 @@ def _monotone_smooth(el, v):
         else:
             iel += 1
     return v
+
+
+def build_xsec_tables_jax(z, bo, traps, tw, twcc, mann, manncc, dx,
+                          so_llm=0.0001, nel=NEL, dtype=None):
+    """Device-side synthetic-trapezoid table build (same math as
+    ``build_xsec_tables``, transcribed to jnp and jitted).
+
+    At CONUS-mainstem scale the NumPy path materializes gigabytes of
+    temporaries on a VM whose fresh-page fault path runs at ~10 MB/s —
+    minutes of pure allocation.  XLA fuses the elevation sweep and writes
+    only the outputs, in the backend arena, and on TPU the 1.4 GB table
+    never crosses the host tunnel at all.
+
+    Returns (xsec_tab [R, C, 11, nel] device array, z_adj [R, C] numpy).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    z_np = np.asarray(z, np.float64)
+
+    @functools.partial(jax.jit, static_argnames=("nel_", "so_llm_"))
+    def _build(z, bo, traps, tw, twcc, mann, manncc, dx, nel_, so_llm_):
+        hbf = (tw - bo) / (2.0 * traps)
+        z_notch = z - 0.01
+        el_incr = 2.0 * hbf / (nel_ - 6.0)
+        k = jnp.arange(nel_, dtype=z.dtype)[:, None, None]
+        el = jnp.where(
+            k == 0, z_notch[None] + 1e-5,
+            jnp.where(k < 5, z_notch[None] + 0.01 * k / 4.0,
+                      z[None] + el_incr[None] * (k - 4)))
+
+        notch_depth = 0.01
+        xc3 = (twcc - tw) / 2.0
+        zb, bob, trb, twb, hbfb = (a[None] for a in (z, bo, traps, tw, hbf))
+        znb = zb - notch_depth
+        d_notch = jnp.clip(el - znb, 0.0, notch_depth)
+        frac = d_notch / notch_depth
+        notch_area = 0.5 * (bob * frac) * d_notch
+        notch_side = jnp.sqrt((bob / 2.0) ** 2 + notch_depth ** 2)
+        notch_peri = 2.0 * notch_side * frac
+        notch_topw = bob * frac
+        d_trap = jnp.clip(el - zb, 0.0, hbfb)
+        trap_area = bob * d_trap + trb * d_trap ** 2
+        trap_peri = 2.0 * d_trap * jnp.sqrt(1.0 + trb ** 2)
+        trap_topw_add = 2.0 * trb * d_trap
+        d_above = jnp.maximum(el - (zb + hbfb), 0.0)
+        above_area = twb * d_above
+        in_notch = el <= zb
+        main_area = notch_area + trap_area + above_area
+        main_peri = notch_peri + trap_peri
+        main_topw = jnp.where(in_notch, notch_topw, bob + trap_topw_add)
+        d_fp = jnp.maximum(el - (zb + hbfb), 0.0)
+        wall = jnp.minimum(d_fp, (TIMES_DEPTH - 1.0) * hbfb)
+        fp_area = xc3[None] * d_fp
+        fp_peri = jnp.where(d_fp > 0.0, xc3[None] + wall, 0.0)
+        fp_topw = jnp.where(d_fp > 0.0, xc3[None], 0.0)
+
+        def sub_conv(a, p, n):
+            r = jnp.where(p > 1e-8, a / p, 0.0)
+            return jnp.where(p > 1e-8, (1.0 / n) * a * r ** (2.0 / 3.0),
+                             0.0)
+
+        conv = (sub_conv(fp_area, fp_peri, manncc[None]) * 2.0
+                + sub_conv(main_area, main_peri, mann[None]))
+        area = 2.0 * fp_area + main_area
+        peri = 2.0 * fp_peri + main_peri
+        topw = 2.0 * fp_topw + main_topw
+        radius = jnp.where(peri > 1e-10, area / peri, 0.0)
+
+        dA = jnp.diff(area, axis=0)
+        safe_dA = jnp.where(jnp.abs(dA) > 1e-12, dA, 1e-12)
+        dPdA = jnp.concatenate([
+            peri[:1] / jnp.maximum(area[:1], 1e-12),
+            jnp.diff(peri, axis=0) / safe_dA])
+        dKdA = jnp.concatenate([
+            conv[:1] / jnp.maximum(area[:1], 1e-12),
+            jnp.diff(conv, axis=0) / safe_dA])
+
+        centers = 0.5 * (el[1:] + el[:-1])
+        z1 = jnp.zeros_like(area[:1])
+        # lax.associative_scan, NOT jnp.cumsum: XLA:CPU lowers cumsum to
+        # an O(nel^2) reduce_window (minutes at mainstem scale)
+        csum = lambda x: jax.lax.associative_scan(jnp.add, x, axis=0)
+        cs_a = jnp.concatenate([z1, csum(dA)])
+        cs_ac = jnp.concatenate([z1, csum(dA * centers)])
+        first_moment = el * cs_a - cs_ac
+
+        peri_fp = jnp.abs(fp_peri)
+        peri_mn = jnp.abs(main_peri)
+        comp_mann = jnp.sqrt(
+            (2.0 * peri_fp * manncc[None] ** 2 + peri_mn * mann[None] ** 2)
+            / jnp.maximum(2.0 * peri_fp + peri_mn, 1e-12))
+        skk = 1.0 / comp_mann
+
+        slope = jnp.zeros_like(z)
+        if z.shape[1] > 1:
+            slope = slope.at[:, :-1].set(
+                (z[:, :-1] - z[:, 1:]) / jnp.maximum(dx[:, :-1], 1e-12))
+            slope = slope.at[:, -1].set(
+                (z[:, -2] - z[:, -1]) / jnp.maximum(dx[:, -2], 1e-12))
+        slope = jnp.maximum(slope, so_llm_)
+        uniform = conv * jnp.sqrt(slope)[None]
+
+        tab = jnp.stack([el, area, peri, radius, conv, topw, first_moment,
+                         dPdA, dKdA, uniform, skk])
+        return jnp.transpose(tab, (2, 3, 0, 1))   # [R, C, 11, nel]
+
+    import jax.numpy as jnp
+    dt = dtype or jnp.float64
+    args = [jnp.asarray(np.asarray(a, np.float64), dt)
+            for a in (z, bo, traps, tw, twcc, mann, manncc, dx)]
+    tab = _build(*args, nel_=int(nel), so_llm_=float(so_llm))
+    return tab, z_np - 0.01
+
