@@ -114,16 +114,32 @@ def _interp_series(series, dt_series, t, start_offset=0.0):
     return series[i0] * (1.0 - w) + series[i0 + 1] * w
 
 
+
+def _fetch_last(arr, idx):
+    """``arr[..., nel]`` fetched at per-lane index ``idx[...]``.
+
+    On TPU the per-lane dynamic gather lowers poorly (slow, and large
+    domains crash the tunneled worker); a one-hot masked reduction is a
+    fused full-column sweep instead, and bit-exact (exactly one nonzero
+    term per lane).  CPU keeps the native gather.
+    """
+    if jax.default_backend() == "cpu":
+        return jnp.take_along_axis(arr, idx[..., None], -1)[..., 0]
+    k = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
+    sel = k == idx[..., None]
+    return jnp.where(sel, arr, jnp.zeros_like(arr)).sum(-1)
+
+
 def _table_interp(xsec, xcol, ycol, x):
     """Linear table interpolation per node: xsec [R, C, 11, nel], x [R, C]."""
     xarr = xsec[:, :, xcol, :]
     yarr = xsec[:, :, ycol, :]
     idx = jnp.sum(xarr <= x[..., None], axis=-1) - 1
     idx = jnp.clip(idx, 0, xarr.shape[-1] - 2)
-    x1 = jnp.take_along_axis(xarr, idx[..., None], -1)[..., 0]
-    x2 = jnp.take_along_axis(xarr, (idx + 1)[..., None], -1)[..., 0]
-    y1 = jnp.take_along_axis(yarr, idx[..., None], -1)[..., 0]
-    y2 = jnp.take_along_axis(yarr, (idx + 1)[..., None], -1)[..., 0]
+    x1 = _fetch_last(xarr, idx)
+    x2 = _fetch_last(xarr, idx + 1)
+    y1 = _fetch_last(yarr, idx)
+    y2 = _fetch_last(yarr, idx + 1)
     denom = jnp.where(x2 != x1, x2 - x1, 1.0)
     return y1 + (y2 - y1) * (x - x1) / denom
 
@@ -137,10 +153,10 @@ def _table_interp_sq_depth(xsec, ycol, z, y_elev):
     x = (y_elev - z) ** 2
     idx = jnp.sum(xarr <= x[..., None], axis=-1) - 1
     idx = jnp.clip(idx, 0, xarr.shape[-1] - 2)
-    x1 = jnp.take_along_axis(xarr, idx[..., None], -1)[..., 0]
-    x2 = jnp.take_along_axis(xarr, (idx + 1)[..., None], -1)[..., 0]
-    y1 = jnp.take_along_axis(yarr, idx[..., None], -1)[..., 0]
-    y2 = jnp.take_along_axis(yarr, (idx + 1)[..., None], -1)[..., 0]
+    x1 = _fetch_last(xarr, idx)
+    x2 = _fetch_last(xarr, idx + 1)
+    y1 = _fetch_last(yarr, idx)
+    y2 = _fetch_last(yarr, idx + 1)
     denom = jnp.where(x2 != x1, x2 - x1, 1.0)
     return y1 + (y2 - y1) * (x - x1) / denom
 
@@ -332,8 +348,8 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     def tab(col_of, grid, ycol, x):
         """O(log nel) interpolation of column ``ycol`` against ``grid``."""
         idx = jnp.clip(vsearch(grid, x) - 1, 0, grid.shape[-1] - 2)
-        x1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
-        x2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
+        x1 = _fetch_last(grid, idx)
+        x2 = _fetch_last(grid, idx + 1)
         y1, y2 = pt(col_of, ycol, idx)
         den = jnp.where(x2 != x1, x2 - x1, 1.0)
         return y1 + (y2 - y1) * (x - x1) / den
@@ -357,8 +373,8 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
         elv = y_cur + z_cur
         idx = jnp.clip(vsearch(el_grid, elv) - 1, 0, el_grid.shape[-1] - 2)
 
-        x1 = jnp.take_along_axis(el_grid, idx[:, None], -1)[:, 0]
-        x2 = jnp.take_along_axis(el_grid, (idx + 1)[:, None], -1)[:, 0]
+        x1 = _fetch_last(el_grid, idx)
+        x2 = _fetch_last(el_grid, idx + 1)
         w = (elv - x1) / jnp.where(x2 != x1, x2 - x1, 1.0)
         c1, c2 = pt(cur_col, COL_CONV, idx)
         conv = jnp.maximum(c1 + (c2 - c1) * w, 1e-12)
@@ -443,10 +459,10 @@ def _col_interp(xs_col, z_col, xcol, ycol, x, squared=False):
     yarr = xs_col[:, ycol, :]
     idx = jnp.clip(jnp.sum(xarr <= x[:, None], axis=-1) - 1, 0,
                    xarr.shape[-1] - 2)
-    x1 = jnp.take_along_axis(xarr, idx[:, None], -1)[:, 0]
-    x2 = jnp.take_along_axis(xarr, (idx + 1)[:, None], -1)[:, 0]
-    y1 = jnp.take_along_axis(yarr, idx[:, None], -1)[:, 0]
-    y2 = jnp.take_along_axis(yarr, (idx + 1)[:, None], -1)[:, 0]
+    x1 = _fetch_last(xarr, idx)
+    x2 = _fetch_last(xarr, idx + 1)
+    y1 = _fetch_last(yarr, idx)
+    y2 = _fetch_last(yarr, idx + 1)
     den = jnp.where(x2 != x1, x2 - x1, 1.0)
     return y1 + (y2 - y1) * (x - x1) / den
 
@@ -547,8 +563,8 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
             """r_interpol semantics (diffusive.f90:2553-2594): linear in
             range, last-segment extrapolation above, min(column) below."""
             idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
-            g1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
-            g2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
+            g1 = _fetch_last(grid, idx)
+            g2 = _fetch_last(grid, idx + 1)
             w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
             v1 = dom.xsec[rr, safe, c, idx]
             v2 = dom.xsec[rr, safe, c, idx + 1]
@@ -696,8 +712,8 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     def interp_at(grid, x, c):
         """r_interpol semantics — see the wavefront corrector."""
         idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
-        g1 = jnp.take_along_axis(grid, idx[:, None], -1)[:, 0]
-        g2 = jnp.take_along_axis(grid, (idx + 1)[:, None], -1)[:, 0]
+        g1 = _fetch_last(grid, idx)
+        g2 = _fetch_last(grid, idx + 1)
         w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
         v1 = dom.xsec[rrA, colA, c, idx]
         v2 = dom.xsec[rrA, colA, c, idx + 1]
