@@ -34,10 +34,31 @@ BASELINE_CALCS_PER_S = 7.0e6
 
 
 def synthetic_conus(n=CONUS_SEGMENTS, n_basins=CONUS_BASINS, span=4, seed=0):
+    """Synthetic CONUS drainage forest.
+
+    Basin sizes follow the real skew — the Mississippi drains ~45% of
+    CONUS segments and a handful of other majors (Columbia, Colorado,
+    Rio Grande, ...) another ~25% (``doc/AGU_Poster.md:211-214``: the
+    largest basin is ~half the network, which is why by-network
+    parallelism tops out at ~2x); the remaining ~14.7k coastal basins
+    share the rest with lognormal sizes.  Within a basin, random forward
+    hops of span<=4 give ~32% headwaters / ~26% junction segments,
+    bracketing the NWM NHD+ ratios (1.03M junctions / 2.73M segments,
+    ``doc/AGU_Poster.md:37-41``).
+    """
     rng = np.random.default_rng(seed)
     ids = np.arange(1, n + 1, dtype=np.int64)
     idx = np.arange(n)
-    bounds = np.linspace(0, n, n_basins + 1).astype(np.int64)
+    majors = np.array([0.45, 0.06, 0.05, 0.035, 0.03, 0.02,
+                       0.015, 0.012, 0.01, 0.008])
+    sizes = (majors * n).astype(np.int64)
+    n_small = n_basins - sizes.size
+    small = rng.lognormal(0.0, 1.2, n_small)
+    rest = n - sizes.sum()
+    small = np.maximum((small / small.sum() * rest).astype(np.int64), 1)
+    sizes = np.concatenate([sizes, small])
+    sizes[-1] += n - sizes.sum()           # exact total
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
     basin_of = np.searchsorted(bounds, idx, side="right") - 1
     basin_end = bounds[basin_of + 1] - 1
     hop = rng.integers(1, span + 1, n)
