@@ -221,8 +221,10 @@ def main():
     out = run()
     print(f"first run (compile+exec): {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # the tunneled chip shows large run-to-run variance (shared tenancy);
+    # each rep is tens of ms, so take the best of 10
     best = np.inf
-    for _ in range(3):
+    for _ in range(10):
         t0 = time.time()
         out = run()
         best = min(best, time.time() - t0)
