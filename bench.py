@@ -6,14 +6,11 @@ parameter distributions), routes it in production configuration
 (``assume_short_ts=True``, dt=300 s, f32) on the default JAX backend (the
 real TPU chip under the driver), and reports segment-timesteps/second.
 
-Also benches the diffusive-wave solver on a synthetic binary reach tree
-through the single-dispatch device loop, f32 at 512 reaches x 16 nodes
-and f64 (reference precision) at 256 x 16 — regional-mainstem scale,
-which is what the reference's diffusive kernel actually runs per domain
-(its diffusive domains are carved per region, ``AbstractRouting.py:209``).
-Larger single domains (R >= 1024) crash this environment's tunneled TPU
-worker; production CONUS-scale diffusive would run as many independent
-regional domains batched, not one giant one.
+Also benches the diffusive-wave solver on a CONUS-mainstem-scale
+synthetic binary reach tree (2,048 reaches x 16 nodes, ~33k nodes — the
+scale of the NWM Mainstems diffusive domain, ``doc/AGU_Poster.md:37-51``)
+through the single-dispatch device loop, in f32 and in f64 (reference
+precision; emulated on TPU).
 
 Baseline: the reference publishes no absolute throughput; the only
 operational number is the NWM production load of ~7e6 routing
@@ -93,9 +90,7 @@ def bench_diffusive(n_reaches=None, n_nodes=16, dtype_name="float64"):
     from troute_tpu.diffusive.solver import initialize_state, run_diffusive
 
     if n_reaches is None:
-        # R >= 1024 crashes the tunneled TPU worker (axon); f64 doubles
-        # the effective program (emulated), so it gets the smaller domain
-        n_reaches = 256 if dtype_name == "float64" else 512
+        n_reaches = 2048
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     rng = np.random.default_rng(2)
     dt = 300.0
@@ -251,7 +246,7 @@ def main():
         "vs_baseline": round(seg_ts_per_s / BASELINE_CALCS_PER_S, 3),
         "diffusive_f64_seg_ts_per_s": diff["float64"],
         "diffusive_f32_seg_ts_per_s": diff["float32"],
-        "diffusive_domain": "synthetic mainstem tree C=16, f32 R=512 / f64 R=256 (TPU worker crashes at R>=1024)",
+        "diffusive_domain": "synthetic mainstem tree R=2048 C=16 (~33k nodes)",
     }))
 
 

@@ -320,6 +320,18 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     return qp, qpx_new
 
 
+
+def _vsearch_right():
+    """vmapped searchsorted(side="right") with a backend-suited method:
+    "scan" is fastest for the CPU wavefront's few active lanes, but on
+    TPU it lowers to an nel-step sequential loop per Newton iteration —
+    "compare_all" is one fused vector compare+sum.  The computed index is
+    exact either way (bit-identical downstream)."""
+    method = "scan" if jax.default_backend() == "cpu" else "compare_all"
+    return jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right", method=method))
+
+
 def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
                 z_ds, dx_cur, y_old_depth, active=None, grids=None):
     """Vectorized Newton/bisection depth solve
@@ -337,20 +349,34 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     reaches per step).
     """
 
-    vsearch = jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
+    vsearch = _vsearch_right()
 
-    def pt(col_of, c, idx):
-        """(y1, y2) bracket values of table column c at grid idx."""
+    # columns fetched per Newton iteration: with extended ``grids`` (the
+    # jacobi caller) the [P, nel] column rows are materialized ONCE per
+    # substep and bracket values become fused one-hot reads — per-lane
+    # 4-D advanced-index gathers per iteration are very slow on TPU
+    col_grid = {}
+    if grids is not None and len(grids) > 3:
+        col_grid = {(0, COL_CONV): grids[3], (0, COL_DKDA): grids[4],
+                    (0, COL_TOPW): grids[5], (1, COL_CONV): grids[6],
+                    (0, COL_ELEV): grids[0]}
+
+    def pt(which, col_of, c, idx):
+        """(y1, y2) bracket values of table column c at grid idx;
+        ``which``: 0 = current node, 1 = downstream node."""
+        g = col_grid.get((which, c))
+        if g is not None:
+            return (_fetch_last(g, idx),
+                    _fetch_last(g, jnp.minimum(idx + 1, g.shape[-1] - 1)))
         return (xsec[rr, col_of, c, idx],
                 xsec[rr, col_of, c, jnp.minimum(idx + 1, xsec.shape[-1] - 1)])
 
-    def tab(col_of, grid, ycol, x):
+    def tab(which, col_of, grid, ycol, x):
         """O(log nel) interpolation of column ``ycol`` against ``grid``."""
         idx = jnp.clip(vsearch(grid, x) - 1, 0, grid.shape[-1] - 2)
         x1 = _fetch_last(grid, idx)
         x2 = _fetch_last(grid, idx + 1)
-        y1, y2 = pt(col_of, ycol, idx)
+        y1, y2 = pt(which, col_of, ycol, idx)
         den = jnp.where(x2 != x1, x2 - x1, 1.0)
         return y1 + (y2 - y1) * (x - x1) / den
 
@@ -361,7 +387,7 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     # jacobi sweeps — callers may precompute them once (``grids``)
     el_ds_grid = (grids[1] if grids is not None
                   else xsec[rr, ds_col, COL_ELEV, :])
-    conv_ds = tab(ds_col, el_ds_grid, COL_CONV, y_ds + z_ds)
+    conv_ds = tab(1, ds_col, el_ds_grid, COL_CONV, y_ds + z_ds)
     sf_ds = jnp.abs(q_ds) * q_ds / jnp.maximum(conv_ds, 1e-12) ** 2
 
     el_grid = (grids[0] if grids is not None
@@ -376,11 +402,11 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
         x1 = _fetch_last(el_grid, idx)
         x2 = _fetch_last(el_grid, idx + 1)
         w = (elv - x1) / jnp.where(x2 != x1, x2 - x1, 1.0)
-        c1, c2 = pt(cur_col, COL_CONV, idx)
+        c1, c2 = pt(0, cur_col, COL_CONV, idx)
         conv = jnp.maximum(c1 + (c2 - c1) * w, 1e-12)
-        k1, k2 = pt(cur_col, COL_DKDA, idx)
+        k1, k2 = pt(0, cur_col, COL_DKDA, idx)
         dkda = k1 + (k2 - k1) * w
-        t1, t2 = pt(cur_col, COL_TOPW, idx)
+        t1, t2 = pt(0, cur_col, COL_TOPW, idx)
         topw = t1 + (t2 - t1) * w
 
         sf_cur = jnp.abs(q_cur) * q_cur / conv ** 2
@@ -391,7 +417,7 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
 
     uni_grid = (grids[2] if grids is not None
                 else xsec[rr, cur_col, COL_UNIFORM, :])
-    elv_norm = tab(cur_col, uni_grid, COL_ELEV, jnp.abs(q_cur))
+    elv_norm = tab(0, cur_col, uni_grid, COL_ELEV, jnp.abs(q_cur))
     y_norm = elv_norm - z_cur
     x1 = 0.5 * (y_norm + y_old_depth) * 0.1
     x2 = 0.5 * (y_norm + y_old_depth) * 2.0
@@ -528,8 +554,7 @@ def corrector(dom: DiffusiveDomain, st: DiffusiveState, qp, dtini_min,
     xmin = (dom.xsec_min if dom.xsec_min is not None
             else dom.xsec.min(axis=-1))
 
-    vsearch = jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
+    vsearch = _vsearch_right()
 
     def node_step(carry, xs):
         newY, cel2, dif2, wdepth = carry
@@ -669,7 +694,11 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     max_sweeps = int(dom.bwd_active.shape[0]) + 2
     grids = (dom.xsec[rrf, curf, COL_ELEV, :],
              dom.xsec[rrf, dsf, COL_ELEV, :],
-             dom.xsec[rrf, curf, COL_UNIFORM, :])
+             dom.xsec[rrf, curf, COL_UNIFORM, :],
+             dom.xsec[rrf, curf, COL_CONV, :],
+             dom.xsec[rrf, curf, COL_DKDA, :],
+             dom.xsec[rrf, curf, COL_TOPW, :],
+             dom.xsec[rrf, dsf, COL_CONV, :])
 
     def sweep(carry):
         y, _delta, k = carry
@@ -706,8 +735,7 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     xmin = (dom.xsec_min if dom.xsec_min is not None
             else dom.xsec.min(axis=-1))
     xmin_a = xmin[rrA, colA]
-    vsearch = jax.vmap(
-        lambda a, v: jnp.searchsorted(a, v, side="right", method="scan"))
+    vsearch = _vsearch_right()
 
     def interp_at(grid, x, c):
         """r_interpol semantics — see the wavefront corrector."""
