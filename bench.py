@@ -90,7 +90,9 @@ def bench_diffusive(n_reaches=None, n_nodes=16, dtype_name="float64"):
     from troute_tpu.diffusive.solver import initialize_state, run_diffusive
 
     if n_reaches is None:
-        n_reaches = 2048
+        # f64 is emulated on TPU (double the program+memory footprint);
+        # R=2048 f64 faults the tunneled worker, R=1024 runs fine
+        n_reaches = 1024 if dtype_name == "float64" else 2048
     dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     rng = np.random.default_rng(2)
     dt = 300.0
@@ -246,7 +248,7 @@ def main():
         "vs_baseline": round(seg_ts_per_s / BASELINE_CALCS_PER_S, 3),
         "diffusive_f64_seg_ts_per_s": diff["float64"],
         "diffusive_f32_seg_ts_per_s": diff["float32"],
-        "diffusive_domain": "synthetic mainstem tree R=2048 C=16 (~33k nodes)",
+        "diffusive_domain": "synthetic mainstem tree C=16, f32 R=2048 (~33k nodes) / f64 R=1024",
     }))
 
 
