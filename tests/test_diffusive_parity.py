@@ -294,3 +294,39 @@ def test_device_dispatch_matches_reference():
                               corrector_mode="wavefront", dispatch="device")
     ref_saves = ref.run(ref_state, 3600.0, dt)
     _compare_saves(dom, saves, ref_saves, rtol=1e-8, what="device dispatch")
+
+
+def test_float32_tolerance_study():
+    """Documented f32-vs-f64 accuracy bound for the TPU solve option
+    (``hybrid_parameters.diffusive_dtype: float32``).
+
+    Measured on the 48-step junction fixture: max relative discharge
+    error ~3e-6, max water-surface-elevation error ~3e-5 m — orders of
+    magnitude below gauge observational uncertainty, so the f32 solve is
+    a safe TPU configuration (the f64 default keeps reference-precision
+    parity; on TPU f64 is emulated at ~2x cost and caps domain size).
+    The asserted bounds carry ~30x margin.
+    """
+    reaches, ds, qlat, trib, dt = _network_fixture(nts=48)
+    out = {}
+    for dtype in (jnp.float64, jnp.float32):
+        dom = build_domain(reaches, ds, qlat, dt, trib, dt, dt,
+                           dtype=dtype)
+        q0 = jnp.full((3, 8), 50.0, dtype)
+        st = initialize_state(dom, q0, dt / 10.0, corrector_mode="jacobi")
+        st, saves = run_diffusive(dom, st, t_final=48 * dt,
+                                  save_interval=dt,
+                                  corrector_mode="jacobi",
+                                  dispatch="host")
+        out[dtype] = saves
+    v = np.asarray(dom.valid)
+    max_rq = max_dy = 0.0
+    for (_, q64, y64), (_, q32, y32) in zip(out[jnp.float64],
+                                            out[jnp.float32]):
+        q64, q32 = np.asarray(q64), np.asarray(q32)
+        y64, y32 = np.asarray(y64), np.asarray(y32)
+        rq = np.abs(q32 - q64)[v] / np.maximum(np.abs(q64[v]), 1e-6)
+        max_rq = max(max_rq, rq.max())
+        max_dy = max(max_dy, np.abs(y32 - y64)[v].max())
+    assert max_rq < 1e-4, f"f32 discharge error {max_rq:.2e}"
+    assert max_dy < 1e-3, f"f32 WSE error {max_dy:.2e} m"
