@@ -63,7 +63,8 @@ def _setup(nts=36, with_gage=True, seed=3):
 
 
 def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
-                dtype=jnp.float64, return_courant=False):
+                dtype=jnp.float64, return_courant=False,
+                strict_iterative=False):
     topo = from_connections(CONN, reservoir_ids=[LAKE_ID])
     net = network_arrays_from_topology(topo, need_levels=not short)
     perm = topo.ids  # row order
@@ -105,7 +106,8 @@ def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
 
     cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
                         assume_short_ts=short,
-                        return_courant=return_courant)
+                        return_courant=return_courant,
+                        strict_iterative=strict_iterative)
     out = route(net, cp, lp, cfg, q0_arr, d0_arr, elev0, qlat_arr, da)
     return out, idx
 
@@ -211,3 +213,61 @@ def test_strict_mode_chunked_levels():
     np.testing.assert_allclose(
         np.asarray(out_chunked["flowveldepth"]),
         np.asarray(out_full["flowveldepth"]), rtol=1e-12, atol=1e-14)
+
+
+def test_strict_iterative_matches_level_scan():
+    """The fixed-point strict mode converges to the level-scan solution
+    (reservoir + gage nudging in the same within-step coupling) — the
+    depth-independent alternative for deep networks."""
+    ids, chan, q0, depth0, qlat, gages = _setup(nts=24)
+    ref, _ = _run_engine(ids, chan, q0, depth0, qlat, gages, 24, 300.0,
+                         short=False)
+    got, _ = _run_engine(ids, chan, q0, depth0, qlat, gages, 24, 300.0,
+                         short=False, strict_iterative=True)
+    np.testing.assert_allclose(np.asarray(got["flowveldepth"]),
+                               np.asarray(ref["flowveldepth"]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got["nudge"]),
+                               np.asarray(ref["nudge"]),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_strict_iterative_deep_chain():
+    """Depth independence: a 300-segment single chain (level scan = 300
+    sequential steps/timestep) solved by the fixed point.  The iterate
+    delta (strict_tol=1e-9) under-bounds the true residual by the
+    contraction factor of the quc coupling — observed agreement ~1e-7
+    relative on the longest chains."""
+    from troute_tpu.network.topology import from_connections
+    from troute_tpu.ops.levelpool import LevelpoolParams
+    from troute_tpu.routing.engine import (
+        ChannelParams, RoutingConfig, network_arrays_from_topology, route)
+
+    n = 300
+    conn = {i: [i + 1] for i in range(1, n)}
+    conn[n] = []
+    rng = np.random.default_rng(4)
+    topo = from_connections(conn)
+    dtype = jnp.float64
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(500, 3000, n), dtype),
+        bw=jnp.asarray(rng.uniform(2, 20, n), dtype),
+        tw=jnp.asarray(rng.uniform(25, 60, n), dtype),
+        twcc=jnp.asarray(rng.uniform(80, 200, n), dtype),
+        n=jnp.full((n,), 0.055, dtype), ncc=jnp.full((n,), 0.11, dtype),
+        cs=jnp.asarray(rng.uniform(0.3, 1.5, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.001, 0.02, n), dtype))
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    q0 = jnp.asarray(rng.uniform(0.5, 5.0, n), dtype)
+    d0 = jnp.asarray(rng.uniform(0.05, 0.8, n), dtype)
+    qlat = jnp.asarray(rng.uniform(0.1, 3.0, (3, n)), dtype)
+    outs = {}
+    for it in (False, True):
+        cfg = RoutingConfig(dt=300.0, nts=12, qts_subdivisions=4,
+                            assume_short_ts=False, strict_iterative=it)
+        net = network_arrays_from_topology(topo, need_levels=not it)
+        outs[it] = np.asarray(route(net, cp, lp, cfg, q0, d0,
+                                    jnp.zeros((1,), dtype), qlat,
+                                    None)["flowveldepth"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6,
+                               atol=1e-8)

@@ -574,7 +574,9 @@ def main_v04(argv=None) -> dict:
             dt=dt, nts=run["nts"], qts_subdivisions=qts,
             assume_short_ts=cfg.compute_parameters.assume_short_ts,
             return_courant=cfg.compute_parameters.return_courant,
-            kernel=kernel)
+            kernel=kernel,
+            strict_iterative=bool(getattr(cfg.compute_parameters,
+                                          "strict_iterative", False)))
         pcm = str(cfg.compute_parameters.parallel_compute_method or "")
         if pcm == "sharded" and rcfg.assume_short_ts \
                 and not rcfg.return_courant and len(jax.devices()) > 1:

@@ -211,6 +211,9 @@ class ComputeParameters(_Permissive):
     subnetwork_target_size: int = 10000
     cpu_pool: Optional[int] = None
     return_courant: bool = False
+    # extension: strict-mode fixed-point iteration instead of the
+    # sequential level scan (depth-independent; engine.RoutingConfig)
+    strict_iterative: bool = False
     restart_parameters: RestartParameters = Field(
         default_factory=RestartParameters)
     hybrid_parameters: HybridParameters = Field(
