@@ -25,6 +25,19 @@ import time
 
 import numpy as np
 
+
+def force(*arrays):
+    """Force completion by fetching one element of each array to host.
+
+    ``jax.block_until_ready`` through the tunneled TPU runtime returns
+    early for some programs (measured: a 2.2 s dispatch reported "ready"
+    in 7 ms), so honest timing must round-trip a value.
+    """
+    out = 0.0
+    for a in arrays:
+        out += float(a[(0,) * a.ndim])
+    return out
+
 CONUS_SEGMENTS = 2_729_077
 CONUS_BASINS = 14_713
 BASELINE_CALCS_PER_S = 7.0e6
@@ -129,7 +142,7 @@ def bench_diffusive(n_reaches=None, n_nodes=16, dtype_name="float64"):
     n_total = int(np.asarray(dom.valid).sum())
     q0 = jnp.full((n_reaches, n_nodes), 30.0, dtype)
     st0 = initialize_state(dom, q0, dt / 10.0, corrector_mode="jacobi")
-    jax.block_until_ready(st0.y)
+    force(st0.y)
     print(f"diffusive[{dtype_name}] domain build+init: "
           f"{time.time()-t0:.1f}s (R={n_reaches}, C={n_nodes})",
           file=sys.stderr)
@@ -139,7 +152,7 @@ def bench_diffusive(n_reaches=None, n_nodes=16, dtype_name="float64"):
                                   save_interval=dt,
                                   corrector_mode="jacobi",
                                   dispatch="device")
-        jax.block_until_ready(st.q)
+        force(st.q, st.y)
         return st
 
     t0 = time.time()
@@ -210,8 +223,7 @@ def main():
 
     def run():
         out = route_stepped(net, cp, lp, cfg, q0, d0, zeros1, qlat, None)
-        jax.block_until_ready(out["flowveldepth"])
-        jax.block_until_ready(out["state"].q)
+        force(out["flowveldepth"], out["state"].q, out["state"].depth)
         return out
 
     t0 = time.time()

@@ -322,9 +322,14 @@ def test_cli_sharded_matches_default(lc_config, tmp_path):
     assert len(jax.devices()) >= 8
     got = main_v04(["-f", str(p1)])
 
-    np.testing.assert_array_equal(got["fvd"], ref["fvd"])
+    # ulp-level f32 tolerance: the single-device engine sums upstream
+    # flows with the banded plan (shift-rank order) while shards sum
+    # local+halo gathers — same values, different association
+    np.testing.assert_allclose(got["fvd"], ref["fvd"], rtol=2e-5,
+                               atol=1e-7)
     for a, b in zip(got["final_state"], ref["final_state"]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-7)
 
 
 def test_cli_test_output_pickle_and_courant_csv(lc_config, tmp_path):

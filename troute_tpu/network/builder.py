@@ -198,8 +198,12 @@ def build_network(cfg: Config, base: Path,
     node_type = np.array(
         [NODE_RESERVOIR if int(i) in lake_set else 0 for i in node_ids],
         np.int8)
+    # postorder rows: nearly every edge lands at row displacement 1, so
+    # the engine's banded upstream-sum plan covers the network with a few
+    # masked shifts instead of a latency-bound gather (upstream_plan.py)
     topo = build_topology(node_ids, down, node_type,
-                          terminal_codes=(-9999,), on_cycle="drop")
+                          terminal_codes=(-9999,), on_cycle="drop",
+                          row_order="postorder")
 
     n = topo.n_nodes
     row_of = topo.index_of

@@ -147,7 +147,8 @@ class RoutingTopology:
 def build_topology(ids: Sequence[int], downstream_ids: Sequence[int],
                    node_type: Sequence[int] | None = None,
                    terminal_codes: Sequence[int] = (0,),
-                   on_cycle: str = "raise") -> RoutingTopology:
+                   on_cycle: str = "raise",
+                   row_order: str | None = None) -> RoutingTopology:
     """Build the columnar topology from parallel id/to-id arrays.
 
     ``downstream_ids`` entries that are terminal codes, or that reference
@@ -158,6 +159,12 @@ def build_topology(ids: Sequence[int], downstream_ids: Sequence[int],
     mirroring the reference, whose circular subnetworks have no tailwater
     and are never reached by ``organize_independent_networks`` (see the
     ``network_circulars`` fixture in ``test_nhd_network.py``).
+
+    ``row_order``: None keeps input order; ``"postorder"`` relabels rows
+    by a post-order DFS of the drainage forest so nearly every edge has
+    row displacement 1 — the layout the banded upstream-sum plan wants
+    (``routing/upstream_plan.py``).  Row order is internal: consumers map
+    external ids through ``index_of``/``ids``.
     """
     ids = np.asarray(ids, np.int64)
     to = np.asarray(downstream_ids, np.int64)
@@ -195,6 +202,19 @@ def build_topology(ids: Sequence[int], downstream_ids: Sequence[int],
             n = ids.size
 
     upstream = _invert_downstream(downstream, n)
+    if row_order == "postorder":
+        from troute_tpu.routing.upstream_plan import postorder
+        order = postorder(downstream, upstream)
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        ids = ids[order]
+        downstream = np.where(downstream[order] >= 0,
+                              inv[np.maximum(downstream[order], 0)],
+                              TERMINAL).astype(np.int32)
+        nt = nt[order]
+        upstream = _invert_downstream(downstream, n)
+    elif row_order is not None:
+        raise ValueError(f"unknown row_order {row_order!r}")
     level = _wavefront_levels(downstream, upstream)
     return RoutingTopology(ids=ids, downstream=downstream, upstream=upstream,
                            level=level, node_type=nt)
