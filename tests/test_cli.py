@@ -358,3 +358,32 @@ def test_cli_test_output_pickle_and_courant_csv(lc_config, tmp_path):
     assert len(cour_csv) == 1
     cdf = pd.read_csv(cour_csv[0], index_col=0)
     assert cdf.shape == (10907, 12 * 3)
+
+
+def test_cli_async_prefetch_matches_sync(lc_config, tmp_path):
+    """Async forcing prefetch (the pipelining the reference's
+    main_v03_async did via asyncio executors, __main__.py:1995-2115)
+    reads run set s+1 while set s routes — results must be identical to
+    the synchronous loop."""
+    import asyncio
+    import copy
+
+    base_cfg = yaml.safe_load(open(lc_config))
+
+    def mk(tag, **fp_extra):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["compute_parameters"]["forcing_parameters"]["max_loop_size"] = 1.0
+        cfg["compute_parameters"]["forcing_parameters"].update(fp_extra)
+        cfg["output_parameters"] = {}
+        p = tmp_path / f"cfg_{tag}.yaml"
+        yaml.safe_dump(cfg, open(p, "w"))
+        return p
+
+    from troute_tpu.cli import main_v03_async, main_v04
+    sync = main_v04(["-f", str(mk("sync"))])
+    pre = main_v04(["-f", str(mk("pre", async_prefetch=True))])
+    np.testing.assert_array_equal(pre["fvd"], sync["fvd"])
+
+    # the async entry point (coroutine, like the reference's)
+    res = asyncio.run(main_v03_async(["-f", str(mk("async"))]))
+    np.testing.assert_array_equal(res["fvd"], sync["fvd"])

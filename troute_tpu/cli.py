@@ -407,6 +407,9 @@ def main_v04(argv=None) -> dict:
                              "unmodified)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("-a", "--async-io", action="store_true",
+                        help="overlap run-set forcing reads with routing "
+                             "(see forcing_parameters.async_prefetch)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -420,6 +423,8 @@ def main_v04(argv=None) -> dict:
     cfg = load_config(args.config)
     _configure_logging(cfg, base)
     fp = cfg.compute_parameters.forcing_parameters
+    if args.async_io:
+        fp.async_prefetch = True
     rp = cfg.compute_parameters.restart_parameters
     dt = float(fp.dt)
     qts = int(fp.qts_subdivisions)
@@ -536,22 +541,41 @@ def main_v04(argv=None) -> dict:
     op = cfg.output_parameters
     written = []
     step_offset = 0
-    for s, run in enumerate(run_sets):
-        t_start = time.time()
+    def read_forcing(run):
         if nexus_mode:
             from troute_tpu.network.hyfeatures import read_qlat_nexout
             binary_dir = getattr(fp, "binary_nexus_file_folder", None)
-            ql = read_qlat_nexout(run["qlat_files"], topo.ids,
-                                  built.nexus_of_wb,
-                                  binary_folder=(base / str(binary_dir)
-                                                 if binary_dir else None))
+            return read_qlat_nexout(run["qlat_files"], topo.ids,
+                                    built.nexus_of_wb,
+                                    binary_folder=(base / str(binary_dir)
+                                                   if binary_dir else None))
+        return read_qlat_chrtout(
+            run["qlat_files"], topo.ids,
+            index_col=fp.qlat_file_index_col,
+            value_col=fp.qlat_file_value_col,
+            gw_bucket_col=fp.qlat_file_gw_bucket_flux_col,
+            runoff_col=fp.qlat_file_terrain_runoff_col)
+
+    # async IO: read the NEXT run set's forcing on a worker thread while
+    # the current set routes — the pipelining the reference's
+    # main_v03_async did with asyncio executors (__main__.py:1995-2115)
+    prefetch_pool = None
+    next_forcing = None
+    if getattr(fp, "async_prefetch", False) and len(run_sets) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        prefetch_pool = ThreadPoolExecutor(max_workers=1)
+
+    for s, run in enumerate(run_sets):
+        t_start = time.time()
+        if next_forcing is not None:
+            ql = next_forcing.result()
         else:
-            ql = read_qlat_chrtout(
-                run["qlat_files"], topo.ids,
-                index_col=fp.qlat_file_index_col,
-                value_col=fp.qlat_file_value_col,
-                gw_bucket_col=fp.qlat_file_gw_bucket_flux_col,
-                runoff_col=fp.qlat_file_terrain_runoff_col)
+            ql = read_forcing(run)
+        if prefetch_pool is not None and s + 1 < len(run_sets):
+            next_forcing = prefetch_pool.submit(read_forcing,
+                                                run_sets[s + 1])
+        else:
+            next_forcing = None
         task_times["forcing_time"] += time.time() - t_start
 
         set_da = da
@@ -693,6 +717,9 @@ def main_v04(argv=None) -> dict:
         step_offset += run["nts"]
         LOG.info("run set %d/%d: %d steps (%.1fs)", s + 1, len(run_sets),
                  run["nts"], task_times["route_time"])
+
+    if prefetch_pool is not None:
+        prefetch_pool.shutdown(wait=False)
 
     fvd = np.concatenate(all_fvd) if all_fvd else np.zeros((0, built.n_nodes, 3))
     out_ids = np.asarray(topo.ids).copy()
@@ -974,3 +1001,22 @@ def main_v04(argv=None) -> dict:
             "diffusive": diffusive_out,
             "final_state": (np.asarray(q0), np.asarray(d0),
                             np.asarray(elev0))}
+
+
+async def main_v03_async(argv=None) -> dict:
+    """Async-pipelined simulation entry point.
+
+    Mirrors the intent of the reference's ``main_v03_async``
+    (``__main__.py:1892-2195``): run-set forcing reads execute on worker
+    threads overlapped with routing.  (In the reference the async
+    dispatch is commented out, ``__main__.py:2211-2217``; here it is
+    live.)  Accepts the same configs as ``main_v04`` and returns its
+    results dict.
+    """
+    import asyncio
+
+    loop = asyncio.get_running_loop()
+    argv = list(argv or [])
+    if "-a" not in argv and "--async-io" not in argv:
+        argv.append("--async-io")
+    return await loop.run_in_executor(None, lambda: main_v04(argv))

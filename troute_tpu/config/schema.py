@@ -152,6 +152,11 @@ class ForcingParameters(_Permissive):
     qlat_file_terrain_runoff_col: str = "qSfcLatRunoff"
     nexus_input_folder: Optional[str] = None
     coastal_boundary_input_file: Optional[str] = None
+    # overlap run-set forcing reads with routing (the capability the
+    # reference's main_v03_async pipelined via asyncio executors,
+    # __main__.py:1995-2115; its dispatch is commented out there).  The
+    # main_v03_async entry point here forces this on.
+    async_prefetch: bool = False
     # pre-enumerated run sets [{qlat_files: [...], nts: N}, ...]
     # (reference AbstractNetwork.build_forcing_sets, :747)
     qlat_forcing_sets: Optional[List[Dict[str, Any]]] = None
