@@ -447,3 +447,69 @@ def test_balanced_assignment_splits_large_basin():
     got = gather_from_shards(part, fvd_sh.transpose(0, 2, 1, 3))
     got = got.transpose(1, 0, 2)
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_sharded_banded_upstream_plan():
+    """Per-shard banded upstream sums (partition._banded_local_plans):
+    neighbor and allgather stay bit-identical to each other, match the
+    gather-form sharded run to f64 roundoff, and match the single-device
+    engine."""
+    from troute_tpu.network.topology import build_topology
+
+    nts, dt = 12, 300.0
+    dtype = jnp.float64
+    rng = np.random.default_rng(23)
+    n = 3000
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    down = np.zeros(n, np.int64)
+    for i in range(n - 1):
+        down[i] = 0 if rng.random() < 0.03 \
+            else ids[min(i + int(rng.integers(1, 7)), n - 1)]
+    topo = build_topology(ids, down, row_order="postorder")
+    chan = dict(
+        dx=rng.uniform(500, 3000, n), bw=rng.uniform(2, 20, n),
+        tw=rng.uniform(25, 60, n), twcc=rng.uniform(80, 200, n),
+        n=np.full(n, 0.055), ncc=np.full(n, 0.11),
+        cs=rng.uniform(0.3, 1.5, n), s0=rng.uniform(0.001, 0.02, n))
+    q0 = rng.uniform(0.5, 5.0, n)
+    depth0 = rng.uniform(0.05, 0.8, n)
+    qlat_cols = rng.uniform(0.1, 3.0, (3, n))
+
+    n_dev = 8
+    # contiguous ranges + 3% random kicks to force scattered cut edges
+    assignment = np.minimum(np.arange(n) * n_dev // n, n_dev - 1)
+    kick = rng.uniform(size=n) < 0.03
+    assignment = np.where(kick, (assignment + 1) % n_dev,
+                          assignment).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    assert part.cut_edges > 50
+    assert part.band_shifts is not None and len(part.band_shifts) >= 1
+    assert part.band_coverage > 0.8
+    assert 1 in part.band_shifts            # postorder chains
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    inp = build_sharded_inputs(part, topo, chan, None, q0, depth0, {},
+                               qlat_cols, dtype=dtype)
+    kw = dict(qts_subdivisions=4)
+    fvd_nb = np.asarray(route_sharded_fvd(
+        mesh, inp, dt, nts, exchange="neighbor",
+        band_shifts=part.band_shifts, **kw))
+    fvd_ag = np.asarray(route_sharded_fvd(
+        mesh, inp, dt, nts, exchange="allgather",
+        band_shifts=part.band_shifts, **kw))
+    np.testing.assert_array_equal(fvd_nb, fvd_ag)
+
+    fvd_gather = np.asarray(route_sharded_fvd(
+        mesh, inp, dt, nts, exchange="neighbor", band_shifts=None, **kw))
+    np.testing.assert_allclose(fvd_nb, fvd_gather, rtol=1e-12, atol=1e-12)
+
+    ref = _single_device_run(topo, chan, q0, depth0, qlat_cols, nts, dt,
+                             dtype)
+    for d in range(n_dev):
+        for j in range(part.n_local):
+            g = part.global_row[d, j]
+            if g < 0:
+                continue
+            np.testing.assert_allclose(fvd_nb[d, :, j], ref[:, g],
+                                       rtol=1e-11, atol=1e-11,
+                                       err_msg=f"row {g}")

@@ -63,6 +63,16 @@ class NetworkPartition:
     # [n_dev, n_boundary] local rows with any remote upstream (-1 pad);
     # the rows recomputed after the exchange in the overlapped step
     boundary_rows: np.ndarray
+    # --- per-shard banded upstream-sum plan (see routing/upstream_plan) ---
+    # the interior upstream sum as masked shifts over local slots; in-shard
+    # out-of-band edges ride a sparse remainder; halo-referencing rows are
+    # the boundary rows, recomputed with the full gather after the exchange.
+    # band_shifts is None when local slot order is too scattered to band.
+    band_shifts: tuple | None = None
+    band_masks: np.ndarray | None = None    # bool [n_dev, D, n_local]
+    band_rem_dst: np.ndarray | None = None  # int32 [n_dev, E] (-1 pad)
+    band_rem_src: np.ndarray | None = None  # int32 [n_dev, E]
+    band_coverage: float = 0.0
 
     @property
     def cut_edges(self) -> int:
@@ -222,6 +232,8 @@ def partition_network(topo: RoutingTopology, n_dev: int,
     for d, b in enumerate(boundary):
         boundary_rows[d, :b.size] = b
 
+    band = _banded_local_plans(upstream_local, n_local)
+
     return NetworkPartition(
         n_dev=n_dev, n_local=n_local, n_halo=n_halo, n_export=n_export,
         global_row=global_row, owner=assignment.astype(np.int64),
@@ -229,7 +241,77 @@ def partition_network(topo: RoutingTopology, n_dev: int,
         export_slot=export_slot, halo_src_dev=halo_src_dev,
         halo_src_pos=halo_src_pos, perm_pairs=perm_pairs,
         send_slot=send_slot, recv_pos=recv_pos,
-        boundary_rows=boundary_rows)
+        boundary_rows=boundary_rows, **band)
+
+
+def _banded_local_plans(upstream_local: np.ndarray, n_local: int,
+                        max_shifts: int = 32,
+                        max_remainder_frac: float = 0.25) -> dict:
+    """Per-shard banded plan over IN-SHARD edges (local slot < n_local).
+
+    Local slots preserve global row order within each device, so a
+    postorder-labeled topology keeps almost every in-shard edge at slot
+    displacement 1 even after balanced splitting; the few out-of-band
+    edges become a sparse remainder.  Halo-referencing rows are excluded:
+    they are the partition's boundary rows, recomputed with the full
+    gather after the halo exchange.
+    """
+    n_dev, _, K = upstream_local.shape
+    dsts, srcs, disps = [], [], []
+    for d in range(n_dev):
+        up = upstream_local[d]
+        dst_l, src_l = [], []
+        for k in range(K):
+            col = up[:, k]
+            m = (col >= 0) & (col < n_local)
+            dst_l.append(np.flatnonzero(m))
+            src_l.append(col[m])
+        dst = np.concatenate(dst_l) if dst_l else np.zeros(0, np.int64)
+        src = np.concatenate(src_l) if src_l else np.zeros(0, np.int64)
+        dsts.append(dst)
+        srcs.append(src)
+        disps.append(dst - src)
+    disp_all = np.concatenate(disps) if disps else np.zeros(0, np.int64)
+    none = dict(band_shifts=None, band_masks=None, band_rem_dst=None,
+                band_rem_src=None, band_coverage=0.0)
+    if disp_all.size == 0:
+        return dict(band_shifts=(),
+                    band_masks=np.zeros((n_dev, 0, n_local), bool),
+                    band_rem_dst=np.full((n_dev, 1), -1, np.int32),
+                    band_rem_src=np.zeros((n_dev, 1), np.int32),
+                    band_coverage=1.0)
+    vals, counts = np.unique(disp_all, return_counts=True)
+    top = np.argsort(counts)[::-1][:max_shifts]
+    band_vals = vals[top]
+    order = np.lexsort((band_vals, -counts[top]))
+    shifts = tuple(int(band_vals[i]) for i in order)
+    in_band_total = int(np.isin(disp_all, band_vals).sum())
+    coverage = in_band_total / disp_all.size
+    if 1.0 - coverage > max_remainder_frac:
+        return none
+
+    sarr = np.asarray(shifts, np.int64)
+    ssort = np.argsort(sarr)
+    sorted_s = sarr[ssort]
+    D = len(shifts)
+    masks = np.zeros((n_dev, D, n_local), bool)
+    rem_d, rem_s = [], []
+    for d in range(n_dev):
+        dst, src, dd = dsts[d], srcs[d], disps[d]
+        pos = np.clip(np.searchsorted(sorted_s, dd), 0, D - 1) if D else             np.zeros(dd.shape, np.int64)
+        rank = np.where(sorted_s[pos] == dd, ssort[pos], D) if D else             np.full(dd.shape, 0, np.int64)
+        inb = rank < D
+        masks[d, rank[inb], dst[inb]] = True
+        rem_d.append(dst[~inb])
+        rem_s.append(src[~inb])
+    E = max(1, max(r.size for r in rem_d))
+    rdst = np.full((n_dev, E), -1, np.int32)
+    rsrc = np.zeros((n_dev, E), np.int32)
+    for d in range(n_dev):
+        rdst[d, :rem_d[d].size] = rem_d[d]
+        rsrc[d, :rem_s[d].size] = rem_s[d]
+    return dict(band_shifts=shifts, band_masks=masks, band_rem_dst=rdst,
+                band_rem_src=rsrc, band_coverage=coverage)
 
 
 def scatter_to_shards(part: NetworkPartition, arr: np.ndarray,

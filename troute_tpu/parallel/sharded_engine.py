@@ -83,6 +83,11 @@ class ShardedInputs(NamedTuple):
     gage_obs: jax.Array         # [n_dev, nts+1, G] (NaN = missing)
     gage_lo_val: jax.Array      # [n_dev, G]
     gage_lo_time: jax.Array     # [n_dev, G]
+    # per-shard banded upstream plan (partition._banded_local_plans);
+    # the static shift tuple travels separately (route_sharded band_shifts)
+    band_masks: jax.Array       # bool [n_dev, D, n_local] (D may be 0)
+    band_rem_dst: jax.Array     # int32 [n_dev, E] (-1 pad)
+    band_rem_src: jax.Array     # int32 [n_dev, E]
 
 
 class ShardedRunResult(NamedTuple):
@@ -199,6 +204,15 @@ def build_sharded_inputs(part: NetworkPartition, topo, chan_np: dict,
         gage_obs=jnp.asarray(gobs, dtype),
         gage_lo_val=jnp.asarray(glov, dtype),
         gage_lo_time=jnp.asarray(glot, dtype),
+        band_masks=jnp.asarray(
+            part.band_masks if part.band_masks is not None
+            else np.zeros((nd, 0, nl), bool)),
+        band_rem_dst=jnp.asarray(
+            part.band_rem_dst if part.band_rem_dst is not None
+            else np.full((nd, 1), -1, np.int32), jnp.int32),
+        band_rem_src=jnp.asarray(
+            part.band_rem_src if part.band_rem_src is not None
+            else np.zeros((nd, 1), np.int32), jnp.int32),
     )
 
 
@@ -249,7 +263,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   qts_subdivisions: int = 1,
                   res_da: ShardedResDA | None = None,
                   decay_coeff: float = 120.0,
-                  exchange: str = "neighbor"):
+                  exchange: str = "neighbor",
+                  band_shifts: tuple | None = None):
     """Compiled multi-device routing run (short-timestep mode).
 
     ``exchange`` picks the halo mechanism (both bit-identical):
@@ -263,7 +278,12 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
     * ``"allgather"``: every exported value broadcast to every device;
       one-pass solve.  O(devices x exports) traffic.
 
-    Returns fvd [n_dev, nts, n_local, 3] sharded over the mesh.
+    ``band_shifts`` (static tuple from ``NetworkPartition.band_shifts``)
+    switches the interior upstream sum to the banded masked-shift form
+    — the gather is latency-bound on TPU (routing/upstream_plan.py) —
+    with halo-referencing boundary rows recomputed by the full gather
+    after the exchange in BOTH exchange modes (so the two stay
+    bit-identical).  None keeps the gather form everywhere.
     """
     dtype = inp.q0.dtype
     dt_ = jnp.asarray(dt, dtype)
@@ -283,21 +303,61 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
     def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
                    halo_src_pos, perm_pairs, send_slot, recv_pos,
                    boundary_rows, valid, is_res, res_slots, chan,
-                   res_params, gage_slot, gage_obs, rda):
+                   res_params, gage_slot, gage_obs, rda, band_masks,
+                   band_rem_dst, band_rem_src):
         q, depth, res_elev, lo_val, lo_time, hyb_s, rfc_s, gl_s = carry
         qlat_t, t_idx = xs
         up = upstream_local
         n_local = q.shape[0]
+
+        def interior_sum(q):
+            """Local-only upstream sums (halo contributions 0; the
+            boundary rows are recomputed after the exchange)."""
+            if band_shifts is None:
+                local_up = (up >= 0) & (up < n_local)
+                vals = jnp.where(local_up,
+                                 q[jnp.clip(up, 0, n_local - 1)], 0.0)
+                return vals.sum(axis=1)
+            upv = jnp.zeros_like(q)
+            if band_shifts:
+                lo = max(max(band_shifts), 0)
+                hi = max(-min(band_shifts), 0)
+                qx = q
+                if lo or hi:
+                    qx = jnp.concatenate([jnp.zeros(lo, dtype), q,
+                                          jnp.zeros(hi, dtype)])
+                for i, sh in enumerate(band_shifts):
+                    sl = jax.lax.dynamic_slice(qx, (lo - sh,), (n_local,))
+                    upv = upv + jnp.where(band_masks[i], sl, 0.0)
+            rvals = jnp.where(band_rem_dst >= 0,
+                              q[jnp.maximum(band_rem_src, 0)], 0.0)
+            upv = upv.at[jnp.where(band_rem_dst >= 0, band_rem_dst,
+                                   n_local)].add(rvals, mode="drop")
+            return upv
+
+        def boundary_fix(q_ext, qdc, velc, depthc, up_prev):
+            """Recompute halo-referencing rows with true upstream sums."""
+            b = boundary_rows
+            safe_b = jnp.maximum(b, 0)
+            up_b = up[safe_b]
+            vals_b = jnp.where(up_b >= 0, q_ext[jnp.maximum(up_b, 0)], 0.0)
+            up_prev_b = vals_b.sum(axis=1)
+            chan_b = jax.tree.map(lambda a: a[safe_b], chan)
+            out_b = mc_rows(up_prev_b, q[safe_b], qlat_t[safe_b],
+                            depth[safe_b], chan_b)
+            scat_b = jnp.where(b >= 0, safe_b, n_local)
+            qdc = qdc.at[scat_b].set(out_b.qdc, mode="drop")
+            velc = velc.at[scat_b].set(out_b.velc, mode="drop")
+            depthc = depthc.at[scat_b].set(out_b.depthc, mode="drop")
+            up_prev = up_prev.at[scat_b].set(up_prev_b, mode="drop")
+            return qdc, velc, depthc, up_prev
 
         if exchange == "neighbor":
             # interior pass first: upstream sums from owned nodes only
             # (boundary rows get provisional values, fixed below) — no
             # data dependency on the collective, so the big solve and the
             # permutes overlap
-            local_up = (up >= 0) & (up < n_local)
-            vals = jnp.where(local_up,
-                             q[jnp.clip(up, 0, n_local - 1)], 0.0)
-            up_prev = vals.sum(axis=1)
+            up_prev = interior_sum(q)
             out = mc_rows(up_prev, q, qlat_t, depth, chan)
             qdc, velc, depthc = out.qdc, out.velc, out.depthc
 
@@ -313,21 +373,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                 halo = halo.at[jnp.where(pos >= 0, pos, n_halo)].set(
                     rec, mode="drop")
             q_ext = jnp.concatenate([q, halo])
-
-            # recompute the boundary rows with the true upstream sums
-            b = boundary_rows
-            safe_b = jnp.maximum(b, 0)
-            up_b = up[safe_b]
-            vals_b = jnp.where(up_b >= 0, q_ext[jnp.maximum(up_b, 0)], 0.0)
-            up_prev_b = vals_b.sum(axis=1)
-            chan_b = jax.tree.map(lambda a: a[safe_b], chan)
-            out_b = mc_rows(up_prev_b, q[safe_b], qlat_t[safe_b],
-                            depth[safe_b], chan_b)
-            scat_b = jnp.where(b >= 0, safe_b, n_local)
-            qdc = qdc.at[scat_b].set(out_b.qdc, mode="drop")
-            velc = velc.at[scat_b].set(out_b.velc, mode="drop")
-            depthc = depthc.at[scat_b].set(out_b.depthc, mode="drop")
-            up_prev = up_prev.at[scat_b].set(up_prev_b, mode="drop")
+            qdc, velc, depthc, up_prev = boundary_fix(q_ext, qdc, velc,
+                                                      depthc, up_prev)
         else:
             # halo exchange: export boundary flows, all-gather, import
             exported = q[export_slot]                     # [E]
@@ -335,10 +382,20 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
             halo = jnp.where(halo_src_dev >= 0, halo, 0.0)
             q_ext = jnp.concatenate([q, halo])
-            vals = q_ext[jnp.maximum(up, 0)]
-            up_prev = jnp.where(up >= 0, vals, 0.0).sum(axis=1)
-            out = mc_rows(up_prev, q, qlat_t, depth, chan)
-            qdc, velc, depthc = out.qdc, out.velc, out.depthc
+            if band_shifts is None:
+                vals = q_ext[jnp.maximum(up, 0)]
+                up_prev = jnp.where(up >= 0, vals, 0.0).sum(axis=1)
+                out = mc_rows(up_prev, q, qlat_t, depth, chan)
+                qdc, velc, depthc = out.qdc, out.velc, out.depthc
+            else:
+                # banded interior + boundary recompute: identical
+                # accumulation to the neighbor mode, so the two exchange
+                # mechanisms stay bit-identical
+                up_prev = interior_sum(q)
+                out = mc_rows(up_prev, q, qlat_t, depth, chan)
+                qdc, velc, depthc = out.qdc, out.velc, out.depthc
+                qdc, velc, depthc, up_prev = boundary_fix(
+                    q_ext, qdc, velc, depthc, up_prev)
 
         q_new = jnp.where(valid & ~is_res, qdc, q)
         v_new = jnp.where(valid & ~is_res, velc, 0.0)
@@ -404,7 +461,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   perm_pairs, send_slot, recv_pos, boundary_rows,
                   valid, is_res, res_slots, chan, res_params, q0, depth0,
                   res_elev0, qlat, gage_slot, gage_index, gage_obs,
-                  gage_lo_val, gage_lo_time, *rda_flat):
+                  gage_lo_val, gage_lo_time, band_masks, band_rem_dst,
+                  band_rem_src, *rda_flat):
         # block shapes carry a leading size-1 device axis; drop it
         sq = lambda a: a[0]
         if have_res_da:
@@ -424,7 +482,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                 sq(halo_src_pos), perm_pairs, sq(send_slot), sq(recv_pos),
                 sq(boundary_rows), sq(valid), sq(is_res), sq(res_slots),
                 jax.tree.map(sq, chan), jax.tree.map(sq, res_params),
-                sq(gage_slot), sq(gage_obs), rda_l)
+                sq(gage_slot), sq(gage_obs), rda_l, sq(band_masks),
+                sq(band_rem_dst), sq(band_rem_src))
 
         cols = ((jnp.arange(nts) // qts_subdivisions)).astype(jnp.int32)
         qlat_seq = qlat[:, 0][cols]   # [nts, n_local]
@@ -488,7 +547,8 @@ def input_specs() -> ShardedInputs:
         q0=P(AXIS), depth0=P(AXIS), res_elev0=P(AXIS),
         qlat=P(None, AXIS),
         gage_slot=P(AXIS), gage_index=P(AXIS), gage_obs=P(AXIS),
-        gage_lo_val=P(AXIS), gage_lo_time=P(AXIS))
+        gage_lo_val=P(AXIS), gage_lo_time=P(AXIS),
+        band_masks=P(AXIS), band_rem_dst=P(AXIS), band_rem_src=P(AXIS))
 
 
 def place_global(mesh: Mesh, inp: ShardedInputs) -> ShardedInputs:
@@ -564,7 +624,8 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
     res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
                         qts_subdivisions=cfg.qts_subdivisions,
                         res_da=rda_sh,
-                        decay_coeff=(da.decay_coeff if have_da else 120.0))
+                        decay_coeff=(da.decay_coeff if have_da else 120.0),
+                        band_shifts=part.band_shifts)
 
     # ---- reassemble global outputs ----
     fvd_sh = np.asarray(res.fvd)                       # [D, nts, L, 3]
