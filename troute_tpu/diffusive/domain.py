@@ -160,3 +160,155 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
         dt_db=float(dt_db),
         xsec_min=jnp.asarray(tab.min(axis=-1), dtype),
     )
+
+
+def _extend_series(arr: np.ndarray, n_t: int) -> np.ndarray:
+    """Pad a time series to n_t rows by continuing the last segment's
+    slope — ``_interp_series`` extrapolates out-of-range along the last
+    segment, so the extended series interpolates/extrapolates to exactly
+    the same values everywhere."""
+    if arr.shape[0] >= n_t:
+        return arr
+    if arr.shape[0] >= 2:
+        slope = arr[-1] - arr[-2]
+    else:
+        slope = np.zeros_like(arr[-1])
+    k = np.arange(1, n_t - arr.shape[0] + 1, dtype=arr.dtype)
+    shape = (-1,) + (1,) * (arr.ndim - 1)
+    tail = arr[-1][None] + k.reshape(shape) * slope[None]
+    return np.concatenate([arr, tail], axis=0)
+
+
+def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
+    """Stack B independent domains into one batched domain ([B, R, C]
+    node arrays) for ``run_diffusive_batched``.
+
+    Domains are padded to common shapes: reaches right-aligned, so extra
+    columns pad on the LEFT (edge-copied geometry/tables keep every
+    lookup finite; ``valid`` stays False); extra reaches duplicate the
+    last real reach with ``valid`` all-False and ``ds_reach``=-1, so
+    they never contribute to junction sums or the CFL max.  Time series
+    pad by last-segment extrapolation (value-preserving under
+    ``_interp_series``).  The scalar timesteps (dt_qlat/dt_trib/dt_db/
+    dtini_given) and dtype must match across domains.
+    """
+    if not doms:
+        raise ValueError("stack_domains needs at least one domain")
+    d0 = doms[0]
+    for d in doms[1:]:
+        for f in ("dt_trib", "dt_qlat", "dtini_given", "dt_db"):
+            if getattr(d, f) != getattr(d0, f):
+                raise ValueError(f"domains disagree on {f}")
+        if d.z.dtype != d0.z.dtype:
+            raise ValueError("domains disagree on dtype")
+    C = max(int(d.n_cols) for d in doms)
+    R = max(int(d.n_reaches) for d in doms)
+    K = max(d.up_reaches.shape[1] for d in doms)
+    D = max(d.bwd_active.shape[0] for d in doms)
+    n_tq = max(d.trib_q.shape[0] for d in doms)
+    n_ql = max(d.qlat.shape[0] for d in doms)
+    any_db = any(d.db_depth is not None for d in doms)
+    n_db = max((d.db_depth.shape[1] for d in doms
+                if d.db_depth is not None), default=0)
+
+    def pad(d: DiffusiveDomain) -> dict:
+        dC = C - int(d.n_cols)
+        dR = R - int(d.n_reaches)
+
+        def edge_rc(a, extra_axes=0):
+            # [R, C, ...]: left-pad columns with the edge copy, then
+            # duplicate the last reach for the row pad
+            w = ((0, dR), (dC, 0)) + ((0, 0),) * extra_axes
+            return np.pad(np.asarray(a), w, mode="edge")
+
+        def pad_r(a, fill, axis=0):
+            w = [(0, 0)] * a.ndim
+            w[axis] = (0, dR)
+            return np.pad(np.asarray(a), w, constant_values=fill)
+
+        valid = np.pad(np.asarray(d.valid), ((0, dR), (dC, 0)),
+                       constant_values=False)
+        xsec = edge_rc(d.xsec, extra_axes=2)
+        if d.db_depth is not None:
+            db = np.asarray(d.db_depth, np.float64)
+            db = np.pad(db, ((0, dR), (0, n_db - db.shape[1])), mode="edge")
+        elif any_db:
+            db = np.full((R, n_db), np.nan)
+        else:
+            db = None
+        qlat = _extend_series(np.asarray(d.qlat), n_ql)
+        qlat = np.pad(qlat, ((0, 0), (0, dR), (dC, 0)), mode="edge")
+        return dict(
+            z=edge_rc(d.z), dx=edge_rc(d.dx),
+            ncomp=pad_r(np.asarray(d.ncomp), 1),
+            head_col=np.pad(np.asarray(d.head_col) + dC, (0, dR),
+                            constant_values=C - 1),
+            valid=valid, xsec=xsec,
+            ds_reach=pad_r(np.asarray(d.ds_reach), -1),
+            up_reaches=np.pad(np.asarray(d.up_reaches),
+                              ((0, dR), (0, K - d.up_reaches.shape[1])),
+                              constant_values=-1),
+            bwd_active=np.pad(np.asarray(d.bwd_active),
+                              ((0, D - d.bwd_active.shape[0]), (0, dR)),
+                              constant_values=False),
+            bwd_col=np.pad(np.asarray(d.bwd_col) + dC,
+                           ((0, D - d.bwd_col.shape[0]), (0, dR)),
+                           constant_values=C - 1),
+            trib_q=pad_r(_extend_series(np.asarray(d.trib_q), n_tq),
+                         0.0, axis=1),
+            qlat=qlat, db_depth=db,
+            xsec_min=xsec.min(axis=-1),
+        )
+
+    padded = [pad(d) for d in doms]
+    dtype = d0.z.dtype
+
+    def stk(key, out_dtype=None):
+        if padded[0][key] is None:
+            return None
+        a = np.stack([p[key] for p in padded])
+        return jnp.asarray(a, out_dtype if out_dtype is not None else dtype)
+
+    return DiffusiveDomain(
+        z=stk("z"), dx=stk("dx"),
+        ncomp=stk("ncomp", jnp.int32), head_col=stk("head_col", jnp.int32),
+        valid=stk("valid", bool), xsec=stk("xsec"),
+        ds_reach=stk("ds_reach", jnp.int32),
+        up_reaches=stk("up_reaches", jnp.int32),
+        bwd_active=stk("bwd_active", bool), bwd_col=stk("bwd_col", jnp.int32),
+        trib_q=stk("trib_q"), dt_trib=d0.dt_trib,
+        qlat=stk("qlat"), dt_qlat=d0.dt_qlat,
+        dtini_given=d0.dtini_given,
+        db_depth=stk("db_depth"), dt_db=d0.dt_db,
+        xsec_min=stk("xsec_min"),
+    )
+
+
+def stack_states(sts, doms: Sequence[DiffusiveDomain], C: int, R: int):
+    """Stack per-domain DiffusiveStates to match ``stack_domains``
+    padding (edge-copied values at padded nodes are never read back
+    through the ``valid`` mask)."""
+    import jax.numpy as _jnp
+    from troute_tpu.diffusive.solver import DiffusiveState
+
+    def pad_state(s, d):
+        dC = C - int(d.n_cols)
+        dR = R - int(d.n_reaches)
+
+        def e(a):
+            return np.pad(np.asarray(a), ((0, dR), (dC, 0)), mode="edge")
+
+        return dict(q=e(s.q), y=e(s.y), qpx=e(s.qpx), celerity=e(s.celerity),
+                    diffusivity=e(s.diffusivity), t=np.asarray(s.t))
+
+    ps = [pad_state(s, d) for s, d in zip(sts, doms)]
+    dtype = sts[0].q.dtype
+    return DiffusiveState(
+        q=_jnp.asarray(np.stack([p["q"] for p in ps]), dtype),
+        y=_jnp.asarray(np.stack([p["y"] for p in ps]), dtype),
+        qpx=_jnp.asarray(np.stack([p["qpx"] for p in ps]), dtype),
+        celerity=_jnp.asarray(np.stack([p["celerity"] for p in ps]), dtype),
+        diffusivity=_jnp.asarray(
+            np.stack([p["diffusivity"] for p in ps]), dtype),
+        t=_jnp.asarray(np.stack([p["t"] for p in ps]), dtype),
+    )

@@ -816,12 +816,9 @@ def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float,
     return st._replace(y=newY, celerity=celerity, diffusivity=diffusivity)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("save_interval", "dtini_min",
-                              "corrector_mode", "n_saves"))
-def _run_device(dom: DiffusiveDomain, st: DiffusiveState, t_final,
-                save_interval: float, dtini_min: float,
-                corrector_mode: str, n_saves: int, t_start):
+def _run_device_impl(dom: DiffusiveDomain, st: DiffusiveState, t_final,
+                     save_interval: float, dtini_min: float,
+                     corrector_mode: str, n_saves: int, t_start):
     """The whole adaptive time loop as ONE compiled ``while_loop`` — a
     single dispatch regardless of internal step count (the host-stepped
     form pays per-step dispatch latency, which dominates on a tunneled
@@ -876,6 +873,76 @@ def _run_device(dom: DiffusiveDomain, st: DiffusiveState, t_final,
     qs = qs.at[n_saves - 1].set(st.q)
     ys = ys.at[n_saves - 1].set(st.y)
     return st, qs, ys
+
+
+_run_device = functools.partial(
+    jax.jit, static_argnames=("save_interval", "dtini_min",
+                              "corrector_mode", "n_saves"))(_run_device_impl)
+
+
+def _domain_axes(dom: DiffusiveDomain) -> DiffusiveDomain:
+    """vmap ``in_axes`` spec for a batched [B, ...] DiffusiveDomain:
+    arrays map over axis 0, the shared scalar timesteps broadcast."""
+    return DiffusiveDomain(
+        z=0, dx=0, ncomp=0, head_col=0, valid=0, xsec=0, ds_reach=0,
+        up_reaches=0, bwd_active=0, bwd_col=0, trib_q=0, dt_trib=None,
+        qlat=0, dt_qlat=None, dtini_given=None,
+        db_depth=(None if dom.db_depth is None else 0), dt_db=None,
+        xsec_min=(None if dom.xsec_min is None else 0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("save_interval", "dtini_min",
+                              "corrector_mode", "n_saves"))
+def _run_device_batched(dom: DiffusiveDomain, st: DiffusiveState, t_final,
+                        save_interval: float, dtini_min: float,
+                        corrector_mode: str, n_saves: int, t_start):
+    def one(d, s):
+        return _run_device_impl(d, s, t_final, save_interval, dtini_min,
+                                corrector_mode, n_saves, t_start)
+
+    state_axes = DiffusiveState(q=0, y=0, qpx=0, celerity=0,
+                                diffusivity=0, t=0)
+    return jax.vmap(one, in_axes=(_domain_axes(dom), state_axes))(dom, st)
+
+
+def run_diffusive_batched(dom: DiffusiveDomain, st: DiffusiveState,
+                          t_final: float, save_interval: float,
+                          corrector_mode: str = "wavefront"):
+    """Route B independent diffusive domains in one dispatch.
+
+    ``dom``/``st`` carry a leading batch axis on every array field
+    ([B, R, C] node arrays — see ``domain.stack_domains``).  Each domain
+    runs its OWN adaptive-CFL time loop, exactly like the reference,
+    which calls ``diffnw`` once per tailwater domain so each gets an
+    independent ``calculateDT`` (diffusive.f90:942-991) — a merged
+    single-[R, C] domain instead couples every tailwater to the global
+    most-restrictive dt.  The batched ``while_loop`` runs until the
+    slowest domain finishes; finished lanes hold their state (JAX's
+    batching rule selects old carries where the lane condition is
+    false), so results are identical to running each domain alone.
+
+    All domains must share ``save_interval``, the series timesteps, and
+    a common start time.  Returns (final batched state, saves) with
+    saves = [(t, q[B, R, C], y[B, R, C]), ...] at save-interval
+    boundaries; padded reaches/columns (``valid`` False) carry garbage
+    — mask before use.
+    """
+    dtini_min = float(dom.dtini_given) / DTINI_DIVISOR
+    t0 = np.asarray(st.t)
+    t_start = float(t0.reshape(-1)[0])
+    if not np.allclose(t0, t_start):
+        raise ValueError("batched domains must share a start time")
+    n_saves = int(round((t_final - t_start) / save_interval))
+    if n_saves <= 0:
+        return st, []
+    dtype = st.q.dtype
+    st, qs, ys = _run_device_batched(
+        dom, st, jnp.asarray(t_final, dtype), float(save_interval),
+        dtini_min, corrector_mode, n_saves, jnp.asarray(t_start, dtype))
+    saves = [(t_start + (k + 1) * save_interval, qs[:, k], ys[:, k])
+             for k in range(n_saves)]
+    return st, saves
 
 
 def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
