@@ -206,3 +206,98 @@ def test_laura_hybrid_sharded_matches_single_device(tmp_path):
     np.testing.assert_array_equal(d_got["ids"], d_ref["ids"])
     np.testing.assert_array_equal(d_got["q"], d_ref["q"])
     np.testing.assert_array_equal(d_got["depth"], d_ref["depth"])
+
+
+def test_laura_two_tailwater_batched_matches_merged(tmp_path):
+    """Splitting the mainstem chain into two independent tailwater trees
+    (drop the middle link from the diffusive domain — it stays in the MC
+    network and feeds the lower tree as a tributary) exercises the
+    batched per-tailwater path.  ``diffusive_batching: auto`` runs each
+    tree with its own adaptive dt (the reference's per-domain diffnw);
+    "never" keeps the merged coupled-dt domain — the two must agree to
+    transient-trajectory tolerance and share ids/shapes exactly."""
+    import jax
+    from troute_tpu.cli import main_v04
+    from troute_tpu.io.routelink import read_routelink
+
+    dd = yaml.safe_load(
+        open(REF / "domain/unit_test_noRS/coastal_domain.yaml"))
+    (tw, spec), = dd.items()
+    links = [int(x)
+             for x in (spec["links"] if isinstance(spec, dict) else spec)]
+    rl = read_routelink(
+        REF / "domain/RouteLink_NWMv2.1.nc", None,
+        np.loadtxt(REF / "domain/unit_test_noRS/coastal_subset.txt",
+                   dtype=np.int64, ndmin=1))
+    conn = dict(zip(rl.ids.tolist(), rl.downstream.tolist()))
+    ls = set(links)
+    depth = {}
+
+    def _depth(x):
+        if x not in depth:
+            d = conn.get(x)
+            depth[x] = 0 if d not in ls else _depth(d) + 1
+        return depth[x]
+
+    for x in links:
+        _depth(x)
+    mid = next(x for x in links if depth[x] == max(depth.values()) // 2)
+    two_tw = {tw: {"links": [x for x in links if x != mid]}}
+    dd_path = tmp_path / "two_tailwaters.yaml"
+    yaml.safe_dump(two_tw, open(dd_path, "w"))
+
+    def run(batching):
+        cfg = yaml.safe_load(open(REF / "troute_UnitTest_noRS.yaml"))
+        sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+        sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
+        sp["mask_file_path"] = \
+            str(REF / "domain/unit_test_noRS/coastal_subset.txt")
+        cfg["network_topology_parameters"]["waterbody_parameters"][
+            "level_pool"]["level_pool_waterbody_parameter_file_path"] = \
+            str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+        rp = cfg["compute_parameters"]["restart_parameters"]
+        rp["wrf_hydro_channel_restart_file"] = \
+            str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+        rp["wrf_hydro_channel_ID_crosswalk_file"] = \
+            str(REF / "domain/RouteLink_NWMv2.1.nc")
+        rp["wrf_hydro_waterbody_restart_file"] = \
+            str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+        rp["wrf_hydro_waterbody_ID_crosswalk_file"] = \
+            str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+        rp["start_datetime"] = "2020-08-26_00:00"
+        hp = cfg["compute_parameters"]["hybrid_parameters"]
+        hp["diffusive_domain"] = str(dd_path)
+        hp["topobathy_domain"] = \
+            str(REF / "domain/final_diffusive_natural_xs.nc")
+        hp["run_refactored_network"] = False
+        hp["diffusive_batching"] = batching
+        hp.pop("coastal_boundary_domain", None)
+        fp = cfg["compute_parameters"]["forcing_parameters"]
+        fp["qlat_input_folder"] = str(REF / "channel_forcing")
+        fp.pop("coastal_boundary_input_file", None)
+        fp["nts"] = 12
+        cfg["compute_parameters"]["data_assimilation_parameters"] = {}
+        cfg["output_parameters"] = {}
+        p = tmp_path / f"cfg_{batching}.yaml"
+        yaml.safe_dump(cfg, open(p, "w"))
+        return main_v04(["-f", str(p)])
+
+    got = run("auto")
+    ref = run("never")
+    d_got, d_ref = got["diffusive"], ref["diffusive"]
+    assert d_got is not None and d_ref is not None
+    np.testing.assert_array_equal(d_got["ids"], d_ref["ids"])
+    assert len(d_got["ids"]) == len(links) - 1
+    assert np.isfinite(d_got["q"]).all() and np.isfinite(d_got["depth"]).all()
+    assert d_got["depth"].min() > 0
+    # independent vs coupled adaptive dt: same physics, different
+    # internal step trajectories (measured ~2% transient drift on this
+    # 4 m-segment chain; the hard bit-exactness check — batched lane ==
+    # solo domain — lives in tests/test_diffusive_batched.py)
+    np.testing.assert_allclose(d_got["q"], d_ref["q"], rtol=1e-1)
+    np.testing.assert_allclose(d_got["depth"], d_ref["depth"], rtol=1e-1)
+    # MC side identical (diffusive does not feed back into MC); the
+    # trailing columns of fvd are the appended diffusive mainstems
+    n_ms = len(d_got["ids"])
+    np.testing.assert_array_equal(got["fvd"][:, :-n_ms],
+                                  ref["fvd"][:, :-n_ms])

@@ -128,6 +128,13 @@ class HybridParameters(_Permissive):
     # handful, ~5x faster on long mainstems; "wavefront" = the
     # reference-shaped sequential node sweep
     diffusive_corrector: str = "jacobi"
+    # "auto" (default) routes each independent tailwater tree as its own
+    # lane of a batched [B, R, C] run with a per-domain adaptive dt —
+    # matching the reference, which calls diffnw once per tailwater
+    # domain so each gets an independent calculateDT; "never" keeps the
+    # merged single-[R, C] form (all tailwaters coupled to the global
+    # most-restrictive dt).  Single-tailwater domains are unaffected.
+    diffusive_batching: str = "auto"
 
     @model_validator(mode="after")
     def _check_domain(self):

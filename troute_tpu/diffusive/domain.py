@@ -162,7 +162,7 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
     )
 
 
-def _extend_series(arr: np.ndarray, n_t: int) -> np.ndarray:
+def _extend_series(arr, n_t: int):
     """Pad a time series to n_t rows by continuing the last segment's
     slope — ``_interp_series`` extrapolates out-of-range along the last
     segment, so the extended series interpolates/extrapolates to exactly
@@ -172,11 +172,11 @@ def _extend_series(arr: np.ndarray, n_t: int) -> np.ndarray:
     if arr.shape[0] >= 2:
         slope = arr[-1] - arr[-2]
     else:
-        slope = np.zeros_like(arr[-1])
-    k = np.arange(1, n_t - arr.shape[0] + 1, dtype=arr.dtype)
+        slope = jnp.zeros_like(arr[-1])
+    k = jnp.arange(1, n_t - arr.shape[0] + 1, dtype=arr.dtype)
     shape = (-1,) + (1,) * (arr.ndim - 1)
     tail = arr[-1][None] + k.reshape(shape) * slope[None]
-    return np.concatenate([arr, tail], axis=0)
+    return jnp.concatenate([jnp.asarray(arr), tail], axis=0)
 
 
 def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
@@ -191,6 +191,10 @@ def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
     pad by last-segment extrapolation (value-preserving under
     ``_interp_series``).  The scalar timesteps (dt_qlat/dt_trib/dt_db/
     dtini_given) and dtype must match across domains.
+
+    All padding/stacking is jnp — arrays already on device (e.g. xsec
+    tables built on-TPU by ``build_xsec_tables_jax``) stay there; a host
+    round-trip through the tunneled TPU runtime costs minutes per 10 MB.
     """
     if not doms:
         raise ValueError("stack_domains needs at least one domain")
@@ -210,6 +214,7 @@ def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
     any_db = any(d.db_depth is not None for d in doms)
     n_db = max((d.db_depth.shape[1] for d in doms
                 if d.db_depth is not None), default=0)
+    dtype = d0.z.dtype
 
     def pad(d: DiffusiveDomain) -> dict:
         dC = C - int(d.n_cols)
@@ -219,55 +224,55 @@ def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
             # [R, C, ...]: left-pad columns with the edge copy, then
             # duplicate the last reach for the row pad
             w = ((0, dR), (dC, 0)) + ((0, 0),) * extra_axes
-            return np.pad(np.asarray(a), w, mode="edge")
+            return jnp.pad(jnp.asarray(a), w, mode="edge")
 
         def pad_r(a, fill, axis=0):
             w = [(0, 0)] * a.ndim
             w[axis] = (0, dR)
-            return np.pad(np.asarray(a), w, constant_values=fill)
+            return jnp.pad(jnp.asarray(a), w, constant_values=fill)
 
-        valid = np.pad(np.asarray(d.valid), ((0, dR), (dC, 0)),
-                       constant_values=False)
+        valid = jnp.pad(jnp.asarray(d.valid), ((0, dR), (dC, 0)),
+                        constant_values=False)
         xsec = edge_rc(d.xsec, extra_axes=2)
         if d.db_depth is not None:
-            db = np.asarray(d.db_depth, np.float64)
-            db = np.pad(db, ((0, dR), (0, n_db - db.shape[1])), mode="edge")
+            db = jnp.asarray(d.db_depth, dtype)
+            db = jnp.pad(db, ((0, dR), (0, n_db - db.shape[1])),
+                         mode="edge")
         elif any_db:
-            db = np.full((R, n_db), np.nan)
+            db = jnp.full((R, n_db), jnp.nan, dtype)
         else:
             db = None
-        qlat = _extend_series(np.asarray(d.qlat), n_ql)
-        qlat = np.pad(qlat, ((0, 0), (0, dR), (dC, 0)), mode="edge")
+        qlat = _extend_series(jnp.asarray(d.qlat), n_ql)
+        qlat = jnp.pad(qlat, ((0, 0), (0, dR), (dC, 0)), mode="edge")
         return dict(
             z=edge_rc(d.z), dx=edge_rc(d.dx),
-            ncomp=pad_r(np.asarray(d.ncomp), 1),
-            head_col=np.pad(np.asarray(d.head_col) + dC, (0, dR),
-                            constant_values=C - 1),
+            ncomp=pad_r(jnp.asarray(d.ncomp), 1),
+            head_col=jnp.pad(jnp.asarray(d.head_col) + dC, (0, dR),
+                             constant_values=C - 1),
             valid=valid, xsec=xsec,
-            ds_reach=pad_r(np.asarray(d.ds_reach), -1),
-            up_reaches=np.pad(np.asarray(d.up_reaches),
-                              ((0, dR), (0, K - d.up_reaches.shape[1])),
-                              constant_values=-1),
-            bwd_active=np.pad(np.asarray(d.bwd_active),
-                              ((0, D - d.bwd_active.shape[0]), (0, dR)),
-                              constant_values=False),
-            bwd_col=np.pad(np.asarray(d.bwd_col) + dC,
-                           ((0, D - d.bwd_col.shape[0]), (0, dR)),
-                           constant_values=C - 1),
-            trib_q=pad_r(_extend_series(np.asarray(d.trib_q), n_tq),
+            ds_reach=pad_r(jnp.asarray(d.ds_reach), -1),
+            up_reaches=jnp.pad(jnp.asarray(d.up_reaches),
+                               ((0, dR), (0, K - d.up_reaches.shape[1])),
+                               constant_values=-1),
+            bwd_active=jnp.pad(jnp.asarray(d.bwd_active),
+                               ((0, D - d.bwd_active.shape[0]), (0, dR)),
+                               constant_values=False),
+            bwd_col=jnp.pad(jnp.asarray(d.bwd_col) + dC,
+                            ((0, D - d.bwd_col.shape[0]), (0, dR)),
+                            constant_values=C - 1),
+            trib_q=pad_r(_extend_series(jnp.asarray(d.trib_q), n_tq),
                          0.0, axis=1),
             qlat=qlat, db_depth=db,
             xsec_min=xsec.min(axis=-1),
         )
 
     padded = [pad(d) for d in doms]
-    dtype = d0.z.dtype
 
     def stk(key, out_dtype=None):
         if padded[0][key] is None:
             return None
-        a = np.stack([p[key] for p in padded])
-        return jnp.asarray(a, out_dtype if out_dtype is not None else dtype)
+        a = jnp.stack([p[key] for p in padded])
+        return a.astype(out_dtype if out_dtype is not None else dtype)
 
     return DiffusiveDomain(
         z=stk("z"), dx=stk("dx"),
@@ -288,7 +293,6 @@ def stack_states(sts, doms: Sequence[DiffusiveDomain], C: int, R: int):
     """Stack per-domain DiffusiveStates to match ``stack_domains``
     padding (edge-copied values at padded nodes are never read back
     through the ``valid`` mask)."""
-    import jax.numpy as _jnp
     from troute_tpu.diffusive.solver import DiffusiveState
 
     def pad_state(s, d):
@@ -296,19 +300,19 @@ def stack_states(sts, doms: Sequence[DiffusiveDomain], C: int, R: int):
         dR = R - int(d.n_reaches)
 
         def e(a):
-            return np.pad(np.asarray(a), ((0, dR), (dC, 0)), mode="edge")
+            return jnp.pad(jnp.asarray(a), ((0, dR), (dC, 0)), mode="edge")
 
         return dict(q=e(s.q), y=e(s.y), qpx=e(s.qpx), celerity=e(s.celerity),
-                    diffusivity=e(s.diffusivity), t=np.asarray(s.t))
+                    diffusivity=e(s.diffusivity), t=jnp.asarray(s.t))
 
     ps = [pad_state(s, d) for s, d in zip(sts, doms)]
     dtype = sts[0].q.dtype
     return DiffusiveState(
-        q=_jnp.asarray(np.stack([p["q"] for p in ps]), dtype),
-        y=_jnp.asarray(np.stack([p["y"] for p in ps]), dtype),
-        qpx=_jnp.asarray(np.stack([p["qpx"] for p in ps]), dtype),
-        celerity=_jnp.asarray(np.stack([p["celerity"] for p in ps]), dtype),
-        diffusivity=_jnp.asarray(
-            np.stack([p["diffusivity"] for p in ps]), dtype),
-        t=_jnp.asarray(np.stack([p["t"] for p in ps]), dtype),
+        q=jnp.stack([p["q"] for p in ps]).astype(dtype),
+        y=jnp.stack([p["y"] for p in ps]).astype(dtype),
+        qpx=jnp.stack([p["qpx"] for p in ps]).astype(dtype),
+        celerity=jnp.stack([p["celerity"] for p in ps]).astype(dtype),
+        diffusivity=jnp.stack(
+            [p["diffusivity"] for p in ps]).astype(dtype),
+        t=jnp.stack([p["t"] for p in ps]).astype(dtype),
     )

@@ -906,6 +906,18 @@ def _run_device_batched(dom: DiffusiveDomain, st: DiffusiveState, t_final,
     return jax.vmap(one, in_axes=(_domain_axes(dom), state_axes))(dom, st)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("dtini_min", "corrector_mode"))
+def initialize_state_batched(dom: DiffusiveDomain, q_init,
+                             dtini_min: float,
+                             corrector_mode: str = "wavefront"):
+    """``initialize_state`` vmapped over a batched [B, R, C] domain."""
+    def one(d, q):
+        return initialize_state(d, q, dtini_min, corrector_mode)
+
+    return jax.vmap(one, in_axes=(_domain_axes(dom), 0))(dom, q_init)
+
+
 def run_diffusive_batched(dom: DiffusiveDomain, st: DiffusiveState,
                           t_final: float, save_interval: float,
                           corrector_mode: str = "wavefront"):

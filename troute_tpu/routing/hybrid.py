@@ -420,8 +420,33 @@ class HybridDomain:
         self.coastal_dt_db = dt_db
         return True
 
+    def tailwater_groups(self):
+        """Reach-index sets of the independent tailwater trees.
+
+        The reference invokes the diffusive kernel once per tailwater
+        domain (each yaml key), giving every tree its own adaptive
+        ``calculateDT``; grouping reaches by their tailwater root lets
+        the batched [B, R, C] runner reproduce that."""
+        ds = np.asarray(self.ds_reach)
+        memo: dict[int, int] = {}
+
+        def rootof(j: int) -> int:
+            path = []
+            while ds[j] >= 0 and j not in memo:
+                path.append(j)
+                j = int(ds[j])
+            r = memo.get(j, j)
+            for p in path:
+                memo[p] = r
+            return r
+
+        groups: dict[int, list[int]] = {}
+        for j in range(len(ds)):
+            groups.setdefault(rootof(j), []).append(j)
+        return [np.asarray(groups[k], np.int64) for k in sorted(groups)]
+
     def build_diffusive_domain(self, qlat_rows, dt_qlat, trib_q, dt_trib,
-                               dtini, dtype=None):
+                               dtini, dtype=None, reach_idx=None):
         """Assemble the solver domain.
 
         Args:
@@ -432,6 +457,9 @@ class HybridDomain:
             dtype: jnp.float64 (reference precision, default) or
                 jnp.float32 (TPU-native: f64 is emulated on TPU; f32
                 agrees to ~0.1 mm depth / <0.01% flow on LowerColorado)
+            reach_idx: optional reach indices (one ``tailwater_groups``
+                entry) — builds the domain restricted to that tree, with
+                reach rows in ``reach_idx`` order
         """
         import jax.numpy as jnp
 
@@ -440,12 +468,24 @@ class HybridDomain:
         if dtype is None:
             dtype = jnp.float64
 
-        R = self.n_reaches
-        C = max(len(r["z"]) for r in self.reach_nodes)
+        if reach_idx is None:
+            idx = np.arange(self.n_reaches, dtype=np.int64)
+        else:
+            idx = np.asarray(reach_idx, np.int64)
+        local = {int(g): k for k, g in enumerate(idx)}
+        reaches = [self.reaches[g] for g in idx]
+        reach_nodes = [self.reach_nodes[g] for g in idx]
+        ds_full = np.asarray(self.ds_reach)
+        ds_reach = np.array(
+            [local[int(ds_full[g])] if ds_full[g] >= 0 else -1
+             for g in idx], np.int32)
+
+        R = len(reaches)
+        C = max(len(r["z"]) for r in reach_nodes)
         n_ql = (len(next(iter(qlat_rows.values()))) if qlat_rows else 2)
 
         qlat = np.zeros((n_ql, R, C))
-        for ri, r in enumerate(self.reaches):
+        for ri, r in enumerate(reaches):
             ncomp = len(r) + 1
             off = C - ncomp
             for i, s in enumerate(r):
@@ -465,20 +505,29 @@ class HybridDomain:
                 if series is not None:
                     # convert segment inflow (m3/s) to per-meter rate
                     qlat[:, ri, off + i] = np.asarray(series)[:n_ql] \
-                        / max(float(self.reach_nodes[ri]["dx"][i]), 1e-6)
+                        / max(float(reach_nodes[ri]["dx"][i]), 1e-6)
 
         n_tt = trib_q.shape[0] if trib_q is not None else 2
         trib = np.zeros((n_tt, R))
         if trib_q is not None and len(self.trib_segments):
             # tributaries enter at reach heads (full-network junction breaks)
             for ti, ri in enumerate(self.trib_reach):
-                trib[:, ri] += trib_q[:, ti]
+                if int(ri) in local:
+                    trib[:, local[int(ri)]] += trib_q[:, ti]
 
-        return build_domain(self.reach_nodes, self.ds_reach, qlat,
+        natural_xsec = getattr(self, "natural_xsec", None)
+        if natural_xsec is not None and reach_idx is not None:
+            natural_xsec = {(local[ri], ni): v
+                            for (ri, ni), v in natural_xsec.items()
+                            if ri in local}
+        db_depth = getattr(self, "coastal_db", None)
+        if db_depth is not None and reach_idx is not None:
+            db_depth = np.asarray(db_depth)[idx]
+
+        return build_domain(reach_nodes, ds_reach, qlat,
                             dt_qlat, trib, dt_trib, dtini, dtype=dtype,
-                            natural_xsec=getattr(self, "natural_xsec",
-                                                 None),
-                            db_depth=getattr(self, "coastal_db", None),
+                            natural_xsec=natural_xsec,
+                            db_depth=db_depth,
                             dt_db=getattr(self, "coastal_dt_db", 3600.0))
 
     def saves_to_segments(self, saves, dom):
