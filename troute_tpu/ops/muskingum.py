@@ -19,6 +19,7 @@ matching the reference's single precision — ``varPrecision.f90:5``).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -27,6 +28,37 @@ import jax.numpy as jnp
 MINDEPTH = 0.01
 MAXITER_INIT = 100
 MAX_TRIES = 4
+
+# x**(2/3) / x**(5/3) formulation for the secant hot loop.  XLA's generic
+# pow carries edge-case select chains and does not share the internal
+# log(x) between pow(x, 2/3) and pow(x, 5/3); a single log + exp with
+# x**(5/3) = x**(2/3) * x halves the transcendental count per trip.
+# Values agree with pow to ~1 ulp (x >= 0 everywhere these are used;
+# exp((2/3)*log(0)) = exp(-inf) = 0 matches pow(0, 2/3)).
+#
+# Default is "pow": in f32 the ~1-ulp difference can flip the secant
+# exit iteration, and on the reference test distribution's extreme tail
+# (s0 > 1, ql ~ 5e4) one flipped lane landed 2x off the f64 truth where
+# the pow path stayed close — the bit-compatible formulation is the safe
+# production default.  Set TROUTE_MC_POW=explog to trade that tail risk
+# for fewer transcendentals per secant trip (gain unmeasured: the shared
+# TPU was unreachable when this was benched; re-measure before enabling).
+_POW_MODE = os.environ.get("TROUTE_MC_POW", "pow")
+
+
+def _p23(x):
+    """x ** (2/3) for x >= 0."""
+    if _POW_MODE == "pow":
+        return x ** (2.0 / 3.0)
+    return jnp.exp((2.0 / 3.0) * jnp.log(x))
+
+
+def _p23_p53(x):
+    """(x ** (2/3), x ** (5/3)) for x >= 0 from one log."""
+    if _POW_MODE == "pow":
+        return x ** (2.0 / 3.0), x ** (5.0 / 3.0)
+    p23 = jnp.exp((2.0 / 3.0) * jnp.log(x))
+    return p23, p23 * x
 
 
 class MCOutput(NamedTuple):
@@ -76,23 +108,23 @@ def _hydraulic_geometry(h, bfd, bw, twcc, z):
 def _celerity(geom, h, bfd, bw, twcc, z, n, ncc, s0):
     """Kinematic celerity Ck (reference ``.f90:248-268``)."""
     sqrt_s0 = jnp.sqrt(s0)
-    r = geom.r
+    r23, r53 = _p23_p53(geom.r)
     # in-channel celerity (dQ/dA for the trapezoid), guarded for h<=0
     denom_ch = bw + 2.0 * h * z
     ck_chan = (sqrt_s0 / n) * (
-        (5.0 / 3.0) * r ** (2.0 / 3.0)
-        - (2.0 / 3.0) * r ** (5.0 / 3.0)
+        (5.0 / 3.0) * r23
+        - (2.0 / 3.0) * r53
         * (2.0 * jnp.sqrt(1.0 + z * z) / jnp.maximum(denom_ch, jnp.finfo(h.dtype).tiny))
     )
     # overbank: area-weighted blend of channel and floodplain celerities
     denom_bf = bw + 2.0 * bfd * z
     ck_bf = (sqrt_s0 / n) * (
-        (5.0 / 3.0) * r ** (2.0 / 3.0)
-        - (2.0 / 3.0) * r ** (5.0 / 3.0)
+        (5.0 / 3.0) * r23
+        - (2.0 / 3.0) * r53
         * (2.0 * jnp.sqrt(1.0 + z * z) / jnp.maximum(denom_bf, jnp.finfo(h.dtype).tiny))
     )
     safe_ncc = jnp.where(ncc > 0.0, ncc, 1.0)
-    ck_fp = (sqrt_s0 / safe_ncc) * (5.0 / 3.0) * jnp.maximum(h - bfd, 0.0) ** (2.0 / 3.0)
+    ck_fp = (sqrt_s0 / safe_ncc) * (5.0 / 3.0) * _p23(jnp.maximum(h - bfd, 0.0))
     area_tot = geom.area + geom.areac
     safe_area = jnp.maximum(area_tot, jnp.finfo(h.dtype).tiny)
     ck_over = (ck_bf * geom.area + ck_fp * geom.areac) / safe_area
@@ -149,7 +181,7 @@ def _secant2_h(h, interval, qj_in, c_in, qup, quc, qdp, ql,
     wp_tot = geom.wp + geom.wpc
     n_eff = (geom.wp * n + geom.wpc * ncc) / jnp.maximum(wp_tot, tiny)
     q_manning = (1.0 / jnp.maximum(n_eff, tiny)) * (geom.area + geom.areac) \
-        * geom.r ** (2.0 / 3.0) * jnp.sqrt(s0)
+        * _p23(geom.r) * jnp.sqrt(s0)
     qj = jnp.where(
         wp_tot > 0.0,
         (c1 * qup + c2 * quc + c3 * qdp + c4) - q_manning,
@@ -312,8 +344,8 @@ def solve_block(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
     # velocity from the legacy hydraulic-radius formula (.f90:163-169)
     twl = bw + 2.0 * z * h
     r_leg = (h * (bw + twl) / 2.0) / (
-        bw + 2.0 * (((twl - bw) / 2.0) ** 2.0 + h ** 2.0) ** 0.5)
-    velc = (1.0 / n) * r_leg ** (2.0 / 3.0) * jnp.sqrt(s0)
+        bw + 2.0 * jnp.sqrt(((twl - bw) / 2.0) ** 2.0 + h ** 2.0))
+    velc = (1.0 / n) * _p23(r_leg) * jnp.sqrt(s0)
 
     qdc = jnp.where(has_flow, qdc, 0.0)
     velc = jnp.where(has_flow, velc, 0.0)
@@ -325,12 +357,13 @@ def solve_block(qup, quc, qdp, ql, dx, bw, tw, twcc, n, ncc, cs, s0,
     sqrt_s0 = jnp.sqrt(s0)
     tiny = jnp.finfo(dtype).tiny
     denom_lt = bw + 2.0 * geom.h_lt * z
+    r23_f, r53_f = _p23_p53(geom.r)
     ck_ch = (sqrt_s0 / n) * (
-        (5.0 / 3.0) * geom.r ** (2.0 / 3.0)
-        - (2.0 / 3.0) * geom.r ** (5.0 / 3.0)
+        (5.0 / 3.0) * r23_f
+        - (2.0 / 3.0) * r53_f
         * (2.0 * jnp.sqrt(1.0 + z * z) / jnp.maximum(denom_lt, tiny)))
     safe_ncc = jnp.where(ncc > 0.0, ncc, 1.0)
-    ck_fp = (sqrt_s0 / safe_ncc) * (5.0 / 3.0) * geom.h_gt ** (2.0 / 3.0)
+    ck_fp = (sqrt_s0 / safe_ncc) * (5.0 / 3.0) * _p23(geom.h_gt)
     area_tot = geom.area + geom.areac
     ck = jnp.maximum(
         0.0,
