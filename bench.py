@@ -212,7 +212,10 @@ def main():
     lp = LevelpoolParams(*[jnp.ones((1,), jnp.float32)] * 9)
     q0 = jnp.asarray(rng.uniform(0.5, 5.0, n), jnp.float32)
     d0 = jnp.asarray(rng.uniform(0.05, 0.8, n), jnp.float32)
-    qlat = jnp.asarray(rng.uniform(0.1, 2.0, (2, n)), jnp.float32)
+    # a rotation of forcing windows: production AnA feeds fresh qlateral
+    # every cycle, so each benchmark window gets different forcing
+    qlats = [jnp.asarray(rng.uniform(0.1, 2.0, (2, n)), jnp.float32)
+             for _ in range(4)]
     print(f"preprocess+transfer: {time.time()-t0:.1f}s "
           f"(N={n}, depth={topo.n_levels})", file=sys.stderr)
 
@@ -221,27 +224,50 @@ def main():
 
     zeros1 = jnp.zeros(1, jnp.float32)
 
-    def run():
-        out = route_stepped(net, cp, lp, cfg, q0, d0, zeros1, qlat, None)
+    def run(q, d, qlat):
+        out = route_stepped(net, cp, lp, cfg, q, d, zeros1, qlat, None)
         force(out["flowveldepth"], out["state"].q, out["state"].depth)
         return out
 
     t0 = time.time()
-    out = run()
+    out = run(q0, d0, qlats[0])
     print(f"first run (compile+exec): {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # the tunneled chip shows large run-to-run variance (shared tenancy);
-    # each rep is tens of ms, so take the best of 10
-    best = np.inf
+    # Cold start: every rep re-routes the same random initial state (the
+    # secant iterates ~10 trips/block on random depths — worst case).
+    # The tunneled chip shows large run-to-run variance (shared
+    # tenancy); each rep is tens of ms, so take the best of 10.
+    best_cold = np.inf
     for _ in range(10):
         t0 = time.time()
-        out = run()
+        out = run(q0, d0, qlats[0])
+        best_cold = min(best_cold, time.time() - t0)
+    print(f"cold-start: {best_cold:.3f}s for {nts} steps -> "
+          f"{n * nts / best_cold:.3e} segment-timesteps/s", file=sys.stderr)
+
+    # Warm regime (the operational pattern): consecutive 24-step windows
+    # of ONE continuous simulation, state handed forward and fresh
+    # forcing each window — exactly how AnA cycles run (reference
+    # __main__.py run-set loop).  Depths start each window converged, so
+    # the secant exits in few trips.  This is the headline number; the
+    # cold number above is the worst case.
+    q_w, d_w = out["state"].q, out["state"].depth
+    for i in range(3):                                   # warm-up windows
+        out = run(q_w, d_w, qlats[(i + 1) % len(qlats)])
+        q_w, d_w = out["state"].q, out["state"].depth
+    best = np.inf
+    for i in range(10):
+        t0 = time.time()
+        out = run(q_w, d_w, qlats[i % len(qlats)])
         best = min(best, time.time() - t0)
-    q_final = np.asarray(out["state"].q)
-    assert np.isfinite(q_final).all(), "non-finite flows in benchmark run"
+        q_w, d_w = out["state"].q, out["state"].depth
+    # full finiteness check as a device-side reduction (a host transfer
+    # of the 2.7M-element array takes minutes through the tunnel)
+    assert bool(jnp.isfinite(out["state"].q).all()), \
+        "non-finite flows in benchmark run"
 
     seg_ts_per_s = n * nts / best
-    print(f"steady-state: {best:.3f}s for {nts} steps -> "
+    print(f"warm steady-state: {best:.3f}s for {nts} steps -> "
           f"{seg_ts_per_s:.3e} segment-timesteps/s", file=sys.stderr)
 
     diff = {}
@@ -254,10 +280,11 @@ def main():
             diff[dtype_name] = None
 
     print(json.dumps({
-        "metric": "segment-timesteps/s per chip (MC short-ts, CONUS-scale synthetic)",
+        "metric": "segment-timesteps/s per chip (MC short-ts, CONUS-scale synthetic, warm AnA regime)",
         "value": round(seg_ts_per_s, 1),
         "unit": "segment-timesteps/s",
         "vs_baseline": round(seg_ts_per_s / BASELINE_CALCS_PER_S, 3),
+        "cold_start_seg_ts_per_s": round(n * nts / best_cold, 1),
         "diffusive_f64_seg_ts_per_s": diff["float64"],
         "diffusive_f32_seg_ts_per_s": diff["float32"],
         "diffusive_domain": "synthetic mainstem tree C=16, f32 R=2048 (~33k nodes) / f64 R=1024",
