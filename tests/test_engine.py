@@ -64,7 +64,7 @@ def _setup(nts=36, with_gage=True, seed=3):
 
 def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
                 dtype=jnp.float64, return_courant=False,
-                strict_iterative=False):
+                strict_iterative=False, stepped=False):
     topo = from_connections(CONN, reservoir_ids=[LAKE_ID])
     net = network_arrays_from_topology(topo, need_levels=not short)
     perm = topo.ids  # row order
@@ -107,8 +107,14 @@ def _run_engine(ids, chan, q0, depth0, qlat, gages, nts, dt, short,
     cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
                         assume_short_ts=short,
                         return_courant=return_courant,
-                        strict_iterative=strict_iterative)
-    out = route(net, cp, lp, cfg, q0_arr, d0_arr, elev0, qlat_arr, da)
+                        strict_iterative=strict_iterative,
+                        kernel="pallas" if stepped else "xla")
+    if stepped:
+        from troute_tpu.routing.engine import route_stepped
+        out = route_stepped(net, cp, lp, cfg, q0_arr, d0_arr, elev0,
+                            qlat_arr, da)
+    else:
+        out = route(net, cp, lp, cfg, q0_arr, d0_arr, elev0, qlat_arr, da)
     return out, idx
 
 
@@ -230,6 +236,29 @@ def test_strict_iterative_matches_level_scan():
     np.testing.assert_allclose(np.asarray(got["nudge"]),
                                np.asarray(ref["nudge"]),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_route_stepped_strict_matches_level_scan():
+    """The host-stepped strict driver (fixed-point sweeps with the
+    Pallas block kernel at jit top level — the production TPU form)
+    converges to the level-scan strict solution with the full coupling:
+    reservoir inflows and gage nudging see current-step upstream sums."""
+    ids, chan, q0, depth0, qlat, gages = _setup(nts=24)
+    ref, _ = _run_engine(ids, chan, q0, depth0, qlat, gages, 24, 300.0,
+                         short=False)
+    got, _ = _run_engine(ids, chan, q0, depth0, qlat, gages, 24, 300.0,
+                         short=False, strict_iterative=True, stepped=True)
+    np.testing.assert_allclose(np.asarray(got["flowveldepth"]),
+                               np.asarray(ref["flowveldepth"]),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got["nudge"]),
+                               np.asarray(ref["nudge"]),
+                               rtol=1e-9, atol=1e-9)
+    # final state hand-off fields must match too (run-set chaining)
+    for f in ("q", "depth", "res_elev", "lastobs_val", "lastobs_time"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got["state"], f)),
+            np.asarray(getattr(ref["state"], f)), rtol=1e-9, atol=1e-9)
 
 
 def test_strict_iterative_deep_chain():

@@ -163,3 +163,21 @@ def test_stepped_reservoir_da_matches_scan():
     np.testing.assert_array_equal(
         np.asarray(out_scan["state"].hybrid.persisted_outflow),
         np.asarray(out_step["state"].hybrid.persisted_outflow))
+
+    # strict fixed-point form: host-stepped Pallas sweeps vs route()'s
+    # device-side while_loop (typed reservoir DA sees current-step
+    # upstream inflows in both)
+    cfg_strict = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                               assume_short_ts=False,
+                               strict_iterative=True, kernel="pallas")
+    out_dev = route(net, cp, lp, cfg_strict, q0, d0, elev0, qlat, None,
+                    res_da)
+    out_host = route_stepped(net, cp, lp, cfg_strict, q0, d0, elev0,
+                             qlat, None, res_da)
+    np.testing.assert_allclose(np.asarray(out_dev["flowveldepth"]),
+                               np.asarray(out_host["flowveldepth"]),
+                               rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_dev["state"].hybrid.persisted_outflow),
+        np.asarray(out_host["state"].hybrid.persisted_outflow),
+        rtol=2e-6, atol=1e-6)

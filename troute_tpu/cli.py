@@ -480,7 +480,12 @@ def main_v04(argv=None) -> dict:
                 "task_times": task_times, "written": [], "parity": None,
                 "courant": None, "diffusive": None, "final_state": None}
     topo = built.topo
-    net = network_arrays_from_topology(topo, need_levels=False)
+    # the level-scan strict form needs the wavefront schedule; short-ts
+    # and the fixed-point strict form don't
+    need_levels = (not cfg.compute_parameters.assume_short_ts
+                   and not bool(getattr(cfg.compute_parameters,
+                                        "strict_iterative", False)))
+    net = network_arrays_from_topology(topo, need_levels=need_levels)
     dtype = jnp.float32
     cp = ChannelParams(**{k: jnp.asarray(v, dtype)
                           for k, v in built.chan.items()})
@@ -628,10 +633,12 @@ def main_v04(argv=None) -> dict:
                 np.asarray(q0), np.asarray(d0), np.asarray(elev0),
                 np.asarray(ql, np.float64), da=set_da,
                 res_da=set_res_da, part=part_s, dtype=dtype)
-        elif kernel == "pallas" and rcfg.assume_short_ts:
+        elif kernel == "pallas" and (rcfg.assume_short_ts
+                                     or rcfg.strict_iterative):
             # Pallas cannot live inside lax.scan (remote-compiler hang);
-            # the host-stepped driver with 24-step unrolled dispatches is
-            # the production TPU path
+            # the host-stepped driver (24-step unrolled dispatches in
+            # short mode, host-polled fixed-point sweeps in strict mode)
+            # is the production TPU path
             out = route_stepped(net, cp, lp, rcfg, q0, d0, elev0,
                                 jnp.asarray(ql, dtype), set_da, set_res_da)
         else:

@@ -622,25 +622,38 @@ def route(net: NetworkArrays, chan: ChannelParams,
 import functools
 
 
+def _upstream_sum_stepped(q, upstream, uplan):
+    """Per-node upstream flow sums for the stepped drivers (banded plan
+    when available, masked gather otherwise)."""
+    if uplan is not None and q.shape[0] == uplan.n_pad:
+        return uplan(q)
+    vals = q[jnp.maximum(upstream, 0)]
+    return jnp.where(upstream >= 0, vals, 0.0).sum(axis=1)
+
+
 def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
                     t_seconds, upstream, chan: ChannelParams,
                     res_params: LevelpoolParams, is_res, res_rows,
                     gage_rows, decay_coeff, dt, res_da=None,
                     da_states=None, month_i=None, return_courant=False,
-                    uplan=None):
+                    uplan=None, quc=None):
     """Body of one short-timestep routing step (Pallas MC + reservoirs +
     nudging, optional typed reservoir DA); traced inside the jitted
-    single/multi-step kernels."""
+    single/multi-step kernels.
+
+    ``quc`` (current-timestep upstream sums) defaults to the
+    previous-timestep sums — the ``assume_short_ts`` approximation
+    (``mc_reach.pyx:499-505`` with quc=qup).  The strict fixed-point
+    driver passes the sweep iterate's sums instead; reservoirs then see
+    current-step inflows, like ``route()``'s strict modes."""
     dtype = q.dtype
-    if uplan is not None and q.shape[0] == uplan.n_pad:
-        up_prev = uplan(q)
-    else:
-        vals = q[jnp.maximum(upstream, 0)]
-        up_prev = jnp.where(upstream >= 0, vals, 0.0).sum(axis=1)
+    up_prev = _upstream_sum_stepped(q, upstream, uplan)
+    if quc is None:
+        quc = up_prev
 
     from troute_tpu.ops.muskingum_pallas import muskingum_cunge_pallas
     out = muskingum_cunge_pallas(
-        up_prev, up_prev, q, ql_t, chan.dx, chan.bw, chan.tw, chan.twcc,
+        up_prev, quc, q, ql_t, chan.dx, chan.bw, chan.tw, chan.twcc,
         chan.n, chan.ncc, chan.cs, chan.s0, depth, float(dt),
         with_diagnostics=return_courant)
     # cn/ck/X diagnostics straight from the kernel, like the reference hot
@@ -653,7 +666,7 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
     d_new = jnp.where(is_res, depth, out.depthc)
 
     if res_rows.shape[0]:
-        inflow = up_prev[res_rows]
+        inflow = quc[res_rows]
         lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
                                          jnp.zeros_like(inflow),
                                          jnp.asarray(dt, dtype), res_params)
@@ -744,6 +757,47 @@ def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
             da_states, cour)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("decay_coeff", "dt", "n_sweeps",
+                                    "return_courant"))
+def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
+                         ql_t, obs_t, t_seconds, upstream,
+                         chan: ChannelParams,
+                         res_params: LevelpoolParams, is_res, res_rows,
+                         gage_rows, decay_coeff, dt, n_sweeps,
+                         res_da=None, da_states=None, month_i=None,
+                         return_courant=False, uplan=None):
+    """``n_sweeps`` fixed-point sweeps of ONE strict timestep in one
+    compiled program (cf. ``route()``'s ``step_strict_iter``, which runs
+    the same iteration as a device-side ``while_loop`` with the XLA MC
+    kernel).  Here the Pallas block kernel is legal (top-level call, not
+    inside scan), so each sweep pays only per-block secant cost.  The
+    previous-timestep state (q, depth, reservoir/DA state) is fixed
+    across sweeps; only the current-step iterate ``q_est`` — and with it
+    the current-step upstream sums feeding quc, reservoir inflows and
+    downstream-of-gage nudging — updates.  Returns the last sweep's
+    outputs plus ``delta`` = max |q_new - q_est| of that sweep, which the
+    host polls for convergence (exact after network-depth sweeps: the
+    dependency is triangular)."""
+    delta = jnp.asarray(jnp.inf, q.dtype)
+    v = d = courant = nudge = None
+    res_elev_c, lo_val_c, lo_time_c, da_states_c = (res_elev, lo_val,
+                                                    lo_time, da_states)
+    for _ in range(n_sweeps):
+        quc = _upstream_sum_stepped(q_est, upstream, uplan)
+        (q_new, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
+         da_states_c, courant) = _one_short_step(
+            q, depth, res_elev, lo_val, lo_time, ql_t, obs_t, t_seconds,
+            upstream, chan, res_params, is_res, res_rows, gage_rows,
+            decay_coeff, dt, res_da=res_da, da_states=da_states,
+            month_i=month_i, return_courant=return_courant, uplan=uplan,
+            quc=quc)
+        delta = jnp.max(jnp.abs(q_new - q_est))
+        q_est = q_new
+    return (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
+            da_states_c, courant, delta)
+
+
 def route_stepped(net: NetworkArrays, chan: ChannelParams,
                   res_params: LevelpoolParams, cfg: RoutingConfig,
                   q0, depth0, res_elev0, qlat, da: GageDA | None = None,
@@ -755,9 +809,20 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     compiled step per timestep instead of a device-side scan.  Returns the
     same dict; 'flowveldepth' is [nts, N, 3] (stacked on device) when
     ``collect`` else None.
+
+    Strict mode (``assume_short_ts=False``) is supported in its
+    fixed-point form (``cfg.strict_iterative``): each timestep runs
+    host-polled sweep dispatches of ``_strict_sweep_kernel`` until the
+    iterate's max |dq| falls below ``cfg.strict_tol`` (or
+    ``cfg.strict_max_sweeps``), matching ``route()``'s
+    ``step_strict_iter`` semantics with the Pallas per-block secant
+    instead of the network-wide XLA while_loop.
     """
-    if not cfg.assume_short_ts:
-        raise ValueError("route_stepped supports short-timestep mode only")
+    if not cfg.assume_short_ts and not cfg.strict_iterative:
+        raise ValueError(
+            "route_stepped supports short-timestep mode and the "
+            "strict fixed-point mode (strict_iterative=True); the "
+            "level-scan strict form lives in route()")
     dtype = q0.dtype
     n_real = q0.shape[0]
     pad = (-n_real) % 1024
@@ -789,6 +854,62 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     fvd_blocks = []
     nudge_blocks = []
     courant_blocks = []
+
+    if not cfg.assume_short_ts:
+        # Strict fixed-point stepping: one timestep at a time, sweeps in
+        # compiled chunks, host polls the scalar delta between chunks.
+        # Warm-started iterates converge in a handful of sweeps, so the
+        # common cost is one chunk (+1 scalar round-trip) per timestep.
+        SWEEPS = 4
+        n_obs_t = da.obs.shape[0] if have_da else 0
+        for t in range(1, cfg.nts + 1):
+            ql_t = qlat[(t - 1) // cfg.qts_subdivisions]
+            if have_da:
+                obs_t = (da.obs[min(t, n_obs_t - 1)]
+                         if t < n_obs_t else
+                         jnp.full((da.obs.shape[1],), jnp.nan, dtype))
+            else:
+                obs_t = jnp.zeros((0,), dtype)
+            month_i = (res_da.month_idx[min(t, res_da.month_idx.shape[0]
+                                            - 1)]
+                       if res_da is not None else None)
+            t_seconds = jnp.asarray(t * cfg.dt, dtype)
+            q_est, total = q, 0
+            while True:
+                (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge_t,
+                 da_states_c, cour_t, delta) = _strict_sweep_kernel(
+                    q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
+                    obs_t, t_seconds, net.upstream, chan, res_params,
+                    net.is_reservoir, net.res_rows, gage_rows, decay,
+                    cfg.dt, n_sweeps=SWEEPS, res_da=res_da,
+                    da_states=da_states, month_i=month_i,
+                    return_courant=cfg.return_courant, uplan=net.uplan)
+                total += SWEEPS
+                if float(delta) <= cfg.strict_tol \
+                        or total >= cfg.strict_max_sweeps:
+                    break
+            q, depth, res_elev = q_est, d, res_elev_c
+            lo_val, lo_time, da_states = lo_val_c, lo_time_c, da_states_c
+            if collect:
+                fvd_blocks.append(
+                    jnp.stack([q, v, d], axis=-1)[None, :n_real])
+                nudge_blocks.append(nudge_t[None])
+                if cfg.return_courant:
+                    courant_blocks.append(cour_t[None, :n_real])
+
+        hyb, rfc, gl = da_states if da_states is not None else (None,) * 3
+        state = RoutingState(q=q[:n_real], depth=depth[:n_real],
+                             res_elev=res_elev, lastobs_val=lo_val,
+                             lastobs_time=lo_time, hybrid=hyb, rfc=rfc,
+                             gl=gl)
+        out = {"state": state, "flowveldepth": None, "nudge": None}
+        if collect:
+            out["flowveldepth"] = jnp.concatenate(fvd_blocks)
+            out["nudge"] = jnp.concatenate(nudge_blocks)
+            if cfg.return_courant:
+                out["courant"] = jnp.concatenate(courant_blocks)
+        return out
+
     # K timesteps per dispatch: each host->device dispatch rides the
     # (tunnel) latency once for K compiled steps.  K trades compile size
     # for dispatch amortization; the tail reuses a smaller unroll.
