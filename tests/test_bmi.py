@@ -93,6 +93,57 @@ def test_bmi_domain_split():
     assert q_split[-1] == pytest.approx(q_whole[-1], rel=0.05)
 
 
+def test_bmi_strict_mode(tmp_path):
+    """A config with ``assume_short_ts: False`` routes through the strict
+    fixed-point engine (the reference BMI honors the config's coupling,
+    ``troute_model.py:138-347``): within one timestep, downstream
+    segments see current-step upstream flows, so a chain outlet responds
+    immediately — in short-ts mode the response lags one step per hop."""
+    import yaml
+
+    cfgp = tmp_path / "bmi_strict.yaml"
+    yaml.safe_dump({"compute_parameters": {
+        "assume_short_ts": False,
+        "forcing_parameters": {"dt": 300.0, "nts": 8},
+    }}, open(cfgp, "w"))
+
+    outs = {}
+    for name, path in (("strict", str(cfgp)), ("short", "")):
+        bmi = BmiTrouteTpu()
+        bmi.initialize(path)
+        _push_network(bmi, [1, 2, 3, 4], [2, 3, 4, 0], 4)
+        bmi.set_value("land_surface_water_source__volume_flow_rate",
+                      np.full(4, 2.0))
+        bmi.update()
+        outs[name] = bmi.get_value(
+            "channel_exit_water_x-section__volume_flow_rate")
+    assert np.isfinite(outs["strict"]).all()
+    # the couplings genuinely differ...
+    assert not np.allclose(outs["strict"], outs["short"])
+    # ...and the strict BMI result equals the strict engine on the same
+    # network (fixed-point form, one 300 s step, cold start)
+    import jax.numpy as jnp
+    from troute_tpu.network.topology import from_connections
+    from troute_tpu.ops.levelpool import LevelpoolParams
+    from troute_tpu.routing.engine import (
+        ChannelParams, RoutingConfig, network_arrays_from_topology, route)
+    topo = from_connections({1: [2], 2: [3], 3: [4], 4: []})
+    net = network_arrays_from_topology(topo, need_levels=True)
+    one = jnp.ones(4, jnp.float32)
+    cp = ChannelParams(dx=1500.0 * one, bw=8.0 * one, tw=24.0 * one,
+                       twcc=72.0 * one, n=0.05 * one, ncc=0.1 * one,
+                       cs=0.8 * one, s0=0.004 * one)
+    lp = LevelpoolParams(*[jnp.ones((1,), jnp.float32)] * 9)
+    cfg = RoutingConfig(dt=300.0, nts=1, qts_subdivisions=1,
+                        assume_short_ts=False)
+    out = route(net, cp, lp, cfg, 0.0 * one, 0.0 * one,
+                jnp.zeros((1,), jnp.float32),
+                jnp.full((1, 4), 2.0, jnp.float32), None)
+    order = np.argsort(np.asarray(topo.ids))
+    q_ref = np.asarray(out["flowveldepth"])[0, order, 0]
+    np.testing.assert_allclose(outs["strict"], q_ref, rtol=1e-5, atol=1e-7)
+
+
 def test_bmi_reservoir_levelpool_golden():
     """Standalone reservoir BMI reproduces the levelpool golden run
     (reference test_compute_kernel.py::test_lp_run fixture)."""

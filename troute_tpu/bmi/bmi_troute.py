@@ -90,8 +90,8 @@ class BmiTrouteTpu:
             fp = self._cfg.compute_parameters.forcing_parameters
             self._dt = float(fp.dt)
             self._end_time = float((fp.nts or 0) * self._dt)
-            sp = self._cfg.network_topology_parameters \
-                .supernetwork_parameters
+            ntp = self._cfg.network_topology_parameters
+            sp = ntp.supernetwork_parameters if ntp is not None else None
             if sp and sp.geo_file_path:
                 self._base = Path(config_file).parent
                 self._init_from_files()
@@ -389,8 +389,14 @@ class BmiTrouteTpu:
             self._cfg is not None
             and str(self._cfg.compute_parameters.compute_kernel).lower()
             in ("pallas", "tpu"))
+        # honor the config's timestep coupling like the reference BMI
+        # (troute_model.py passes compute_parameters straight through);
+        # strict runs in its fixed-point form (levels aren't built here)
+        short_ts = bool(self._cfg.compute_parameters.assume_short_ts) \
+            if self._cfg is not None else True
         cfg = RoutingConfig(dt=self._dt, nts=nts, qts_subdivisions=1,
-                            assume_short_ts=True,
+                            assume_short_ts=short_ts,
+                            strict_iterative=not short_ts,
                             kernel="pallas" if use_pallas else "xla")
         q_before = np.asarray(q)
         da = self._build_gage_da(nts)
