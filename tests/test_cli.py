@@ -303,13 +303,19 @@ def test_cli_explicit_forcing_sets(lc_config, tmp_path):
     np.testing.assert_allclose(res["fvd"], ref["fvd"], rtol=1e-6, atol=1e-6)
 
 
-def test_cli_sharded_matches_default(lc_config, tmp_path):
+@pytest.mark.parametrize("mode", ["short", "strict"])
+def test_cli_sharded_matches_default(lc_config, tmp_path, mode):
     """`parallel_compute_method: sharded` routes the LowerColorado AnA
     (full DA: nudging + persistence reservoirs) over the 8-device CPU
     mesh via the balanced basin-splitting partition and matches the
-    single-device engine bit-for-bit, including warm final state."""
+    single-device engine bit-for-bit, including warm final state.  The
+    strict variant (assume_short_ts: False + strict_iterative) runs the
+    per-sweep-exchange fixed point on both sides."""
     cfg = yaml.safe_load(open(lc_config))
     cfg["compute_parameters"]["forcing_parameters"]["nts"] = 24
+    if mode == "strict":
+        cfg["compute_parameters"]["assume_short_ts"] = False
+        cfg["compute_parameters"]["strict_iterative"] = True
     cfg["output_parameters"] = {}
     p0 = tmp_path / "cfg_single.yaml"
     yaml.safe_dump(cfg, open(p0, "w"))

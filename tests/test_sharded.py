@@ -302,11 +302,16 @@ def test_neighbor_exchange_plan_and_equivalence():
     np.testing.assert_array_equal(fvd_nb, fvd_ag)
 
 
-def test_route_sharded_global_full_contract():
+@pytest.mark.parametrize("mode", ["short", "strict"])
+def test_route_sharded_global_full_contract(mode):
     """``route_sharded_global`` reproduces ``route()``'s full output
     contract — flowveldepth, nudge magnitudes, and the final RoutingState
     (flows, depths, reservoir elevations, lastobs, typed-DA states) — so
-    the CLI can swap engines per run set."""
+    the CLI can swap engines per run set.  ``strict`` runs the
+    fixed-point within-step coupling with a per-sweep halo exchange
+    (every node on a different device here — maximal cut edges) against
+    the single-device ``step_strict_iter``; both converge the iterate to
+    1e-9, so agreement is to fixed-point tolerance rather than exact."""
     from troute_tpu.ops.reservoir_da import HybridDAState
     from troute_tpu.parallel.sharded_engine import route_sharded_global
     from troute_tpu.routing.engine import GageDA, ReservoirDAData
@@ -361,7 +366,10 @@ def test_route_sharded_global_full_contract():
     cp = ChannelParams(**{k: jnp.asarray(v, dtype) for k, v in chan.items()})
     lp = LevelpoolParams(*[jnp.asarray(parm[:, i], dtype) for i in range(9)])
     cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
-                        assume_short_ts=True)
+                        assume_short_ts=(mode == "short"),
+                        strict_iterative=(mode == "strict"))
+    tol = dict(rtol=0, atol=1e-12) if mode == "short" \
+        else dict(rtol=1e-8, atol=1e-8)
     elev0 = jnp.asarray([elev_by_row[int(r)]
                          for r in topo.reservoir_rows], dtype)
     ref = route(net, cp, lp, cfg, jnp.asarray(q0, dtype),
@@ -377,19 +385,18 @@ def test_route_sharded_global_full_contract():
                                part=part, dtype=dtype)
 
     np.testing.assert_allclose(got["flowveldepth"],
-                               np.asarray(ref["flowveldepth"]),
-                               rtol=0, atol=1e-12)
+                               np.asarray(ref["flowveldepth"]), **tol)
     np.testing.assert_allclose(got["nudge"], np.asarray(ref["nudge"]),
-                               rtol=0, atol=1e-12)
+                               **tol)
     rs, gs = ref["state"], got["state"]
     for name in ("q", "depth", "res_elev", "lastobs_val", "lastobs_time"):
         np.testing.assert_allclose(np.asarray(getattr(gs, name)),
                                    np.asarray(getattr(rs, name)),
-                                   rtol=0, atol=1e-12, err_msg=name)
+                                   err_msg=name, **tol)
     for tree_name in ("hybrid", "rfc", "gl"):
         jax.tree.map(
             lambda a, b: np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=0, atol=1e-12),
+                np.asarray(a), np.asarray(b), **tol),
             getattr(gs, tree_name), getattr(rs, tree_name))
 
 

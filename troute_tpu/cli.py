@@ -607,7 +607,8 @@ def main_v04(argv=None) -> dict:
             strict_iterative=bool(getattr(cfg.compute_parameters,
                                           "strict_iterative", False)))
         pcm = str(cfg.compute_parameters.parallel_compute_method or "")
-        if pcm == "sharded" and rcfg.assume_short_ts \
+        if pcm == "sharded" \
+                and (rcfg.assume_short_ts or rcfg.strict_iterative) \
                 and not rcfg.return_courant and len(jax.devices()) > 1:
             # multi-device domain decomposition (no reference analog —
             # its joblib pool is single-node, SURVEY §2.4): partition

@@ -7,9 +7,11 @@ replacement for the reference's joblib order-barrier + interorder dict
 hand-off (``compute.py:882-900``): the exchange is a device collective
 fused into the compiled scan, not host pickling.
 
-Production short-timestep mode only (timestep t reads only t-1 state, so
-one exchange per step suffices; a strict-mode multi-device variant would
-exchange per wavefront level).
+Short-timestep mode needs one exchange per step (timestep t reads only
+t-1 state).  Strict mode runs as fixed-point sweeps on the current-step
+iterate with a per-sweep exchange, converging to the reference's
+within-step coupling without a per-wavefront-level barrier
+(``local_step_strict``; cf. ``engine.route()``'s ``step_strict_iter``).
 """
 
 from __future__ import annotations
@@ -264,8 +266,15 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   res_da: ShardedResDA | None = None,
                   decay_coeff: float = 120.0,
                   exchange: str = "neighbor",
-                  band_shifts: tuple | None = None):
-    """Compiled multi-device routing run (short-timestep mode).
+                  band_shifts: tuple | None = None,
+                  strict: bool = False, strict_tol: float = 1e-9,
+                  strict_max_sweeps: int = 64):
+    """Compiled multi-device routing run.
+
+    ``strict=True`` runs reference-exact within-step coupling as
+    fixed-point sweeps with a per-sweep halo exchange of the iterate
+    (``local_step_strict``); default is the short-timestep mode with one
+    exchange per step.
 
     ``exchange`` picks the halo mechanism (both bit-identical):
 
@@ -295,21 +304,14 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         tuple((int(s), int(d)) for s, d in perm_np[r] if s >= 0)
         for r in range(perm_np.shape[0]))
 
-    def mc_rows(up_prev, q, qlat_t, depth, chan):
-        return muskingum_cunge(up_prev, up_prev, q, qlat_t, chan.dx,
+    def mc_rows(up_prev, q, qlat_t, depth, chan, quc=None):
+        return muskingum_cunge(up_prev, up_prev if quc is None else quc,
+                               q, qlat_t, chan.dx,
                                chan.bw, chan.tw, chan.twcc, chan.n,
                                chan.ncc, chan.cs, chan.s0, depth, dt_)
 
-    def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
-                   halo_src_pos, perm_pairs, send_slot, recv_pos,
-                   boundary_rows, valid, is_res, res_slots, chan,
-                   res_params, gage_slot, gage_obs, rda, band_masks,
-                   band_rem_dst, band_rem_src):
-        q, depth, res_elev, lo_val, lo_time, hyb_s, rfc_s, gl_s = carry
-        qlat_t, t_idx = xs
-        up = upstream_local
-        n_local = q.shape[0]
-
+    def make_interior_sum(up, n_local, band_masks, band_rem_dst,
+                          band_rem_src):
         def interior_sum(q):
             """Local-only upstream sums (halo contributions 0; the
             boundary rows are recomputed after the exchange)."""
@@ -334,6 +336,41 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             upv = upv.at[jnp.where(band_rem_dst >= 0, band_rem_dst,
                                    n_local)].add(rvals, mode="drop")
             return upv
+        return interior_sum
+
+    def make_exchange(export_slot, send_slot, recv_pos, halo_src_dev,
+                      halo_src_pos):
+        def exchange_halo(q):
+            """Cross-shard boundary values of ``q`` into the halo slots
+            (either mechanism; both fill the same [H] layout)."""
+            if exchange == "neighbor":
+                halo = jnp.zeros((n_halo,), dtype)
+                for r, perm in enumerate(perms):
+                    if not perm:
+                        continue
+                    buf = q[send_slot[r]]
+                    rec = jax.lax.ppermute(buf, AXIS, perm)
+                    pos = recv_pos[r]
+                    halo = halo.at[jnp.where(pos >= 0, pos,
+                                             n_halo)].set(rec, mode="drop")
+                return halo
+            exported = q[export_slot]                     # [E]
+            all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
+            halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
+            return jnp.where(halo_src_dev >= 0, halo, 0.0)
+        return exchange_halo
+
+    def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
+                   halo_src_pos, perm_pairs, send_slot, recv_pos,
+                   boundary_rows, valid, is_res, res_slots, chan,
+                   res_params, gage_slot, gage_obs, rda, band_masks,
+                   band_rem_dst, band_rem_src):
+        q, depth, res_elev, lo_val, lo_time, hyb_s, rfc_s, gl_s = carry
+        qlat_t, t_idx = xs
+        up = upstream_local
+        n_local = q.shape[0]
+        interior_sum = make_interior_sum(up, n_local, band_masks,
+                                         band_rem_dst, band_rem_src)
 
         def boundary_fix(q_ext, qdc, velc, depthc, up_prev):
             """Recompute halo-referencing rows with true upstream sums."""
@@ -457,6 +494,128 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
                 gl_s), (fvd, nudge)
 
+    def local_step_strict(carry, xs, upstream_local, export_slot,
+                          halo_src_dev, halo_src_pos, perm_pairs,
+                          send_slot, recv_pos, boundary_rows, valid,
+                          is_res, res_slots, chan, res_params, gage_slot,
+                          gage_obs, rda, band_masks, band_rem_dst,
+                          band_rem_src):
+        """One STRICT timestep: fixed-point sweeps on the current-step
+        iterate, each sweep halo-exchanging the iterate's boundary flows
+        (cf. ``engine.route()``'s ``step_strict_iter``).  Convergence is
+        the global max |dq| via ``lax.pmax``, so every shard runs the
+        same sweep count and the in-loop collectives stay in lockstep.
+        Reservoir inflows, typed DA and gage nudging see current-step
+        upstream sums; candidate states from non-final sweeps are
+        discarded (each sweep recomputes them from the carried-in
+        previous-timestep state, so the recompute is idempotent)."""
+        q, depth, res_elev, lo_val, lo_time, hyb_s, rfc_s, gl_s = carry
+        qlat_t, t_idx = xs
+        up = upstream_local
+        n_local = q.shape[0]
+        t_seconds = t_idx.astype(dtype) * dt_
+        interior_sum = make_interior_sum(up, n_local, band_masks,
+                                         band_rem_dst, band_rem_src)
+        exchange_halo = make_exchange(export_slot, send_slot, recv_pos,
+                                      halo_src_dev, halo_src_pos)
+
+        def sums_full(qv):
+            """True upstream sums incl. cross-shard neighbors."""
+            halo = exchange_halo(qv)
+            upv = interior_sum(qv)
+            q_ext = jnp.concatenate([qv, halo])
+            b = boundary_rows
+            safe_b = jnp.maximum(b, 0)
+            up_b = up[safe_b]
+            vals_b = jnp.where(up_b >= 0, q_ext[jnp.maximum(up_b, 0)],
+                               0.0)
+            return upv.at[jnp.where(b >= 0, safe_b, n_local)].set(
+                vals_b.sum(axis=1), mode="drop")
+
+        up_prev = sums_full(q)
+
+        def sweep(q_est):
+            quc = sums_full(q_est)
+            out = mc_rows(up_prev, q, qlat_t, depth, chan, quc=quc)
+            q_new = jnp.where(valid & ~is_res, out.qdc, q)
+            v_new = jnp.where(valid & ~is_res, out.velc, 0.0)
+            d_new = jnp.where(valid & ~is_res, out.depthc, depth)
+
+            safe_slots = jnp.maximum(res_slots, 0)
+            inflow = quc[safe_slots]
+            lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
+                                             jnp.zeros_like(inflow), dt_,
+                                             res_params)
+            if have_res_da:
+                month_i = rda.month_idx[jnp.minimum(
+                    t_idx, rda.month_idx.shape[0] - 1)]
+                outflow, elev, d_scat, hyb_c, rfc_c, gl_c = \
+                    typed_reservoir_dispatch(
+                        rda.wbody_type, rda.hybrid_obs,
+                        rda.hybrid_obs_time, hyb_s, rda.rfc_series,
+                        rda.rfc_counts, rda.rfc_use, rda.rfc_timestep,
+                        rda.rfc_persist_seconds, rfc_s, rda.gl_obs,
+                        rda.gl_obs_time, rda.gl_climatology, gl_s,
+                        rda.obs_lookback_hours, res_elev, inflow, lp_out,
+                        lp_elev, t_seconds, month_i, res_params.area,
+                        res_params.max_depth, res_params.orifice_elev,
+                        dt_)
+            else:
+                outflow, elev, d_scat = lp_out, lp_elev, lp_elev
+                hyb_c, rfc_c, gl_c = hyb_s, rfc_s, gl_s
+            have = res_slots >= 0
+            scatter = jnp.where(have, safe_slots, q_new.shape[0])
+            q_new = q_new.at[scatter].set(outflow, mode="drop")
+            d_new = d_new.at[scatter].set(d_scat, mode="drop")
+            elev_c = jnp.where(have, elev, res_elev)
+
+            # nudging from the carried-in lastobs state (idempotent)
+            safe_g = jnp.maximum(gage_slot, 0)
+            obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
+            obs_t = jnp.where(
+                (gage_slot >= 0) & (t_idx < gage_obs.shape[0]), obs_t,
+                jnp.nan)
+            model = q_new[safe_g]
+            have_obs = ~jnp.isnan(obs_t)
+            minutes = (t_seconds - lo_time) / 60.0
+            weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
+            shift = (lo_val - model) * weight
+            no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
+            replaced = jnp.where(have_obs, obs_t,
+                                 jnp.where(no_memory, model,
+                                           model + shift))
+            nudge = jnp.where(gage_slot >= 0,
+                              jnp.where(have_obs, obs_t - model,
+                                        jnp.where(no_memory, 0.0,
+                                                  shift)), 0.0)
+            lo_val_c = jnp.where(have_obs, obs_t, lo_val)
+            lo_time_c = jnp.where(have_obs, t_seconds, lo_time)
+            g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
+            q_new = q_new.at[g_scatter].set(replaced, mode="drop")
+            return (q_new, v_new, d_new, elev_c, lo_val_c, lo_time_c,
+                    nudge, hyb_c, rfc_c, gl_c)
+
+        outs0 = sweep(q)
+        delta0 = jax.lax.pmax(jnp.max(jnp.abs(outs0[0] - q)), AXIS)
+
+        def cond(c):
+            k, delta = c[0], c[1]
+            return (k < strict_max_sweeps) & (delta > strict_tol)
+
+        def body(c):
+            k, _, q_est, _ = c
+            outs = sweep(q_est)
+            delta = jax.lax.pmax(jnp.max(jnp.abs(outs[0] - q_est)), AXIS)
+            return (k + 1, delta, outs[0], outs)
+
+        _, _, _, outs = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), delta0, outs0[0], outs0))
+        (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, hyb_s,
+         rfc_s, gl_s) = outs
+        fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
+        return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
+                gl_s), (fvd, nudge)
+
     def device_fn(upstream_local, export_slot, halo_src_dev, halo_src_pos,
                   perm_pairs, send_slot, recv_pos, boundary_rows,
                   valid, is_res, res_slots, chan, res_params, q0, depth0,
@@ -489,8 +648,10 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         qlat_seq = qlat[:, 0][cols]   # [nts, n_local]
         t_seq = jnp.arange(1, nts + 1, dtype=jnp.int32)
 
+        step_fn = local_step_strict if strict else local_step
+
         def step(c, x):
-            return local_step(c, x, *args)
+            return step_fn(c, x, *args)
 
         carry, (fvd, nudge) = jax.lax.scan(
             step, (sq(q0), sq(depth0), sq(res_elev0), sq(gage_lo_val),
@@ -595,9 +756,12 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
         gather_from_shards, partition_network)
     from troute_tpu.routing.engine import GageDA, RoutingState
 
-    if not cfg.assume_short_ts:
-        raise ValueError("route_sharded_global supports short-timestep "
-                         "mode only")
+    if not cfg.assume_short_ts and not getattr(cfg, "strict_iterative",
+                                               False):
+        raise ValueError(
+            "route_sharded_global supports short-timestep mode and the "
+            "strict fixed-point form (strict_iterative=True); the "
+            "level-scan strict form is single-device only")
     n_dev = int(np.prod(mesh.devices.shape))
     if part is None:
         part = partition_network(topo, n_dev)
@@ -625,7 +789,11 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
                         qts_subdivisions=cfg.qts_subdivisions,
                         res_da=rda_sh,
                         decay_coeff=(da.decay_coeff if have_da else 120.0),
-                        band_shifts=part.band_shifts)
+                        band_shifts=part.band_shifts,
+                        strict=not cfg.assume_short_ts,
+                        strict_tol=getattr(cfg, "strict_tol", 1e-9),
+                        strict_max_sweeps=getattr(cfg, "strict_max_sweeps",
+                                                  64))
 
     # ---- reassemble global outputs ----
     fvd_sh = np.asarray(res.fvd)                       # [D, nts, L, 3]
