@@ -595,23 +595,24 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             return (q_new, v_new, d_new, elev_c, lo_val_c, lo_time_c,
                     nudge, hyb_c, rfc_c, gl_c)
 
-        outs0 = sweep(q)
-        delta0 = jax.lax.pmax(jnp.max(jnp.abs(outs0[0] - q)), AXIS)
-
         def cond(c):
             k, delta = c[0], c[1]
             return (k < strict_max_sweeps) & (delta > strict_tol)
 
         def body(c):
-            k, _, q_est, _ = c
-            outs = sweep(q_est)
-            delta = jax.lax.pmax(jnp.max(jnp.abs(outs[0] - q_est)), AXIS)
-            return (k + 1, delta, outs[0], outs)
+            k, _, q_est = c
+            q_next = sweep(q_est)[0]
+            delta = jax.lax.pmax(jnp.max(jnp.abs(q_next - q_est)), AXIS)
+            return (k + 1, delta, q_next)
 
-        _, _, _, outs = jax.lax.while_loop(
-            cond, body, (jnp.int32(1), delta0, outs0[0], outs0))
+        # iterate exactly like route()'s step_strict_iter: while_loop to
+        # the fixed point (or the sweep cap), then commit ONE final sweep
+        # from the exited iterate — identical sweep counts in both exit
+        # modes, so the two engines agree even when the cap binds
+        _, _, q_fp = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.asarray(jnp.inf, dtype), q))
         (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, hyb_s,
-         rfc_s, gl_s) = outs
+         rfc_s, gl_s) = sweep(q_fp)
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
         return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
                 gl_s), (fvd, nudge)

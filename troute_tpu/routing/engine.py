@@ -816,7 +816,10 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     iterate's max |dq| falls below ``cfg.strict_tol`` (or
     ``cfg.strict_max_sweeps``), matching ``route()``'s
     ``step_strict_iter`` semantics with the Pallas per-block secant
-    instead of the network-wide XLA while_loop.
+    instead of the network-wide XLA while_loop.  The committed iterate
+    may trail ``step_strict_iter``'s by up to one sweep chunk past
+    convergence (chunk-granular detection), i.e. by O(strict_tol) in the
+    values — parity-tested at 1e-9.
     """
     if not cfg.assume_short_ts and not cfg.strict_iterative:
         raise ValueError(
