@@ -108,6 +108,54 @@ def test_batched_matches_solo(mode):
                 rtol=1e-12, err_msg=f"y save {k} lane {b}")
 
 
+def test_batched_sharded_over_mesh():
+    """Lanes sharded over the 8-device mesh reproduce the unsharded
+    batched run to f64 ulp level (the partitioned program fuses
+    differently, so last-bit equality isn't guaranteed) — tailwater
+    domains are independent, so the batch axis partitions with no
+    cross-device communication beyond the while_loop's
+    continue-condition reduce."""
+    import jax
+    from jax.sharding import Mesh
+
+    from troute_tpu.diffusive.solver import shard_batched_domains
+
+    nts, dt = 24, 300.0
+    doms = _domains(nts, dt)
+    q0s = [jnp.full((d.n_reaches, d.n_cols), 80.0, jnp.float64)
+           for d in doms]
+    sts = [initialize_state(d, q0, dtini_min=dt / DTINI_DIVISOR,
+                            corrector_mode="jacobi")
+           for d, q0 in zip(doms, q0s)]
+    t_final = nts * dt
+    bdom = stack_domains(doms)
+    B, R, C = bdom.z.shape
+    bst = stack_states(sts, doms, C, R)
+    ref_fin, ref_saves = run_diffusive_batched(
+        bdom, bst, t_final=t_final, save_interval=dt,
+        corrector_mode="jacobi")
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("lane",))
+    sdom, sst, b_real = shard_batched_domains(bdom, bst, mesh)
+    assert b_real == B and sdom.z.shape[0] == 8
+    got_fin, got_saves = run_diffusive_batched(
+        sdom, sst, t_final=t_final, save_interval=dt,
+        corrector_mode="jacobi")
+
+    for fld in ("q", "y", "t"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_fin, fld))[:b_real],
+            np.asarray(getattr(ref_fin, fld)), rtol=1e-12, atol=1e-12,
+            err_msg=fld)
+    for k in range(nts):
+        np.testing.assert_allclose(np.asarray(got_saves[k][1])[:b_real],
+                                   np.asarray(ref_saves[k][1]),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(got_saves[k][2])[:b_real],
+                                   np.asarray(ref_saves[k][2]),
+                                   rtol=1e-12, atol=1e-12)
+
+
 def test_batched_adaptive_dt_is_per_domain():
     """A merged single-domain run couples dt across tailwaters; the
     batched run must NOT (reference semantics).  The steep short domain

@@ -246,8 +246,10 @@ def test_laura_two_tailwater_batched_matches_merged(tmp_path):
     dd_path = tmp_path / "two_tailwaters.yaml"
     yaml.safe_dump(two_tw, open(dd_path, "w"))
 
-    def run(batching):
+    def run(batching, pcm=None):
         cfg = yaml.safe_load(open(REF / "troute_UnitTest_noRS.yaml"))
+        if pcm:
+            cfg["compute_parameters"]["parallel_compute_method"] = pcm
         sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
         sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
         sp["mask_file_path"] = \
@@ -278,12 +280,25 @@ def test_laura_two_tailwater_batched_matches_merged(tmp_path):
         fp["nts"] = 12
         cfg["compute_parameters"]["data_assimilation_parameters"] = {}
         cfg["output_parameters"] = {}
-        p = tmp_path / f"cfg_{batching}.yaml"
+        p = tmp_path / f"cfg_{batching}_{pcm}.yaml"
         yaml.safe_dump(cfg, open(p, "w"))
         return main_v04(["-f", str(p)])
 
     got = run("auto")
     ref = run("never")
+
+    # sharded run: MC over the mesh AND the two tailwater lanes spread
+    # over the same mesh (shard_batched_domains); agrees with the
+    # single-device batched run to f64 ulp level
+    shd = run("auto", pcm="sharded")
+    np.testing.assert_array_equal(shd["diffusive"]["ids"],
+                                  got["diffusive"]["ids"])
+    np.testing.assert_allclose(shd["diffusive"]["q"],
+                               got["diffusive"]["q"],
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(shd["diffusive"]["depth"],
+                               got["diffusive"]["depth"],
+                               rtol=1e-10, atol=1e-10)
     d_got, d_ref = got["diffusive"], ref["diffusive"]
     assert d_got is not None and d_ref is not None
     np.testing.assert_array_equal(d_got["ids"], d_ref["ids"])

@@ -796,6 +796,13 @@ def main_v04(argv=None) -> dict:
                 jnp.full((B, Rb, Cb), q0val, diff_dtype), 0.1)
             dst = initialize_state_batched(bdom, q_init,
                                            dtini_min=dt / 10.0)
+            if shard_ctx is not None:
+                # sharded runs spread the independent tailwater lanes
+                # over the same device mesh as the MC routing
+                from troute_tpu.diffusive.solver import (
+                    shard_batched_domains)
+                bdom, dst, _ = shard_batched_domains(bdom, dst,
+                                                     shard_ctx[0])
             dst, bsaves = run_diffusive_batched(
                 bdom, dst, t_final=total_steps * dt, save_interval=dt,
                 corrector_mode=hp.diffusive_corrector)

@@ -918,6 +918,39 @@ def initialize_state_batched(dom: DiffusiveDomain, q_init,
     return jax.vmap(one, in_axes=(_domain_axes(dom), 0))(dom, q_init)
 
 
+def shard_batched_domains(dom: DiffusiveDomain, st: DiffusiveState,
+                          mesh, axis: str | None = None):
+    """Distribute batched [B, ...] domain lanes over a device mesh.
+
+    Tailwater domains are fully independent (the reference runs one
+    ``diffnw`` call per domain), so the batch axis shards with no
+    cross-device communication at all: lanes are padded to a multiple of
+    the device count (replicating lane 0 — discarded on read-back) and
+    every array is placed with the batch axis over ``mesh``.  The
+    batched while_loop's continue-condition becomes the only collective
+    (a scalar any-reduce XLA inserts).  Returns (dom, st, n_real_lanes);
+    trim outputs to ``[:n_real_lanes]``.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    b = int(dom.z.shape[0])
+    pad = (-b) % n_dev
+    spec = NamedSharding(mesh,
+                         PartitionSpec(axis or mesh.axis_names[0]))
+
+    def prep(a):
+        if not isinstance(a, (jax.Array, np.ndarray)):
+            return a
+        a = jnp.asarray(a)
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.repeat(a[:1], pad, axis=0)], axis=0)
+        return jax.device_put(a, spec)
+
+    return jax.tree.map(prep, dom), jax.tree.map(prep, st), b
+
+
 def run_diffusive_batched(dom: DiffusiveDomain, st: DiffusiveState,
                           t_final: float, save_interval: float,
                           corrector_mode: str = "wavefront"):
