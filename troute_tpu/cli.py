@@ -389,7 +389,7 @@ def main_v04(argv=None) -> dict:
     from troute_tpu.io.forcing import read_qlat_chrtout
     from troute_tpu.io.output import (
         write_chanobs_nc, write_flowveldepth_csv, write_lakeout_nc,
-        write_lastobs_nc, write_stream_output_nc)
+        write_lastobs_nc)
     from troute_tpu.network.builder import build_network
     from troute_tpu.ops.levelpool import LevelpoolParams
     from troute_tpu.routing.engine import (

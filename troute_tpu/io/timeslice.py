@@ -8,8 +8,6 @@ dense [n_times, n_gages] observation array the DA ops consume.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import numpy as np
 import pandas as pd
 

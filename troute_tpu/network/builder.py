@@ -9,7 +9,7 @@ crosswalk, and resolve warm-start state.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
@@ -22,7 +22,6 @@ from troute_tpu.io.restart import (
 from troute_tpu.network import graph
 from troute_tpu.network.topology import (
     NODE_RESERVOIR, RoutingTopology, build_topology)
-from troute_tpu.ops.levelpool import LevelpoolParams
 
 
 @dataclass

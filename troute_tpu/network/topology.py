@@ -18,7 +18,7 @@ Node = MC segment or collapsed waterbody (see ``graph.replace_waterbodies``).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import Mapping, Sequence
 

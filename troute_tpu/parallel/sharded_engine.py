@@ -755,7 +755,7 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
     """
     from troute_tpu.parallel.partition import (
         gather_from_shards, partition_network)
-    from troute_tpu.routing.engine import GageDA, RoutingState
+    from troute_tpu.routing.engine import RoutingState
 
     if not cfg.assume_short_ts and not getattr(cfg, "strict_iterative",
                                                False):
