@@ -270,6 +270,38 @@ def main():
     print(f"warm steady-state: {best:.3f}s for {nts} steps -> "
           f"{seg_ts_per_s:.3e} segment-timesteps/s", file=sys.stderr)
 
+    # strict-mode production stepping (reference-exact within-step
+    # coupling as host-polled fixed-point Pallas sweeps): warm regime,
+    # few steps — each timestep costs sweeps-to-fixed-point MC solves
+    strict = None
+    try:
+        nts_s = 4
+        cfg_s = RoutingConfig(dt=dt, nts=nts_s, qts_subdivisions=2,
+                              assume_short_ts=False, strict_iterative=True,
+                              kernel="pallas")
+
+        def run_strict(qs, ds, qlat_w):
+            o = route_stepped(net, cp, lp, cfg_s, qs, ds, zeros1, qlat_w,
+                              None)
+            force(o["flowveldepth"], o["state"].q, o["state"].depth)
+            return o
+
+        t0 = time.time()
+        o = run_strict(q_w, d_w, qlats[0])
+        print(f"strict first run: {time.time()-t0:.1f}s", file=sys.stderr)
+        qs, ds = o["state"].q, o["state"].depth
+        best_s = np.inf
+        for i in range(3):
+            t0 = time.time()
+            o = run_strict(qs, ds, qlats[i % len(qlats)])
+            best_s = min(best_s, time.time() - t0)
+            qs, ds = o["state"].q, o["state"].depth
+        strict = round(n * nts_s / best_s, 1)
+        print(f"strict warm: {best_s:.3f}s for {nts_s} steps -> "
+              f"{strict:.3e} seg-ts/s", file=sys.stderr)
+    except Exception as e:           # keep the headline metric robust
+        print(f"strict bench failed: {e!r}", file=sys.stderr)
+
     diff = {}
     for dtype_name in ("float64", "float32"):
         try:
@@ -285,6 +317,7 @@ def main():
         "unit": "segment-timesteps/s",
         "vs_baseline": round(seg_ts_per_s / BASELINE_CALCS_PER_S, 3),
         "cold_start_seg_ts_per_s": round(n * nts / best_cold, 1),
+        "strict_mode_seg_ts_per_s": strict,
         "diffusive_f64_seg_ts_per_s": diff["float64"],
         "diffusive_f32_seg_ts_per_s": diff["float32"],
         "diffusive_domain": "synthetic mainstem tree C=16, f32 R=2048 (~33k nodes) / f64 R=1024",
