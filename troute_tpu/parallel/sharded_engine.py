@@ -595,22 +595,30 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             return (q_new, v_new, d_new, elev_c, lo_val_c, lo_time_c,
                     nudge, hyb_c, rfc_c, gl_c)
 
+        # dtype-resolution convergence floor (see step_strict_iter):
+        # strict_tol-sized |dq| may be unrepresentable at f32 on large
+        # flows, so also converge at a few ulps of the largest flow
+        eps4 = 4.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
         def cond(c):
-            k, delta = c[0], c[1]
-            return (k < strict_max_sweeps) & (delta > strict_tol)
+            k, delta, qmax = c[0], c[1], c[2]
+            tol = jnp.maximum(jnp.asarray(strict_tol, dtype), eps4 * qmax)
+            return (k < strict_max_sweeps) & (delta > tol)
 
         def body(c):
-            k, _, q_est = c
+            k, _, _, q_est = c
             q_next = sweep(q_est)[0]
             delta = jax.lax.pmax(jnp.max(jnp.abs(q_next - q_est)), AXIS)
-            return (k + 1, delta, q_next)
+            qmax = jax.lax.pmax(jnp.max(jnp.abs(q_next)), AXIS)
+            return (k + 1, delta, qmax, q_next)
 
         # iterate exactly like route()'s step_strict_iter: while_loop to
         # the fixed point (or the sweep cap), then commit ONE final sweep
         # from the exited iterate — identical sweep counts in both exit
         # modes, so the two engines agree even when the cap binds
-        _, _, q_fp = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.asarray(jnp.inf, dtype), q))
+        _, _, _, q_fp = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.asarray(jnp.inf, dtype),
+                         jnp.asarray(0.0, dtype), q))
         (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, hyb_s,
          rfc_s, gl_s) = sweep(q_fp)
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)

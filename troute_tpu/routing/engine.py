@@ -527,16 +527,28 @@ def route(net: NetworkArrays, chan: ChannelParams,
             return (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge,
                     hyb, rfc, gl, out)
 
+        # Convergence floor: ``strict_tol`` is an absolute |dq| bound the
+        # dtype may not be able to resolve (f32 eps at q ~ 1e6 is ~0.12,
+        # five orders above 1e-9), so the iterate is also converged once
+        # its changes fall below a few ulps of the largest flow — the
+        # fixed point at the dtype's own resolution.
+        eps4 = 4.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
         def body(carry):
-            q_est, _d, k = carry
+            q_est, _d, _qm, k = carry
             q_new = sweep_once(q_est)[0]
             delta = jnp.max(jnp.abs(q_new - q_est))
-            return q_new, delta, k + 1
+            qmax = jnp.max(jnp.abs(q_new))
+            return q_new, delta, qmax, k + 1
 
-        q_fp, _, _ = jax.lax.while_loop(
-            lambda c: (c[2] < cfg.strict_max_sweeps)
-            & (c[1] > cfg.strict_tol),
-            body, (state.q, jnp.asarray(jnp.inf, dtype), jnp.int32(0)))
+        def cond(c):
+            tol = jnp.maximum(jnp.asarray(cfg.strict_tol, dtype),
+                              eps4 * c[2])
+            return (c[3] < cfg.strict_max_sweeps) & (c[1] > tol)
+
+        q_fp, _, _, _ = jax.lax.while_loop(
+            cond, body, (state.q, jnp.asarray(jnp.inf, dtype),
+                         jnp.asarray(0.0, dtype), jnp.int32(0)))
 
         (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, hyb, rfc,
          gl, out) = sweep_once(q_fp)
@@ -776,9 +788,10 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
     across sweeps; only the current-step iterate ``q_est`` — and with it
     the current-step upstream sums feeding quc, reservoir inflows and
     downstream-of-gage nudging — updates.  Returns the last sweep's
-    outputs plus ``delta`` = max |q_new - q_est| of that sweep, which the
-    host polls for convergence (exact after network-depth sweeps: the
-    dependency is triangular)."""
+    outputs plus ``delta`` = max |q_new - q_est| of that sweep and
+    ``qmax`` = max |q| of the final iterate, which the host polls for
+    convergence (exact after network-depth sweeps: the dependency is
+    triangular; ``qmax`` sets the dtype-resolution convergence floor)."""
     delta = jnp.asarray(jnp.inf, q.dtype)
     v = d = courant = nudge = None
     res_elev_c, lo_val_c, lo_time_c, da_states_c = (res_elev, lo_val,
@@ -795,7 +808,7 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
         delta = jnp.max(jnp.abs(q_new - q_est))
         q_est = q_new
     return (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
-            da_states_c, courant, delta)
+            da_states_c, courant, delta, jnp.max(jnp.abs(q_est)))
 
 
 def route_stepped(net: NetworkArrays, chan: ChannelParams,
@@ -865,6 +878,7 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         # common cost is one chunk (+1 scalar round-trip) per timestep.
         SWEEPS = 4
         n_obs_t = da.obs.shape[0] if have_da else 0
+        sweep_counts = []
         for t in range(1, cfg.nts + 1):
             ql_t = qlat[(t - 1) // cfg.qts_subdivisions]
             if have_da:
@@ -878,9 +892,10 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                        if res_da is not None else None)
             t_seconds = jnp.asarray(t * cfg.dt, dtype)
             q_est, total = q, 0
+            eps4 = 4.0 * float(jnp.finfo(dtype).eps)
             while True:
                 (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge_t,
-                 da_states_c, cour_t, delta) = _strict_sweep_kernel(
+                 da_states_c, cour_t, delta, qmax) = _strict_sweep_kernel(
                     q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
                     obs_t, t_seconds, net.upstream, chan, res_params,
                     net.is_reservoir, net.res_rows, gage_rows, decay,
@@ -888,9 +903,13 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     da_states=da_states, month_i=month_i,
                     return_courant=cfg.return_courant, uplan=net.uplan)
                 total += SWEEPS
-                if float(delta) <= cfg.strict_tol \
+                # dtype-resolution floor: see step_strict_iter — f32
+                # cannot resolve strict_tol-sized |dq| on large flows
+                tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
+                if float(delta) <= tol_eff \
                         or total >= cfg.strict_max_sweeps:
                     break
+            sweep_counts.append(total)
             q, depth, res_elev = q_est, d, res_elev_c
             lo_val, lo_time, da_states = lo_val_c, lo_time_c, da_states_c
             if collect:
@@ -905,7 +924,8 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                              res_elev=res_elev, lastobs_val=lo_val,
                              lastobs_time=lo_time, hybrid=hyb, rfc=rfc,
                              gl=gl)
-        out = {"state": state, "flowveldepth": None, "nudge": None}
+        out = {"state": state, "flowveldepth": None, "nudge": None,
+               "strict_sweeps": sweep_counts}
         if collect:
             out["flowveldepth"] = jnp.concatenate(fvd_blocks)
             out["nudge"] = jnp.concatenate(nudge_blocks)
