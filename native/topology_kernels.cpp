@@ -96,4 +96,48 @@ int32_t invert_downstream(const int32_t* downstream, int64_t n, int32_t k,
     return maxdeg;
 }
 
+// Cut a drainage forest into connected parts of size <= cap by cutting
+// tree edges (a forest sliced into P connected parts costs exactly
+// P - n_basins edge cuts — the minimum possible).  Single O(N+E) pass in
+// topological order: each node accumulates its uncut children; a child
+// whose inclusion would push the parent past cap is cut at its top edge
+// and becomes its own part, as does any node reaching cap itself.
+// part[i] receives a dense part id; ids follow first appearance in
+// reverse topological order.  Returns the part count, or -1 on a cycle.
+int64_t tree_cut_parts(const int32_t* downstream, int64_t n, int64_t cap,
+                       int32_t* part) {
+    std::vector<int32_t> indeg(n, 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t d = downstream[i];
+        if (d >= 0) indeg[d]++;
+    }
+    std::vector<int64_t> order;
+    order.reserve(n);
+    for (int64_t i = 0; i < n; ++i)
+        if (indeg[i] == 0) order.push_back(i);
+    std::vector<int64_t> acc(n, 1);
+    std::vector<uint8_t> cut(n, 0);
+    for (int64_t head = 0; head < (int64_t)order.size(); ++head) {
+        int64_t u = order[head];
+        int32_t d = downstream[u];
+        if (acc[u] >= cap) cut[u] = 1;            // full part rooted at u
+        if (d >= 0) {
+            if (!cut[u]) {
+                if (acc[d] + acc[u] > cap) cut[u] = 1;   // would overflow
+                else acc[d] += acc[u];
+            }
+            if (--indeg[d] == 0) order.push_back(d);
+        }
+    }
+    if ((int64_t)order.size() != n) return -1;    // cycle
+    int32_t next = 0;
+    for (int64_t head = n - 1; head >= 0; --head) {
+        int64_t u = order[head];                  // parents before children
+        int32_t d = downstream[u];
+        if (cut[u] || d < 0) part[u] = next++;
+        else part[u] = part[d];
+    }
+    return next;
+}
+
 }  // extern "C"

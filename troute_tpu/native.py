@@ -45,6 +45,9 @@ def _load():
         lib.invert_downstream.argtypes = [i32p, ctypes.c_int64,
                                           ctypes.c_int32, i32p]
         lib.invert_downstream.restype = ctypes.c_int32
+        lib.tree_cut_parts.argtypes = [i32p, ctypes.c_int64,
+                                       ctypes.c_int64, i32p]
+        lib.tree_cut_parts.restype = ctypes.c_int64
         _lib = lib
     except Exception as e:  # toolchain missing / compile failure
         LOG.info("native topology kernels unavailable (%s); "
@@ -95,3 +98,17 @@ def invert_downstream(downstream: np.ndarray) -> np.ndarray | None:
         if maxdeg <= k:
             return upstream[:, :max(int(maxdeg), 1)]
         k = int(maxdeg)
+
+
+def tree_cut_parts(downstream: np.ndarray, cap: int) -> np.ndarray | None:
+    """Connected parts of size <= cap by minimal tree-edge cuts, or None
+    if the native lib is unavailable.  Raises ValueError on cycles."""
+    lib = _load()
+    if lib is None:
+        return None
+    ds = np.ascontiguousarray(downstream, np.int32)
+    part = np.zeros(ds.size, np.int32)
+    p = lib.tree_cut_parts(ds, ds.size, int(cap), part)
+    if p < 0:
+        raise ValueError("cycle detected in network")
+    return part
