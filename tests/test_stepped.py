@@ -181,3 +181,40 @@ def test_stepped_reservoir_da_matches_scan():
         np.asarray(out_dev["state"].hybrid.persisted_outflow),
         np.asarray(out_host["state"].hybrid.persisted_outflow),
         rtol=2e-6, atol=1e-6)
+
+
+def test_strict_floor_converges_large_flows_f32():
+    """f32 strict runs on large flows must converge by the
+    dtype-resolution floor, not grind to strict_max_sweeps: an absolute
+    |dq| of strict_tol (1e-9) is unrepresentable at q ~ 1e6 in f32
+    (eps*q ~ 0.12), so pre-floor every step burned the full sweep cap."""
+    n = 64
+    conn = {i: [i + 1] for i in range(1, n)}
+    conn[n] = []
+    rng = np.random.default_rng(9)
+    topo = from_connections(conn)
+    dtype = jnp.float32
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(500, 3000, n), dtype),
+        bw=jnp.asarray(rng.uniform(2, 20, n), dtype),
+        tw=jnp.asarray(rng.uniform(25, 60, n), dtype),
+        twcc=jnp.asarray(rng.uniform(80, 200, n), dtype),
+        n=jnp.full((n,), 0.055, dtype), ncc=jnp.full((n,), 0.11, dtype),
+        cs=jnp.asarray(rng.uniform(0.3, 1.5, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.001, 0.02, n), dtype))
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    # operational-scale flows: ~1e6 m3/s mainstem, consistent depth guess
+    q0 = jnp.asarray(rng.uniform(8e5, 1.2e6, n), dtype)
+    d0 = jnp.asarray(rng.uniform(40.0, 60.0, n), dtype)
+    qlat = jnp.asarray(rng.uniform(10.0, 100.0, (2, n)), dtype)
+    cfg = RoutingConfig(dt=300.0, nts=4, qts_subdivisions=2,
+                        assume_short_ts=False, strict_iterative=True,
+                        kernel="pallas")
+    net = network_arrays_from_topology(topo, need_levels=False)
+    out = route_stepped(net, cp, lp, cfg, q0, d0, jnp.zeros((1,), dtype),
+                        qlat, None)
+    assert np.isfinite(np.asarray(out["flowveldepth"])).all()
+    sweeps = out["strict_sweeps"]
+    assert len(sweeps) == 4
+    # every step must stop short of the cap (floor-converged)
+    assert all(s < cfg.strict_max_sweeps for s in sweeps), sweeps
