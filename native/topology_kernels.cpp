@@ -96,6 +96,40 @@ int32_t invert_downstream(const int32_t* downstream, int64_t n, int32_t k,
     return maxdeg;
 }
 
+// Post-order DFS of the drainage forest: children before parents,
+// subtrees contiguous — identical visit order to the Python fallback
+// (tailwaters ascending, children in upstream-column order).  Writes the
+// [n] mapping new position -> original row; returns the count written
+// (== n iff the graph is a forest).
+int64_t postorder_forest(const int32_t* downstream, const int32_t* upstream,
+                         int64_t n, int32_t k, int64_t* order) {
+    std::vector<int32_t> ci(n, 0);
+    std::vector<uint8_t> visited(n, 0);
+    std::vector<int64_t> stack;
+    stack.reserve(1024);
+    int64_t pos = 0;
+    for (int64_t t = 0; t < n; ++t) {
+        if (downstream[t] >= 0) continue;
+        stack.push_back(t);
+        while (!stack.empty()) {
+            int64_t v = stack.back();
+            const int32_t* kids = upstream + v * (int64_t)k;
+            int32_t c = ci[v];
+            while (c < k && (kids[c] < 0 || visited[kids[c]])) ++c;
+            if (c < k) {
+                ci[v] = c + 1;
+                stack.push_back(kids[c]);
+            } else {
+                ci[v] = c;
+                stack.pop_back();
+                visited[v] = 1;
+                order[pos++] = v;
+            }
+        }
+    }
+    return pos;
+}
+
 // Cut a drainage forest into connected parts of size <= cap by cutting
 // tree edges (a forest sliced into P connected parts costs exactly
 // P - n_basins edge cuts — the minimum possible).  Single O(N+E) pass in

@@ -364,6 +364,12 @@ def test_cli_test_output_pickle_and_courant_csv(lc_config, tmp_path):
     assert len(cour_csv) == 1
     cdf = pd.read_csv(cour_csv[0], index_col=0)
     assert cdf.shape == (10907, 12 * 3)
+    # row keys must match the fvd csv's (waterbody rows under their
+    # OUTLET link ids, not lake ids) so the two outputs join
+    fvd_csv = list((tmp_path / "out").glob("flowveldepth_*.csv"))[0]
+    fdf = pd.read_csv(fvd_csv, index_col=0)
+    assert cdf.index.tolist() == fdf.index.tolist()
+    assert cdf.index.tolist() == df.index.tolist()   # and the test pickle
 
 
 def test_cli_async_prefetch_matches_sync(lc_config, tmp_path):

@@ -66,7 +66,7 @@ def test_cli_end_to_end_hyfeatures(tmp_path):
     assert fvd[-1, :, 0].max() >= 0
 
 
-def _write_new_format_gpkg(path):
+def _write_new_format_gpkg(path, lake4_id=901.0):
     """Synthetic NEW-generation hydrofabric: flowpaths.toid linkage, a
     ``network`` layer carrying hl_uri/hydroseq gage tags, and a ``lakes``
     layer keyed by hl_link with the outlet wb in ``id`` (the format
@@ -90,7 +90,7 @@ def _write_new_format_gpkg(path):
         " rl_NHDWaterbodyComID TEXT, MusK REAL, MusX REAL, n REAL, So REAL,"
         " ChSlp REAL, BtmWdth REAL, nCC REAL, TopWdthCC REAL, TopWdth REAL,"
         " length_m REAL)")
-    wb_of = {"wb-4": "901", "wb-6": "347987"}
+    wb_of = {"wb-4": str(int(lake4_id)), "wb-6": "347987"}
     for wb, _ in chain:
         con.execute("INSERT INTO flowpath_attributes VALUES "
                     "(NULL, ?, ?, 3600, 0.2, 0.05, 0.002, 0.6, 8, 0.1,"
@@ -114,7 +114,7 @@ def _write_new_format_gpkg(path):
         " Dam_Length REAL, ifd REAL, LkArea REAL, LkMxE REAL,"
         " OrificeA REAL, OrificeC REAL, OrificeE REAL, WeirC REAL,"
         " WeirE REAL, WeirL REAL)")
-    for wb, lake in (("wb-4", 901.0), ("wb-6", 347987.0)):
+    for wb, lake in (("wb-4", lake4_id), ("wb-6", 347987.0)):
         con.execute("INSERT INTO lakes VALUES "
                     "(NULL, ?, ?, 10, 0.9, 1.5, 9.96, 1.0, 0.1, 7.733,"
                     " 0.4, 9.626, 10.0)", (wb, lake))
@@ -174,18 +174,24 @@ def test_new_format_gpkg_da_crosswalks(tmp_path):
     assert rl.waterbody[3] == 901 and rl.waterbody[5] == 347987
 
 
-def test_new_format_gpkg_ana_da_end_to_end(tmp_path):
+@pytest.mark.parametrize("lake4_id", [901.0, 2.0])
+def test_new_format_gpkg_ana_da_end_to_end(tmp_path, lake4_id):
     """v4-style AnA with persistence + RFC reservoir DA and streamflow
     nudging running from the geopackage ALONE (no reservoir parameter
     NetCDF): types from gpkg crosswalks, obs from synthetic TimeSlices,
-    RFC series from a synthetic forecast file."""
+    RFC series from a synthetic forecast file.
+
+    ``lake4_id=2.0`` collides with segment wb-2's id, forcing the
+    reference's synthetic +9.99e11 waterbody offset
+    (HYFeaturesNetwork.py:477-504) — the DA crosswalks must follow the
+    offset or the lake silently loses its USGS persistence typing."""
     import pandas as pd
     import yaml as _yaml
 
     from troute_tpu.cli import main_v04
 
     g = tmp_path / "domain.gpkg"
-    _write_new_format_gpkg(g)
+    _write_new_format_gpkg(g, lake4_id=lake4_id)
     t0 = pd.Timestamp("2021-08-23 13:00")
 
     # hourly NEXOUT forcing for 12 x 300 s steps

@@ -856,8 +856,8 @@ def main_v04(argv=None) -> dict:
             dd = np.concatenate([dd, np.repeat(dd[-1:], pad_rows, 0)])
         ms_fvd = np.stack([dq, np.zeros_like(dq), dd], axis=-1)
         fvd = np.concatenate([fvd, ms_fvd.astype(fvd.dtype)], axis=1)
-        out_ids = np.concatenate([np.asarray(topo.ids),
-                                  diffusive_out["ids"]])
+        # keep the lake->outlet aliasing applied above for the MC rows
+        out_ids = np.concatenate([out_ids, diffusive_out["ids"]])
 
     # ---- outputs ----
     t_start = time.time()
@@ -881,7 +881,9 @@ def main_v04(argv=None) -> dict:
             cour = np.concatenate(all_courant)
             cdf = pd.DataFrame(
                 cour.transpose(1, 0, 2).reshape(cour.shape[1], -1),
-                index=np.asarray(topo.ids)[:cour.shape[1]],
+                # same row keys as the fvd csv: waterbody rows under
+                # their outlet link id
+                index=out_ids[:cour.shape[1]],
                 columns=[(t, v) for t in range(cour.shape[0])
                          for v in ("cn", "ck", "X")])
             pc = out_dir / f"courant_{t0.strftime('%Y%m%d%H%M')}.csv"

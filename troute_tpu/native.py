@@ -48,6 +48,10 @@ def _load():
         lib.tree_cut_parts.argtypes = [i32p, ctypes.c_int64,
                                        ctypes.c_int64, i32p]
         lib.tree_cut_parts.restype = ctypes.c_int64
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.postorder_forest.argtypes = [i32p, i32p, ctypes.c_int64,
+                                         ctypes.c_int32, i64p]
+        lib.postorder_forest.restype = ctypes.c_int64
         _lib = lib
     except Exception as e:  # toolchain missing / compile failure
         LOG.info("native topology kernels unavailable (%s); "
@@ -112,3 +116,20 @@ def tree_cut_parts(downstream: np.ndarray, cap: int) -> np.ndarray | None:
     if p < 0:
         raise ValueError("cycle detected in network")
     return part
+
+
+def postorder_forest(downstream: np.ndarray,
+                     upstream: np.ndarray) -> np.ndarray | None:
+    """Post-order DFS row order (children before parents, subtrees
+    contiguous; same visit order as the Python fallback), or None if the
+    native lib is unavailable.  Raises ValueError on cycles."""
+    lib = _load()
+    if lib is None:
+        return None
+    ds = np.ascontiguousarray(downstream, np.int32)
+    up = np.ascontiguousarray(upstream, np.int32)
+    order = np.zeros(ds.size, np.int64)
+    got = lib.postorder_forest(ds, up, ds.size, up.shape[1], order)
+    if got != ds.size:
+        raise ValueError("drainage graph must be a forest (no cycles)")
+    return order

@@ -145,6 +145,17 @@ def build_network(cfg: Config, base: Path,
                                   if int(l) in seg_set else int(l))
                          for l in lids}
                 lids = np.asarray([remap[int(l)] for l in lids], np.int64)
+                if hyf_da is not None:
+                    # DA crosswalks are keyed by lake id too — follow the
+                    # same synthetic offset or assemble_reservoir_da's
+                    # type_of/gage_of lookups (keyed by topo node id)
+                    # silently miss offset lakes
+                    rekey = lambda d: {remap.get(int(k), int(k)): v
+                                       for k, v in d.items()}
+                    hyf_da = hyf_da._replace(
+                        usgs_lake_gage=rekey(hyf_da.usgs_lake_gage),
+                        usace_lake_gage=rekey(hyf_da.usace_lake_gage),
+                        rfc_lake_gage=rekey(hyf_da.rfc_lake_gage))
                 known = set(lids.tolist())
                 for lk, wb_seg in outlet_wb.items():
                     lk = remap.get(int(lk), int(lk))

@@ -320,22 +320,10 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                 vals = jnp.where(local_up,
                                  q[jnp.clip(up, 0, n_local - 1)], 0.0)
                 return vals.sum(axis=1)
-            upv = jnp.zeros_like(q)
-            if band_shifts:
-                lo = max(max(band_shifts), 0)
-                hi = max(-min(band_shifts), 0)
-                qx = q
-                if lo or hi:
-                    qx = jnp.concatenate([jnp.zeros(lo, dtype), q,
-                                          jnp.zeros(hi, dtype)])
-                for i, sh in enumerate(band_shifts):
-                    sl = jax.lax.dynamic_slice(qx, (lo - sh,), (n_local,))
-                    upv = upv + jnp.where(band_masks[i], sl, 0.0)
-            rvals = jnp.where(band_rem_dst >= 0,
-                              q[jnp.maximum(band_rem_src, 0)], 0.0)
-            upv = upv.at[jnp.where(band_rem_dst >= 0, band_rem_dst,
-                                   n_local)].add(rvals, mode="drop")
-            return upv
+            from troute_tpu.routing.upstream_plan import banded_upstream_sum
+            return banded_upstream_sum(q, band_masks, band_shifts,
+                                       band_rem_dst, band_rem_src,
+                                       padded_remainder=True)
         return interior_sum
 
     def make_exchange(export_slot, send_slot, recv_pos, halo_src_dev,
@@ -359,6 +347,33 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
             return jnp.where(halo_src_dev >= 0, halo, 0.0)
         return exchange_halo
+
+    def apply_local_nudge(q_new, gage_slot, gage_obs, lo_val, lo_time,
+                          t_idx, t_seconds):
+        """simple_da on device-local gage lanes (identical math to
+        engine._apply_nudging, slot-local layout).  Past the end of the
+        observation table means "missing" (decay nudging), exactly like
+        the engine's obs_seq NaN fill."""
+        safe_g = jnp.maximum(gage_slot, 0)
+        obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
+        obs_t = jnp.where((gage_slot >= 0) & (t_idx < gage_obs.shape[0]),
+                          obs_t, jnp.nan)
+        model = q_new[safe_g]
+        have_obs = ~jnp.isnan(obs_t)
+        minutes = (t_seconds - lo_time) / 60.0
+        weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
+        shift = (lo_val - model) * weight
+        no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
+        replaced = jnp.where(have_obs, obs_t,
+                             jnp.where(no_memory, model, model + shift))
+        nudge = jnp.where(gage_slot >= 0,
+                          jnp.where(have_obs, obs_t - model,
+                                    jnp.where(no_memory, 0.0, shift)), 0.0)
+        lo_val_c = jnp.where(have_obs, obs_t, lo_val)
+        lo_time_c = jnp.where(have_obs, t_seconds, lo_time)
+        g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
+        q_new = q_new.at[g_scatter].set(replaced, mode="drop")
+        return q_new, nudge, lo_val_c, lo_time_c
 
     def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
                    halo_src_pos, perm_pairs, send_slot, recv_pos,
@@ -389,36 +404,23 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             up_prev = up_prev.at[scat_b].set(up_prev_b, mode="drop")
             return qdc, velc, depthc, up_prev
 
+        exchange_halo = make_exchange(export_slot, send_slot, recv_pos,
+                                      halo_src_dev, halo_src_pos)
         if exchange == "neighbor":
             # interior pass first: upstream sums from owned nodes only
             # (boundary rows get provisional values, fixed below) — no
             # data dependency on the collective, so the big solve and the
-            # permutes overlap
+            # sparse per-round ppermutes overlap
             up_prev = interior_sum(q)
             out = mc_rows(up_prev, q, qlat_t, depth, chan)
             qdc, velc, depthc = out.qdc, out.velc, out.depthc
 
-            # sparse neighbor exchange: one ppermute per round, each
-            # message holding only that device pair's cut-edge values
-            halo = jnp.zeros((n_halo,), dtype)
-            for r, perm in enumerate(perms):
-                if not perm:
-                    continue
-                buf = q[send_slot[r]]
-                rec = jax.lax.ppermute(buf, AXIS, perm)
-                pos = recv_pos[r]
-                halo = halo.at[jnp.where(pos >= 0, pos, n_halo)].set(
-                    rec, mode="drop")
-            q_ext = jnp.concatenate([q, halo])
+            q_ext = jnp.concatenate([q, exchange_halo(q)])
             qdc, velc, depthc, up_prev = boundary_fix(q_ext, qdc, velc,
                                                       depthc, up_prev)
         else:
             # halo exchange: export boundary flows, all-gather, import
-            exported = q[export_slot]                     # [E]
-            all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
-            halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
-            halo = jnp.where(halo_src_dev >= 0, halo, 0.0)
-            q_ext = jnp.concatenate([q, halo])
+            q_ext = jnp.concatenate([q, exchange_halo(q)])
             if band_shifts is None:
                 vals = q_ext[jnp.maximum(up, 0)]
                 up_prev = jnp.where(up >= 0, vals, 0.0).sum(axis=1)
@@ -467,28 +469,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         res_elev = jnp.where(have, elev, res_elev)
 
         # streamflow-nudging DA on device-local gage lanes
-        # (simple_da.pyx semantics, identical to engine._apply_nudging)
-        safe_g = jnp.maximum(gage_slot, 0)
-        # past the end of the observation table means "missing" (decay
-        # nudging), exactly like the engine's obs_seq NaN fill
-        obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
-        obs_t = jnp.where((gage_slot >= 0) & (t_idx < gage_obs.shape[0]),
-                          obs_t, jnp.nan)
-        model = q_new[safe_g]
-        have_obs = ~jnp.isnan(obs_t)
-        minutes = (t_seconds - lo_time) / 60.0
-        weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
-        shift = (lo_val - model) * weight
-        no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
-        replaced = jnp.where(have_obs, obs_t,
-                             jnp.where(no_memory, model, model + shift))
-        nudge = jnp.where(gage_slot >= 0,
-                          jnp.where(have_obs, obs_t - model,
-                                    jnp.where(no_memory, 0.0, shift)), 0.0)
-        lo_val = jnp.where(have_obs, obs_t, lo_val)
-        lo_time = jnp.where(have_obs, t_seconds, lo_time)
-        g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
-        q_new = q_new.at[g_scatter].set(replaced, mode="drop")
+        q_new, nudge, lo_val, lo_time = apply_local_nudge(
+            q_new, gage_slot, gage_obs, lo_val, lo_time, t_idx, t_seconds)
 
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
         return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
@@ -570,28 +552,9 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             elev_c = jnp.where(have, elev, res_elev)
 
             # nudging from the carried-in lastobs state (idempotent)
-            safe_g = jnp.maximum(gage_slot, 0)
-            obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
-            obs_t = jnp.where(
-                (gage_slot >= 0) & (t_idx < gage_obs.shape[0]), obs_t,
-                jnp.nan)
-            model = q_new[safe_g]
-            have_obs = ~jnp.isnan(obs_t)
-            minutes = (t_seconds - lo_time) / 60.0
-            weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
-            shift = (lo_val - model) * weight
-            no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
-            replaced = jnp.where(have_obs, obs_t,
-                                 jnp.where(no_memory, model,
-                                           model + shift))
-            nudge = jnp.where(gage_slot >= 0,
-                              jnp.where(have_obs, obs_t - model,
-                                        jnp.where(no_memory, 0.0,
-                                                  shift)), 0.0)
-            lo_val_c = jnp.where(have_obs, obs_t, lo_val)
-            lo_time_c = jnp.where(have_obs, t_seconds, lo_time)
-            g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
-            q_new = q_new.at[g_scatter].set(replaced, mode="drop")
+            q_new, nudge, lo_val_c, lo_time_c = apply_local_nudge(
+                q_new, gage_slot, gage_obs, lo_val, lo_time, t_idx,
+                t_seconds)
             return (q_new, v_new, d_new, elev_c, lo_val_c, lo_time_c,
                     nudge, hyb_c, rfc_c, gl_c)
 

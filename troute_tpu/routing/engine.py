@@ -507,7 +507,7 @@ def route(net: NetworkArrays, chan: ChannelParams,
         now = t.astype(dtype) * dt
 
         def sweep_once(q_est):
-            quc = _upstream_sum(q_est, net.upstream)
+            quc = _upstream_sum_net(q_est, net)
             out = muskingum_cunge(up_prev, quc, state.q, ql_t, chan.dx,
                                   chan.bw, chan.tw, chan.twcc, chan.n,
                                   chan.ncc, chan.cs, chan.s0, state.depth,
@@ -894,15 +894,18 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
             q_est, total = q, 0
             eps4 = 4.0 * float(jnp.finfo(dtype).eps)
             while True:
+                # never exceed the configured cap: the tail chunk shrinks
+                # so sweep counts match step_strict_iter's k < cap exactly
+                chunk = min(SWEEPS, cfg.strict_max_sweeps - total)
                 (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge_t,
                  da_states_c, cour_t, delta, qmax) = _strict_sweep_kernel(
                     q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
                     obs_t, t_seconds, net.upstream, chan, res_params,
                     net.is_reservoir, net.res_rows, gage_rows, decay,
-                    cfg.dt, n_sweeps=SWEEPS, res_da=res_da,
+                    cfg.dt, n_sweeps=chunk, res_da=res_da,
                     da_states=da_states, month_i=month_i,
                     return_courant=cfg.return_courant, uplan=net.uplan)
-                total += SWEEPS
+                total += chunk
                 # dtype-resolution floor: see step_strict_iter — f32
                 # cannot resolve strict_tol-sized |dq| on large flows
                 tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
