@@ -399,3 +399,68 @@ def test_cli_async_prefetch_matches_sync(lc_config, tmp_path):
     # the async entry point (coroutine, like the reference's)
     res = asyncio.run(main_v03_async(["-f", str(mk("async"))]))
     np.testing.assert_array_equal(res["fvd"], sync["fvd"])
+
+
+def test_cli_restart_cycling_across_invocations(lc_config, tmp_path):
+    """The operational AnA cycle: invocation N+1 warm-starts from the
+    files invocation N wrote (lite channel/waterbody restart +
+    nudgingLastObs), reference write __main__.py:270-277 / read
+    AbstractNetwork.py:673-735.  With state fully file-carried
+    (streamflow nudging + plain levelpool; persistence/RFC reservoir DA
+    is cycle-local in the reference — re-derived from TimeSlice files
+    each invocation, not restart-carried — so it is off here), a
+    24-step + 12-step chained pair must reproduce the continuous
+    36-step run.  Also exercises mid-folder start: cycle 2 begins at
+    the third forcing file (AbstractNetwork.py:856-869 derives the file
+    list FROM t0)."""
+    import copy
+
+    base_cfg = yaml.safe_load(open(lc_config))
+    base_cfg["compute_parameters"]["data_assimilation_parameters"][
+        "reservoir_da"] = {
+        "reservoir_persistence_da": {"reservoir_persistence_usgs": False,
+                                     "reservoir_persistence_usace": False},
+        "reservoir_rfc_da": {"reservoir_rfc_forecasts": False},
+    }
+
+    def run(tag, cfg):
+        p = tmp_path / f"cfg_{tag}.yaml"
+        yaml.safe_dump(cfg, open(p, "w"))
+        return main_v04(["-f", str(p)])
+
+    cont_cfg = copy.deepcopy(base_cfg)
+    cont_cfg["output_parameters"] = {}
+    cont = run("cont", cont_cfg)
+
+    # ---- cycle 1: 24 steps, write warm-state files ----
+    state_dir = tmp_path / "state"
+    c1 = copy.deepcopy(base_cfg)
+    c1["compute_parameters"]["forcing_parameters"]["nts"] = 24
+    c1["compute_parameters"]["data_assimilation_parameters"][
+        "streamflow_da"]["lastobs_output_folder"] = str(state_dir)
+    c1["output_parameters"] = {
+        "lite_restart": {"lite_restart_output_directory": str(state_dir)}}
+    r1 = run("c1", c1)
+    assert r1["fvd"].shape[0] == 24
+
+    chan = state_dir / "channel_restart_202108231500"
+    wb = state_dir / "waterbody_restart_202108231500"
+    lo = state_dir / "nudgingLastObs.2021-08-23_15:00:00.nc"
+    assert chan.exists() and wb.exists() and lo.exists()
+
+    # ---- cycle 2: restart from cycle 1's files, 12 steps ----
+    c2 = copy.deepcopy(base_cfg)
+    c2["compute_parameters"]["forcing_parameters"]["nts"] = 12
+    rp2 = c2["compute_parameters"]["restart_parameters"]
+    rp2["start_datetime"] = "2021-08-23_15:00"
+    rp2["lite_channel_restart_file"] = str(chan)
+    rp2["lite_waterbody_restart_file"] = str(wb)
+    c2["compute_parameters"]["data_assimilation_parameters"][
+        "streamflow_da"]["lastobs_file"] = str(lo)
+    c2["output_parameters"] = {}
+    r2 = run("c2", c2)
+    assert r2["fvd"].shape[0] == 12
+
+    fvd = np.concatenate([r1["fvd"], r2["fvd"]])
+    assert fvd.shape == cont["fvd"].shape
+    np.testing.assert_allclose(fvd, cont["fvd"], rtol=1e-6, atol=1e-6)

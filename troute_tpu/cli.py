@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import re
 import time
 from pathlib import Path
 
@@ -18,6 +19,19 @@ import numpy as np
 import pandas as pd
 
 LOG = logging.getLogger("troute_tpu")
+
+
+def _file_stamp(path):
+    """Model time encoded in a forcing filename (``202108231300.CHRTOUT_…``
+    / ``202108231300NEXOUT…`` — the reference derives run-set file lists
+    from these stamps, ``AbstractNetwork.py:856-869``), or None."""
+    m = re.match(r"(\d{12})", Path(path).name)
+    if not m:
+        return None
+    try:
+        return pd.to_datetime(m.group(1), format="%Y%m%d%H%M")
+    except ValueError:
+        return None
 
 
 def build_forcing_sets(files, dt, qts_subdivisions, nts, max_loop_size_hrs):
@@ -522,6 +536,17 @@ def main_v04(argv=None) -> dict:
     if not explicit_sets:
         files = sorted(f for f in qlat_folder.iterdir()
                        if pattern in f.name)
+        # the reference derives the file list FROM t0 (filenames at
+        # t0 + n*dt_qlat, AbstractNetwork.py:856-869) — a folder may hold
+        # earlier hours (e.g. when resuming mid-folder from a restart);
+        # drop files stamped before the start time
+        if rp.start_datetime and files:
+            in_window = [f for f in files if _file_stamp(f) is None
+                         or _file_stamp(f) >= t0]
+            if in_window and len(in_window) < len(files):
+                LOG.info("forcing window: %d/%d files at or after %s",
+                         len(in_window), len(files), t0)
+                files = in_window
         run_sets = build_forcing_sets(files, dt, qts, nts,
                                       fp.max_loop_size)
         task_times["forcing_time"] += time.time() - t_start
