@@ -464,3 +464,60 @@ def test_cli_restart_cycling_across_invocations(lc_config, tmp_path):
     fvd = np.concatenate([r1["fvd"], r2["fvd"]])
     assert fvd.shape == cont["fvd"].shape
     np.testing.assert_allclose(fvd, cont["fvd"], rtol=1e-6, atol=1e-6)
+
+
+def test_cli_qlat_input_file_and_const(lc_config, tmp_path):
+    """Fileless forcing fallbacks (reference NHDNetwork.py:388-397):
+    a qlat_input_file CSV reproduces the CHRTOUT-folder run exactly,
+    and qlat_const routes without any forcing files at all."""
+    import copy
+
+    import pandas as pd
+
+    from troute_tpu.io.forcing import read_qlat_chrtout
+
+    base_cfg = yaml.safe_load(open(lc_config))
+
+    # CSV with the same values the folder run reads from CHRTOUT
+    folder = REF / "channel_forcing"
+    files = sorted(p for p in folder.iterdir()
+                   if "CHRTOUT_DOMAIN1" in p.name)[:3]
+    with h5py.File(files[0]) as f:
+        ids = np.asarray(f["feature_id"][...], np.int64)
+    ql = read_qlat_chrtout(files, ids)          # [3, N] incl. bucket terms
+    csv_path = tmp_path / "qlat.csv"
+    pd.DataFrame(ql.T, index=ids).to_csv(csv_path)
+
+    cfg = copy.deepcopy(base_cfg)
+    fpar = cfg["compute_parameters"]["forcing_parameters"]
+    del fpar["qlat_input_folder"]
+    fpar["qlat_input_file"] = str(csv_path)
+    cfg["output_parameters"] = {}
+    p = tmp_path / "cfg_csv.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    res = main_v04(["-f", str(p)])
+
+    ref_cfg = copy.deepcopy(base_cfg)
+    ref_cfg["output_parameters"] = {}
+    p2 = tmp_path / "cfg_folder.yaml"
+    yaml.safe_dump(ref_cfg, open(p2, "w"))
+    ref = main_v04(["-f", str(p2)])
+
+    assert res["fvd"].shape == ref["fvd"].shape == (36, 10907, 3)
+    np.testing.assert_allclose(res["fvd"], ref["fvd"], rtol=1e-6, atol=1e-6)
+
+    # constant fallback: no forcing files anywhere
+    cfg = copy.deepcopy(base_cfg)
+    fpar = cfg["compute_parameters"]["forcing_parameters"]
+    del fpar["qlat_input_folder"]
+    fpar["qlat_const"] = 0.25
+    cfg["output_parameters"] = {}
+    p3 = tmp_path / "cfg_const.yaml"
+    yaml.safe_dump(cfg, open(p3, "w"))
+    res_c = main_v04(["-f", str(p3)])
+    fvd = res_c["fvd"]
+    assert fvd.shape == (36, 10907, 3)
+    assert np.isfinite(fvd).all()
+    # constant inflow everywhere: (nearly) all segments carry positive
+    # flow — reservoir outlets may still sit at ~0 outflow after 3 h
+    assert (fvd[-1, :, 0] > 0).mean() > 0.9

@@ -514,7 +514,15 @@ def main_v04(argv=None) -> dict:
     nexus_mode = built.nexus_of_wb is not None and bool(
         fp.nexus_input_folder or fp.qlat_input_folder)
     explicit_sets = getattr(fp, "qlat_forcing_sets", None)
-    if explicit_sets:
+    # no forcing folder at all -> single-CSV / constant qlat fallback
+    # (reference NHDNetwork.build_qlateral_array, NHDNetwork.py:388-397)
+    fileless_mode = (not explicit_sets and not fp.qlat_input_folder
+                     and not fp.nexus_input_folder)
+    if fileless_mode:
+        nexus_mode = False
+        run_sets = [{"qlat_files": [], "nts": int(nts or qts)}]
+        task_times["forcing_time"] += time.time() - t_start
+    elif explicit_sets:
         # pre-listed run sets (reference AbstractNetwork.py:747: the
         # forcing_parameters may enumerate qlat_files/nts per set)
         src_folder = fp.qlat_input_folder or fp.nexus_input_folder
@@ -533,7 +541,7 @@ def main_v04(argv=None) -> dict:
     else:
         qlat_folder = base / fp.qlat_input_folder
         pattern = (fp.qlat_file_pattern_filter or "*CHRTOUT_DOMAIN1").strip("*")
-    if not explicit_sets:
+    if not explicit_sets and not fileless_mode:
         files = sorted(f for f in qlat_folder.iterdir()
                        if pattern in f.name)
         # the reference derives the file list FROM t0 (filenames at
@@ -572,6 +580,20 @@ def main_v04(argv=None) -> dict:
     written = []
     step_offset = 0
     def read_forcing(run):
+        if not run["qlat_files"]:
+            # qlat_input_file CSV or qlat_const constant (reference
+            # NHDNetwork.py:388-397); short CSVs repeat their last row,
+            # matching the engine's hold-last-forcing semantics
+            n_rows = max(1, -(-run["nts"] // qts))
+            if fp.qlat_input_file:
+                from troute_tpu.io.forcing import read_qlat_csv
+                ql = read_qlat_csv(base / fp.qlat_input_file, topo.ids)
+                if ql.shape[0] < n_rows:
+                    ql = np.concatenate(
+                        [ql, np.repeat(ql[-1:], n_rows - ql.shape[0], 0)])
+                return ql[:n_rows]
+            return np.full((n_rows, topo.ids.size),
+                           float(fp.qlat_const), np.float32)
         if nexus_mode:
             from troute_tpu.network.hyfeatures import read_qlat_nexout
             binary_dir = getattr(fp, "binary_nexus_file_folder", None)
@@ -792,7 +814,24 @@ def main_v04(argv=None) -> dict:
         # mainstem lateral inflows straight from the forcing files
         all_files = [f for r in run_sets for f in r["qlat_files"]]
         ms_ids = np.asarray(sorted(hyb.mainstem_set), np.int64)
-        ql_ms = read_qlat_chrtout(all_files, ms_ids)    # [n_files, M]
+        if all_files:
+            ql_ms = read_qlat_chrtout(all_files, ms_ids)  # [n_files, M]
+        else:
+            # fileless forcing (qlat_input_file / qlat_const fallback);
+            # mainstem segments are carved out of the MC topo, so align
+            # by id against the CSV (or broadcast the constant) directly
+            n_rows = sum(max(1, -(-r["nts"] // qts)) for r in run_sets)
+            if fp.qlat_input_file:
+                from troute_tpu.io.forcing import read_qlat_csv
+                ql_ms = read_qlat_csv(base / fp.qlat_input_file, ms_ids)
+                if ql_ms.shape[0] < n_rows:
+                    ql_ms = np.concatenate(
+                        [ql_ms, np.repeat(ql_ms[-1:],
+                                          n_rows - ql_ms.shape[0], 0)])
+                ql_ms = ql_ms[:n_rows]
+            else:
+                ql_ms = np.full((n_rows, ms_ids.size),
+                                float(fp.qlat_const), np.float32)
         qlat_rows = {int(s): ql_ms[:, k] for k, s in enumerate(ms_ids)}
 
         diff_dtype = (jnp.float32

@@ -151,6 +151,9 @@ class ForcingParameters(_Permissive):
     nts: Optional[int] = None
     max_loop_size: float = 24.0
     qlat_input_folder: Optional[str] = None
+    # single-CSV / constant fallbacks when no folder is given
+    # (reference NHDNetwork.build_qlateral_array, NHDNetwork.py:388-397)
+    qlat_input_file: Optional[str] = None
     qlat_file_pattern_filter: Optional[str] = "*CHRTOUT_DOMAIN1"
     qlat_file_index_col: str = "feature_id"
     qlat_file_value_col: str = "q_lateral"
@@ -308,6 +311,7 @@ class Config(_Permissive):
                 out.append(wb.level_pool.level_pool_waterbody_parameter_file_path)
         fp = self.compute_parameters.forcing_parameters
         out.append(fp.qlat_input_folder)
+        out.append(fp.qlat_input_file)
         return [p for p in out if p]
 
 
