@@ -209,6 +209,23 @@ def test_cli_v3_config(tmp_path):
     assert res["fvd"].shape[0] == 12
     assert np.isfinite(res["fvd"]).all()
 
+    # the v3 reservoir-DA keys must actually engage DA.  The coastal
+    # subset has no USGS/USACE-typed lakes (persistence DA is inert here,
+    # as in the reference), but 12 RFC-typed lakes — so flip the v3-era
+    # rfc block (waterbody_parameters.rfc, normalized into
+    # reservoir_da.reservoir_rfc_da) on and expect changed outflows
+    cfg_rfc = yaml.safe_load(open(p))
+    cfg_rfc["network_topology_parameters"]["waterbody_parameters"]["rfc"][
+        "reservoir_rfc_forecasts"] = True
+    p2 = tmp_path / "cfg3_rfc.yaml"
+    yaml.safe_dump(cfg_rfc, open(p2, "w"))
+    res_rfc = main_v04(["-f", str(p2), "-V3"])
+    rows = res["built"].topo.reservoir_rows
+    assert rows.size > 0
+    q_lp = res["fvd"][:, rows, 0]
+    q_rfc = res_rfc["fvd"][:, rows, 0]
+    assert not np.allclose(q_rfc, q_lp)
+
 
 def test_cli_chrtout_append(lc_config, tmp_path):
     """CHRTOUT append output (reference nhd_io.write_chrtout): flow at

@@ -33,3 +33,42 @@ def test_reference_config_round_trip(file):
     assert cfg.compute_parameters is not None
     fp = cfg.compute_parameters.forcing_parameters
     assert fp.dt > 0 and fp.qts_subdivisions >= 1
+
+
+def test_v3_reservoir_da_keys_normalized():
+    """v3 DA keys reach the v4 shapes main_v04 reads (reference
+    input.py:427-560 consumes the flat v3 names; normalize_v3_keys maps
+    them so a -V3 run gets reservoir DA and lastobs warm start)."""
+    cfg = load_config(REF_TEST / "LowerColorado_TX/test_AnA.yaml")
+    rda = cfg.compute_parameters.data_assimilation_parameters.reservoir_da
+    pda = rda.reservoir_persistence_da
+    assert pda is not None
+    assert pda.reservoir_persistence_usgs is True
+    assert pda.reservoir_persistence_usace is True
+    # gage_lakeID_crosswalk_file is the v3 name of the reservoir
+    # parameter (reservoir_index) file
+    assert rda.reservoir_parameter_file == "domain/reservoir_index_AnA.nc"
+    # geo_file_type -> network_type
+    sp = cfg.network_topology_parameters.supernetwork_parameters
+    assert sp.network_type == "NHDNetwork"
+
+    cfg = load_config(REF_TEST / "HurricaneLaura/test_AnA.yaml")
+    sda = cfg.compute_parameters.data_assimilation_parameters.streamflow_da
+    # wrf_hydro_lastobs_file -> lastobs_file
+    assert sda.lastobs_file == \
+        "lastobs/nudgingLastObs.2020-06-01_12:00:00.nc"
+    rda = cfg.compute_parameters.data_assimilation_parameters.reservoir_da
+    # waterbody_parameters.rfc block -> reservoir_rfc_da
+    assert rda.reservoir_rfc_da is not None
+    assert rda.reservoir_rfc_da.reservoir_rfc_forecasts is False
+    assert rda.reservoir_rfc_da.reservoir_rfc_forecasts_lookback_hours == 48
+    assert rda.reservoir_parameter_file == "domain/reservoir_index_AnA.nc"
+
+
+def test_v4_configs_untouched_by_v3_normalization():
+    """A v4 config's explicit reservoir_da block wins over any v3-era
+    keys (normalize_v3_keys only fills absent v4 keys)."""
+    cfg = load_config(REF_TEST / "LowerColorado_TX/test_AnA_V4_NHD.yaml")
+    rda = cfg.compute_parameters.data_assimilation_parameters.reservoir_da
+    assert rda.reservoir_parameter_file == "domain/reservoir_index_AnA.nc"
+    assert rda.reservoir_persistence_da.reservoir_persistence_usgs is True

@@ -315,11 +315,94 @@ class Config(_Permissive):
         return [p for p in out if p]
 
 
+def normalize_v3_keys(data: dict) -> dict:
+    """Map v3-era control-file keys onto their v4 shapes, in place.
+
+    The reference's v3 entry point consumes these keys directly
+    (``nwm_routing/input.py:427-560`` validates them; ``main_v03`` and the
+    DA builders read them), while ``main_v04`` reads the nested v4 shapes.
+    Only absent v4 keys are filled, so v4 configs pass through untouched:
+
+    - ``supernetwork_parameters.geo_file_type`` -> ``network_type``
+    - ``streamflow_da.wrf_hydro_lastobs_file`` -> ``lastobs_file``
+      (reference ``input.py:471-475`` setdefault)
+    - ``data_assimilation_parameters.lastobs_output_folder`` ->
+      ``streamflow_da.lastobs_output_folder``
+    - flat ``reservoir_da.reservoir_persistence_usgs/usace`` ->
+      ``reservoir_da.reservoir_persistence_da.*``
+    - ``reservoir_da.gage_lakeID_crosswalk_file`` ->
+      ``reservoir_da.reservoir_parameter_file`` (the v4 name for the same
+      reservoir_index file; reference ``DataAssimilation.py:1277``)
+    - ``waterbody_parameters.rfc`` block ->
+      ``reservoir_da.reservoir_rfc_da`` (+ ``reservoir_parameter_file``
+      fallback; reference ``input.py:520-540``)
+    """
+    if not isinstance(data, dict):
+        return data
+
+    def sub(d, k):
+        v = d.get(k) if isinstance(d, dict) else None
+        return v if isinstance(v, dict) else None
+
+    sp = sub(sub(data, "network_topology_parameters"),
+             "supernetwork_parameters")
+    if sp and sp.get("geo_file_type"):
+        sp.setdefault("network_type", str(sp["geo_file_type"]))
+
+    cp = sub(data, "compute_parameters")
+    dap = sub(cp, "data_assimilation_parameters")
+    if dap is None:
+        return data
+    sda = sub(dap, "streamflow_da")
+    if sda is not None:
+        if sda.get("wrf_hydro_lastobs_file"):
+            sda.setdefault("lastobs_file", sda["wrf_hydro_lastobs_file"])
+        if dap.get("lastobs_output_folder"):
+            sda.setdefault("lastobs_output_folder",
+                           dap["lastobs_output_folder"])
+
+    rfc_wb = sub(sub(sub(data, "network_topology_parameters"),
+                     "waterbody_parameters"), "rfc")
+    rda = sub(dap, "reservoir_da")
+    if rda is None and rfc_wb is not None \
+            and "reservoir_da" not in dap:
+        rda = dap["reservoir_da"] = {}
+    if rda is not None:
+        flat = ("reservoir_persistence_usgs" in rda
+                or "reservoir_persistence_usace" in rda)
+        if flat and "reservoir_persistence_da" not in rda:
+            rda["reservoir_persistence_da"] = {
+                "reservoir_persistence_usgs":
+                    rda.get("reservoir_persistence_usgs", False),
+                "reservoir_persistence_usace":
+                    rda.get("reservoir_persistence_usace", False),
+            }
+        if rda.get("gage_lakeID_crosswalk_file"):
+            rda.setdefault("reservoir_parameter_file",
+                           rda["gage_lakeID_crosswalk_file"])
+        if rfc_wb is not None:
+            if "reservoir_rfc_forecasts" in rfc_wb \
+                    and "reservoir_rfc_da" not in rda:
+                rda["reservoir_rfc_da"] = {
+                    k: rfc_wb[k] for k in (
+                        "reservoir_rfc_forecasts",
+                        "reservoir_rfc_forecasts_time_series_path",
+                        "reservoir_rfc_forecasts_lookback_hours",
+                        "reservoir_rfc_forecasts_offset_hours",
+                        "reservoir_rfc_forecast_persist_days",
+                    ) if k in rfc_wb}
+            if rfc_wb.get("reservoir_parameter_file"):
+                rda.setdefault("reservoir_parameter_file",
+                               rfc_wb["reservoir_parameter_file"])
+    return data
+
+
 def load_config(path, strict: bool = False) -> Config:
     """Load and validate a YAML control file (reference CLI entry parity)."""
     path = Path(path)
     with open(path) as f:
         data = yaml.safe_load(f)
+    data = normalize_v3_keys(data)
     if strict:
         return Config.with_strict_mode(data, path.parent)
     return Config.model_validate(data)
