@@ -72,3 +72,91 @@ def test_v4_configs_untouched_by_v3_normalization():
     rda = cfg.compute_parameters.data_assimilation_parameters.reservoir_da
     assert rda.reservoir_parameter_file == "domain/reservoir_index_AnA.nc"
     assert rda.reservoir_persistence_da.reservoir_persistence_usgs is True
+
+
+def test_v3_null_reservoir_da_still_engages_rfc_block(tmp_path):
+    """An explicitly-null ``reservoir_da:`` mapping (children commented
+    out) must not drop the waterbody_parameters.rfc block: the reference
+    v3 path reads rfc independently of reservoir_da presence
+    (preprocess.py:293-303)."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""
+network_topology_parameters:
+    supernetwork_parameters:
+        geo_file_path: domain/RouteLink.nc
+    waterbody_parameters:
+        rfc:
+            reservoir_parameter_file: domain/reservoir_index.nc
+            reservoir_rfc_forecasts: True
+            reservoir_rfc_forecasts_time_series_path: rfc_TimeSeries/
+compute_parameters:
+    forcing_parameters:
+        dt: 300
+    data_assimilation_parameters:
+        reservoir_da:
+""")
+    cfg = load_config(p, v3=True)
+    rda = cfg.compute_parameters.data_assimilation_parameters.reservoir_da
+    assert rda is not None
+    assert rda.reservoir_rfc_da.reservoir_rfc_forecasts is True
+    assert rda.reservoir_parameter_file == "domain/reservoir_index.nc"
+
+
+def test_v3_rfc_block_param_file_precedence(tmp_path):
+    """Reference v3 precedence: when an rfc block exists, its
+    reservoir_parameter_file wins over gage_lakeID_crosswalk_file — even
+    clobbering it with None (preprocess.py:294-299)."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""
+network_topology_parameters:
+    supernetwork_parameters:
+        geo_file_path: domain/RouteLink.nc
+    waterbody_parameters:
+        rfc:
+            reservoir_rfc_forecasts: False
+compute_parameters:
+    forcing_parameters:
+        dt: 300
+    data_assimilation_parameters:
+        reservoir_da:
+            gage_lakeID_crosswalk_file: domain/reservoir_index.nc
+            reservoir_persistence_usgs: True
+            crosswalk_usgs_gage_field: my_gage_col
+""")
+    cfg = load_config(p, v3=True)
+    rda = cfg.compute_parameters.data_assimilation_parameters.reservoir_da
+    # strict v3: the rfc block carries no param file -> clobbered to None
+    assert rda.reservoir_parameter_file is None
+    # flat crosswalk field overrides reach the synthesized persistence
+    # block (reference reads them off the flat v3 block,
+    # preprocess.py:315-318)
+    pda = rda.reservoir_persistence_da
+    assert pda.crosswalk_usgs_gage_field == "my_gage_col"
+    # permissive (mixed) mode keeps the crosswalk-derived file instead
+    cfg2 = load_config(p)
+    rda2 = cfg2.compute_parameters.data_assimilation_parameters.reservoir_da
+    assert rda2.reservoir_parameter_file == "domain/reservoir_index.nc"
+
+
+def test_v4_gate_skips_v3_normalization(tmp_path):
+    """v3=False loads v4-only, like the reference main_v04 (which never
+    reads waterbody_parameters.rfc or flat reservoir_da keys)."""
+    p = tmp_path / "cfg.yaml"
+    p.write_text("""
+network_topology_parameters:
+    supernetwork_parameters:
+        geo_file_path: domain/RouteLink.nc
+        geo_file_type: NHDNetwork
+    waterbody_parameters:
+        rfc:
+            reservoir_rfc_forecasts: True
+compute_parameters:
+    forcing_parameters:
+        dt: 300
+    data_assimilation_parameters:
+        reservoir_da:
+""")
+    cfg = load_config(p, v3=False)
+    dap = cfg.compute_parameters.data_assimilation_parameters
+    assert dap.reservoir_da is None or dap.reservoir_da.reservoir_rfc_da \
+        is None

@@ -434,7 +434,9 @@ def main_v04(argv=None) -> dict:
     main_start = time.time()
 
     base = Path(args.config).parent
-    cfg = load_config(args.config)
+    # -V3 engages reference-exact v3 key normalization; without it, v3
+    # keys still map but with a logged warning (schema.load_config)
+    cfg = load_config(args.config, v3=True if args.v3 else None)
     _configure_logging(cfg, base)
     fp = cfg.compute_parameters.forcing_parameters
     if args.async_io:

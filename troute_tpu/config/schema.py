@@ -315,7 +315,8 @@ class Config(_Permissive):
         return [p for p in out if p]
 
 
-def normalize_v3_keys(data: dict) -> dict:
+def normalize_v3_keys(data: dict, strict_v3: bool = False,
+                      mapped: list | None = None) -> dict:
     """Map v3-era control-file keys onto their v4 shapes, in place.
 
     The reference's v3 entry point consumes these keys directly
@@ -329,16 +330,34 @@ def normalize_v3_keys(data: dict) -> dict:
     - ``data_assimilation_parameters.lastobs_output_folder`` ->
       ``streamflow_da.lastobs_output_folder``
     - flat ``reservoir_da.reservoir_persistence_usgs/usace`` ->
-      ``reservoir_da.reservoir_persistence_da.*``
+      ``reservoir_da.reservoir_persistence_da.*`` (carrying any flat
+      ``crosswalk_*`` field-name overrides, which the reference reads
+      from the flat block; ``preprocess.py:315-318``)
     - ``reservoir_da.gage_lakeID_crosswalk_file`` ->
       ``reservoir_da.reservoir_parameter_file`` (the v4 name for the same
       reservoir_index file; reference ``DataAssimilation.py:1277``)
     - ``waterbody_parameters.rfc`` block ->
-      ``reservoir_da.reservoir_rfc_da`` (+ ``reservoir_parameter_file``
-      fallback; reference ``input.py:520-540``)
+      ``reservoir_da.reservoir_rfc_da``; this applies even when the
+      ``reservoir_da:`` mapping is explicitly null (children commented
+      out) — the reference engages RFC DA independently of reservoir_da
+      presence (``preprocess.py:293-303``).
+
+    ``reservoir_parameter_file`` precedence: with ``strict_v3`` the rfc
+    block wins whenever it exists, even clobbering the crosswalk-derived
+    value with None — exactly the reference's v3 path
+    (``preprocess.py:294-299`` overwrites ``param_file`` with
+    ``rfc_params.get('reservoir_parameter_file', None)``).  Without
+    ``strict_v3`` (mixed/auto loading) the rfc value only wins when the
+    key is actually present in the rfc block, so a v4 config's explicit
+    reservoir_da settings survive a stale commented-down rfc block.
+
+    ``mapped`` (optional list) collects a description of every key this
+    call actually rewrote, so callers can surface mixed v3/v4 configs.
     """
     if not isinstance(data, dict):
         return data
+    if mapped is None:
+        mapped = []
 
     def sub(d, k):
         v = d.get(k) if isinstance(d, dict) else None
@@ -346,8 +365,9 @@ def normalize_v3_keys(data: dict) -> dict:
 
     sp = sub(sub(data, "network_topology_parameters"),
              "supernetwork_parameters")
-    if sp and sp.get("geo_file_type"):
-        sp.setdefault("network_type", str(sp["geo_file_type"]))
+    if sp and sp.get("geo_file_type") and "network_type" not in sp:
+        sp["network_type"] = str(sp["geo_file_type"])
+        mapped.append("geo_file_type -> network_type")
 
     cp = sub(data, "compute_parameters")
     dap = sub(cp, "data_assimilation_parameters")
@@ -355,31 +375,45 @@ def normalize_v3_keys(data: dict) -> dict:
         return data
     sda = sub(dap, "streamflow_da")
     if sda is not None:
-        if sda.get("wrf_hydro_lastobs_file"):
-            sda.setdefault("lastobs_file", sda["wrf_hydro_lastobs_file"])
-        if dap.get("lastobs_output_folder"):
-            sda.setdefault("lastobs_output_folder",
-                           dap["lastobs_output_folder"])
+        if sda.get("wrf_hydro_lastobs_file") and "lastobs_file" not in sda:
+            sda["lastobs_file"] = sda["wrf_hydro_lastobs_file"]
+            mapped.append("wrf_hydro_lastobs_file -> lastobs_file")
+        if dap.get("lastobs_output_folder") \
+                and "lastobs_output_folder" not in sda:
+            sda["lastobs_output_folder"] = dap["lastobs_output_folder"]
+            mapped.append("lastobs_output_folder -> streamflow_da")
 
     rfc_wb = sub(sub(sub(data, "network_topology_parameters"),
                      "waterbody_parameters"), "rfc")
     rda = sub(dap, "reservoir_da")
-    if rda is None and rfc_wb is not None \
-            and "reservoir_da" not in dap:
+    # also replaces an explicitly-null ``reservoir_da:`` mapping — the
+    # common all-children-commented-out YAML idiom — so the rfc block
+    # still engages (reference preprocess.py:293-303)
+    if rda is None and rfc_wb is not None:
         rda = dap["reservoir_da"] = {}
     if rda is not None:
         flat = ("reservoir_persistence_usgs" in rda
                 or "reservoir_persistence_usace" in rda)
         if flat and "reservoir_persistence_da" not in rda:
-            rda["reservoir_persistence_da"] = {
+            pda = {
                 "reservoir_persistence_usgs":
                     rda.get("reservoir_persistence_usgs", False),
                 "reservoir_persistence_usace":
                     rda.get("reservoir_persistence_usace", False),
             }
-        if rda.get("gage_lakeID_crosswalk_file"):
-            rda.setdefault("reservoir_parameter_file",
-                           rda["gage_lakeID_crosswalk_file"])
+            # flat crosswalk field-name overrides ride along (the
+            # reference reads them off the flat v3 block,
+            # preprocess.py:315-318)
+            pda.update({k: v for k, v in rda.items()
+                        if k.startswith("crosswalk_")})
+            rda["reservoir_persistence_da"] = pda
+            mapped.append("flat reservoir_da -> reservoir_persistence_da")
+        if rda.get("gage_lakeID_crosswalk_file") \
+                and "reservoir_parameter_file" not in rda:
+            rda["reservoir_parameter_file"] = \
+                rda["gage_lakeID_crosswalk_file"]
+            mapped.append(
+                "gage_lakeID_crosswalk_file -> reservoir_parameter_file")
         if rfc_wb is not None:
             if "reservoir_rfc_forecasts" in rfc_wb \
                     and "reservoir_rfc_da" not in rda:
@@ -391,18 +425,45 @@ def normalize_v3_keys(data: dict) -> dict:
                         "reservoir_rfc_forecasts_offset_hours",
                         "reservoir_rfc_forecast_persist_days",
                     ) if k in rfc_wb}
-            if rfc_wb.get("reservoir_parameter_file"):
-                rda.setdefault("reservoir_parameter_file",
-                               rfc_wb["reservoir_parameter_file"])
+                mapped.append("waterbody_parameters.rfc -> reservoir_rfc_da")
+            # rfc-block precedence — see the docstring
+            if strict_v3:
+                if rda.get("reservoir_parameter_file") != \
+                        rfc_wb.get("reservoir_parameter_file"):
+                    mapped.append("rfc.reservoir_parameter_file override")
+                rda["reservoir_parameter_file"] = \
+                    rfc_wb.get("reservoir_parameter_file")
+            elif "reservoir_parameter_file" in rfc_wb:
+                if rda.get("reservoir_parameter_file") not in (
+                        None, rfc_wb["reservoir_parameter_file"]):
+                    mapped.append("rfc.reservoir_parameter_file override")
+                rda["reservoir_parameter_file"] = \
+                    rfc_wb["reservoir_parameter_file"]
     return data
 
 
-def load_config(path, strict: bool = False) -> Config:
-    """Load and validate a YAML control file (reference CLI entry parity)."""
+def load_config(path, strict: bool = False,
+                v3: bool | None = None) -> Config:
+    """Load and validate a YAML control file (reference CLI entry parity).
+
+    ``v3`` gates v3-era key normalization: True = normalize with the
+    reference's exact v3 precedence; False = v4-only (v3 keys ignored,
+    like the reference's ``main_v04``); None (default) = normalize
+    permissively and log a warning when any v3 keys were actually mapped,
+    so mixed configs are visible.
+    """
     path = Path(path)
     with open(path) as f:
         data = yaml.safe_load(f)
-    data = normalize_v3_keys(data)
+    if v3 is not False:
+        mapped: list = []
+        data = normalize_v3_keys(data, strict_v3=bool(v3), mapped=mapped)
+        if v3 is None and mapped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "config %s carries v3-era keys, normalized to v4 shapes: "
+                "%s (pass -V3 / v3=True to silence)", path,
+                "; ".join(mapped))
     if strict:
         return Config.with_strict_mode(data, path.parent)
     return Config.model_validate(data)
