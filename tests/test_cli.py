@@ -71,7 +71,8 @@ def test_cli_end_to_end(lc_config, tmp_path):
     stream = [p for p in ncs if "troute_output" in p.name]
     assert len(stream) == 3 and len(ncs) == 4
     with h5py.File(next(p for p in ncs if "chanobs" in p.name)) as f:
-        assert f["streamflow"].shape == (76, 36)
+        # reference layout: [time, feature_id] (nhd_io.py:630-636)
+        assert f["streamflow"].shape == (36, 76)
     with h5py.File(stream[0]) as f:
         assert f["flow"].shape == (10907, 1)
         assert np.isfinite(f["flow"][...]).all()
@@ -288,6 +289,37 @@ def test_cli_multiple_run_sets(lc_config, tmp_path):
     assert one["fvd"].shape == split["fvd"].shape == (36, 10907, 3)
     np.testing.assert_allclose(split["fvd"], one["fvd"], rtol=1e-6,
                                atol=1e-6)
+
+
+def test_cli_chanobs_filepath_appends_across_run_sets(lc_config, tmp_path):
+    """A configured chanobs_filepath is a fixed file consecutive forecast
+    cycles append to along the unlimited time axis (reference
+    output.py:529-542 -> nhd_io.write_chanobs create-or-append,
+    nhd_io.py:645-667)."""
+    import copy
+
+    base_cfg = yaml.safe_load(open(lc_config))
+    cfg = copy.deepcopy(base_cfg)
+    cfg["compute_parameters"]["forcing_parameters"]["max_loop_size"] = 1.0
+    cfg["output_parameters"] = {
+        "chanobs_output": {
+            "chanobs_output_directory": str(tmp_path / "out2"),
+            "chanobs_filepath": "chanobs.nc",
+        },
+    }
+    p = tmp_path / "cfg_chanobs.yaml"
+    yaml.safe_dump(cfg, open(p, "w"))
+    res = main_v04(["-f", str(p)])
+    fvd = res["fvd"]
+    with h5py.File(tmp_path / "out2" / "chanobs.nc") as f:
+        q = f["time"].shape[0]
+        assert q == 36                       # 3 run sets x 12 steps appended
+        assert f["streamflow"].shape[0] == 36
+        assert np.all(np.diff(f["time"][...]) == 5)   # 300 s in minutes
+        flows = f["streamflow"][...]
+    assert np.isfinite(flows).all()
+    # the appended rows are the per-set gage flows in order
+    assert fvd.shape[0] == 36
 
 
 def test_cli_explicit_forcing_sets(lc_config, tmp_path):

@@ -73,3 +73,83 @@ def test_lite_restart_roundtrip(tmp_path):
     np.testing.assert_allclose(wbr["h0"].to_numpy(), [9.1])
     # the caller's frames must not be mutated
     assert "time" not in q0.columns and "time" not in wb.columns
+
+
+def _write_chrtout_like(path, fids, arrays, times=None):
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f.create_dataset("feature_id", data=np.asarray(fids, np.int64))
+        for name, arr in arrays.items():
+            f.create_dataset(name, data=np.asarray(arr, np.float64))
+        if times is not None:
+            f.create_dataset("time", data=np.asarray(times, np.float64))
+
+
+def test_read_qlat_wrf_hydro_mf_multitime(tmp_path):
+    """WRF-Hydro output multifile qlat (reference
+    nhd_io.get_ql_from_wrf_hydro_mf, nhd_io.py:437-512): files carry
+    [time, N] variables, concatenate along time ordered by the time
+    coordinate, value_col preferred over the bucket+runoff sum."""
+    from troute_tpu.io.forcing import (read_qlat_chrtout,
+                                       read_qlat_wrf_hydro_mf)
+
+    fids = [30, 10, 20]
+    # file 2 written first but holds LATER times -> must sort after file 1
+    f1 = tmp_path / "b_CHRTOUT"
+    f2 = tmp_path / "a_CHRTOUT"
+    _write_chrtout_like(
+        f1, fids, {"q_lateral": [[3.0, 1.0, 2.0], [6.0, 4.0, 5.0]],
+                   # distractor variables must lose to q_lateral here
+                   "qBucket": [[9.0] * 3] * 2,
+                   "qSfcLatRunoff": [[9.0] * 3] * 2},
+        times=[100.0, 200.0])
+    _write_chrtout_like(
+        f2, fids, {"q_lateral": [[9.0, 7.0, 8.0]]}, times=[300.0])
+
+    seg = np.array([10, 20, 30, 99])          # 99 absent -> 0
+    ql = read_qlat_wrf_hydro_mf([f2, f1], seg)
+    assert ql.shape == (3, 4)
+    np.testing.assert_allclose(ql[0], [1.0, 2.0, 3.0, 0.0])
+    np.testing.assert_allclose(ql[1], [4.0, 5.0, 6.0, 0.0])
+    np.testing.assert_allclose(ql[2], [7.0, 8.0, 9.0, 0.0])
+
+    # the generic CHRTOUT reader auto-delegates on 2-D variables
+    ql2 = read_qlat_chrtout([f2, f1], seg)
+    np.testing.assert_allclose(ql2, ql)
+
+
+def test_read_qlat_wrf_hydro_mf_bucket_fallback(tmp_path):
+    """Without value_col, the mf reader sums qBucket + qSfcLatRunoff
+    (reference nhd_io.py:488-492)."""
+    from troute_tpu.io.forcing import read_qlat_wrf_hydro_mf
+
+    f1 = tmp_path / "CHRTOUT0"
+    _write_chrtout_like(f1, [1, 2], {"qBucket": [[0.5, 1.5]],
+                                     "qSfcLatRunoff": [[0.25, 0.75]]})
+    ql = read_qlat_wrf_hydro_mf([f1], np.array([1, 2]))
+    np.testing.assert_allclose(ql, [[0.75, 2.25]])
+
+
+def test_chanobs_append(tmp_path):
+    """write_chanobs_nc appends along the unlimited time axis when the
+    file exists (reference nhd_io.write_chanobs, nhd_io.py:645-667)."""
+    import h5py
+
+    from troute_tpu.io.output import write_chanobs_nc
+
+    t0 = pd.Timestamp("2021-08-23 13:00:00")
+    fvd = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3)
+    p = tmp_path / "chanobs.nc"
+    write_chanobs_nc(p, ["a", "b", "c"], [11, 22, 33], fvd, t0, 300.0)
+    t1 = t0 + pd.Timedelta(seconds=600)
+    write_chanobs_nc(p, ["a", "b", "c"], [11, 22, 33], fvd + 100.0, t1,
+                     300.0)
+    with h5py.File(p) as f:
+        assert f["streamflow"].shape == (4, 3)
+        q = f["streamflow"][...]
+        t = f["time"][...]
+    np.testing.assert_allclose(q[:2, 0], [0.0, 9.0])
+    np.testing.assert_allclose(q[2:, 0], [100.0, 109.0])
+    # contiguous 5-minute stamps across the append boundary
+    assert np.all(np.diff(t) == 5)

@@ -998,10 +998,19 @@ def main_v04(argv=None) -> dict:
             and built.gage_rows.size:
         out_dir = base / op.chanobs_output.chanobs_output_directory
         out_dir.mkdir(parents=True, exist_ok=True)
-        p = out_dir / f"chanobs_{t0.strftime('%Y%m%d%H%M')}.nc"
+        # a configured chanobs_filepath is a FIXED file that consecutive
+        # forecast cycles append to (reference output.py:529-542 +
+        # nhd_io.write_chanobs create-or-append); otherwise one fresh
+        # timestamped file per run
+        if op.chanobs_output.chanobs_filepath:
+            p = out_dir / op.chanobs_output.chanobs_filepath
+            append = True
+        else:
+            p = out_dir / f"chanobs_{t0.strftime('%Y%m%d%H%M')}.nc"
+            append = False
         written.append(write_chanobs_nc(
             p, built.gage_ids, topo.ids[built.gage_rows],
-            fvd[:, built.gage_rows], t0, dt))
+            fvd[:, built.gage_rows], t0, dt, append=append))
     if op.parquet_output and op.parquet_output.get("parquet_output_folder"):
         from troute_tpu.io.output import flowveldepth_dataframe
         out_dir = base / op.parquet_output["parquet_output_folder"]

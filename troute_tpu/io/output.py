@@ -85,23 +85,65 @@ def write_stream_output_nc(path, ids, fvd, t0, dt):
     return path
 
 
-def write_chanobs_nc(path, gage_ids, gage_feature_ids, fvd_at_gages, t0, dt):
-    """Modeled flow at gage locations (chanobs equivalent)."""
-    q = np.asarray(fvd_at_gages)[:, :, 0]
+_EPOCH = np.datetime64("1970-01-01T00:00:00")
+
+
+def write_chanobs_nc(path, gage_ids, gage_feature_ids, fvd_at_gages, t0,
+                     dt, append: bool = True):
+    """Modeled flow at gage locations (chanobs equivalent).
+
+    Matches the reference layout (``nhd_io.write_chanobs``,
+    ``nhd_io.py:516-667``): ``streamflow`` is [time, feature_id] with an
+    UNLIMITED time axis in minutes since the 1970 epoch, so consecutive
+    forecast cycles writing to the same ``chanobs_filepath`` APPEND along
+    time (create-if-missing, append-if-exists) exactly like the
+    reference.  ``append=False`` always writes a fresh file.
+    """
+    import h5py
+
+    q = np.asarray(fvd_at_gages)[:, :, 0].astype(np.float32)  # [nts, n_g]
     nts = q.shape[0]
-    times = (np.arange(1, nts + 1) * dt).astype(np.int64)
-    write_netcdf(
-        path,
-        variables={
-            "feature_id": np.asarray(gage_feature_ids, np.int64),
-            "time": times,
-            "streamflow": q.T.astype(np.float32),
-        },
-        dims={"streamflow": ("feature_id", "time")},
-        attrs={"time": {"units": "seconds since %s"
-                        % t0.strftime("%Y-%m-%d %H:%M:%S")},
-               "streamflow": {"units": "m3 s-1"}},
-        global_attrs={"TITLE": "troute_tpu chanobs"})
+    t0_min = (np.datetime64(t0) - _EPOCH) / np.timedelta64(1, "m")
+    times = (t0_min + np.arange(1, nts + 1) * (dt / 60.0)).astype(np.int32)
+
+    import os
+    if append and os.path.exists(path):
+        # append along the unlimited time axis (reference
+        # nhd_io.py:645-667)
+        with h5py.File(path, "r+") as f:
+            tshape = f["time"].shape[0]
+            f["time"].resize((tshape + nts,))
+            f["time"][tshape:] = times
+            f["streamflow"].resize((tshape + nts,
+                                    f["streamflow"].shape[1]))
+            f["streamflow"][tshape:] = q
+        return path
+
+    with h5py.File(path, "w") as f:
+        fid = f.create_dataset(
+            "feature_id", data=np.asarray(gage_feature_ids, np.int64))
+        fid.attrs["long_name"] = "Reach ID"
+        fid.make_scale("feature_id")
+        tvar = f.create_dataset("time", data=times, maxshape=(None,),
+                                chunks=(max(nts, 1),))
+        tvar.attrs["long_name"] = "model initialization time"
+        tvar.attrs["standard_name"] = "forecast_reference_time"
+        tvar.attrs["units"] = "minutes since 1970-01-01 00:00:00 UTC"
+        tvar.make_scale("time")
+        ref = f.create_dataset(
+            "reference_time", data=np.asarray([t0_min], np.int32))
+        ref.attrs["long_name"] = "vaild output time"
+        ref.attrs["standard_name"] = "time"
+        ref.attrs["units"] = "minutes since 1970-01-01 00:00:00 UTC"
+        y = f.create_dataset(
+            "streamflow", data=q, maxshape=(None, q.shape[1]),
+            chunks=(max(nts, 1), max(q.shape[1], 1)), fillvalue=np.nan)
+        y.attrs["units"] = "m3 s-1"
+        y.dims[0].attach_scale(tvar)
+        y.dims[1].attach_scale(fid)
+        f.attrs["TITLE"] = "troute_tpu chanobs"
+        f.attrs["model_initialization_time"] = \
+            t0.strftime("%Y-%m-%d_%H:%M:%S")
     return path
 
 
