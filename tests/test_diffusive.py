@@ -233,3 +233,24 @@ def test_xsec_table_jax_matches_numpy():
     np.testing.assert_allclose(np.asarray(t_jx), t_np, rtol=1e-9,
                                atol=1e-9)
     np.testing.assert_allclose(z_jx, z_np)
+
+
+def test_xsec_tables_finite_at_high_elevation_f32():
+    """f32 cannot resolve the row-0 probe offset (z_notch + 1e-5) once
+    |z| > ~84 m; the dry first row must degrade to the main-channel
+    roughness, not 1/sqrt(0) = inf in the SKK column (regression: CONUS-
+    scale f32 builds carried inf at deep-tree reaches, which the uniform
+    resampled tables then spread into every fetch)."""
+    from troute_tpu.diffusive.xsection import (build_xsec_tables,
+                                               build_xsec_tables_jax)
+
+    Z = np.linspace(130.0, 140.0, 16)[None].repeat(4, 0)
+    ones = np.ones((4, 16))
+    tab32, _ = build_xsec_tables_jax(Z, 20 * ones, ones, 60 * ones,
+                                     180 * ones, 0.035 * ones, 0.07 * ones,
+                                     1500 * ones, dtype=jnp.float32)
+    assert bool(jnp.isfinite(tab32).all())
+    tab_np, _ = build_xsec_tables(np.asarray(Z, np.float32), 20 * ones,
+                                  ones, 60 * ones, 180 * ones,
+                                  0.035 * ones, 0.07 * ones, 1500 * ones)
+    assert np.isfinite(tab_np).all()

@@ -64,4 +64,7 @@ def test_parity_vs_nwm_chrtout(tmp_path):
     seg = res["built"].segment_rows
     stats = parity_check(sim_q[:, seg], ref_q[:, seg])
     assert stats["n"] > 90_000
-    assert stats["median_rel_err"] < 0.2, stats
+    # measured 2026-08: median 0.103, p90 0.952 — asserted with margin so
+    # real-output parity can only improve, never silently regress
+    assert stats["median_rel_err"] < 0.13, stats
+    assert stats["p90_rel_err"] < 1.15, stats

@@ -854,7 +854,7 @@ def main_v04(argv=None) -> dict:
             doms = [hyb.build_diffusive_domain(
                         qlat_rows, dt_qlat=dt * qts, trib_q=trib_q,
                         dt_trib=dt, dtini=dt, dtype=diff_dtype,
-                        reach_idx=g)
+                        reach_idx=g, nel_uniform=hp.diffusive_table_nel)
                     for g in groups]
             bdom = stack_domains(doms)
             B, Rb, Cb = bdom.z.shape
@@ -894,7 +894,8 @@ def main_v04(argv=None) -> dict:
         else:
             dom = hyb.build_diffusive_domain(
                 qlat_rows, dt_qlat=dt * qts, trib_q=trib_q, dt_trib=dt,
-                dtini=dt, dtype=diff_dtype)
+                dtini=dt, dtype=diff_dtype,
+                nel_uniform=hp.diffusive_table_nel)
             q_init = jnp.maximum(
                 jnp.full((dom.n_reaches, dom.n_cols), q0val,
                          diff_dtype), 0.1)

@@ -135,6 +135,14 @@ class HybridParameters(_Permissive):
     # merged single-[R, C] form (all tailwaters coupled to the global
     # most-restrictive dt).  Single-tailwater domains are unaffected.
     diffusive_batching: str = "auto"
+    # When set (e.g. 128), resample the hot lookup-table columns onto
+    # per-node uniform elevation grids of this many entries — the jacobi
+    # corrector's table fetches become index arithmetic + short one-hot
+    # passes instead of searches over the 501-entry non-uniform grid
+    # (~5-10x diffusive throughput on TPU; accuracy study in
+    # tests/test_diffusive_uniform.py: q within ~0.6% at 128 on the
+    # junction fixture).  None (default) = exact reference-parity lookups.
+    diffusive_table_nel: Optional[int] = None
 
     @model_validator(mode="after")
     def _check_domain(self):

@@ -23,7 +23,8 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
                  dtini_given: float, dtype=jnp.float64,
                  natural_xsec: dict | None = None,
                  db_depth: np.ndarray | None = None,
-                 dt_db: float = 3600.0) -> DiffusiveDomain:
+                 dt_db: float = 3600.0,
+                 nel_uniform: int | None = None) -> DiffusiveDomain:
     """Assemble a DiffusiveDomain.
 
     Args:
@@ -39,6 +40,10 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
             bottom nodes (coastal dsbc_option == 1); NaN rows use the
             normal-depth boundary. None -> normal depth everywhere.
         dt_db: boundary series timestep (s), series starting at t = 0
+        nel_uniform: when set, attach uniform-elevation-grid resampled
+            tables of this resolution (``solver.attach_uniform_tables``)
+            — the jacobi corrector's fast path; None = exact 501-entry
+            lookups (reference parity)
     """
     R = len(reach_nodes)
     ncomp = np.array([len(r["z"]) for r in reach_nodes], np.int32)
@@ -139,7 +144,7 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
     if trib_series is None:
         trib_series = np.zeros((2, R))
 
-    return DiffusiveDomain(
+    dom = DiffusiveDomain(
         z=jnp.asarray(z_adj, dtype),
         dx=jnp.asarray(dx, dtype),
         ncomp=jnp.asarray(ncomp),
@@ -160,6 +165,10 @@ def build_domain(reach_nodes: Sequence[dict], ds_reach: Sequence[int],
         dt_db=float(dt_db),
         xsec_min=jnp.asarray(tab.min(axis=-1), dtype),
     )
+    if nel_uniform:
+        from troute_tpu.diffusive.solver import attach_uniform_tables
+        dom = attach_uniform_tables(dom, nel_u=int(nel_uniform))
+    return dom
 
 
 def _extend_series(arr, n_t: int):
@@ -274,7 +283,7 @@ def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
         a = jnp.stack([p[key] for p in padded])
         return a.astype(out_dtype if out_dtype is not None else dtype)
 
-    return DiffusiveDomain(
+    out = DiffusiveDomain(
         z=stk("z"), dx=stk("dx"),
         ncomp=stk("ncomp", jnp.int32), head_col=stk("head_col", jnp.int32),
         valid=stk("valid", bool), xsec=stk("xsec"),
@@ -287,6 +296,13 @@ def stack_domains(doms: Sequence[DiffusiveDomain]) -> "DiffusiveDomain":
         db_depth=stk("db_depth"), dt_db=d0.dt_db,
         xsec_min=stk("xsec_min"),
     )
+    if any(d.utab is not None for d in doms):
+        # uniform tables are re-derived post-stack (padding a resampled
+        # grid would shift its lo/step; re-resampling is exact and cheap)
+        from troute_tpu.diffusive.solver import attach_uniform_tables
+        nel_u = max(d.utab.shape[-1] for d in doms if d.utab is not None)
+        out = attach_uniform_tables(out, nel_u=nel_u)
+    return out
 
 
 def stack_states(sts, doms: Sequence[DiffusiveDomain], C: int, R: int):

@@ -47,6 +47,11 @@ DTINI_DIVISOR = 10.0
 COL_ELEV, COL_AREA, COL_PERI, COL_RADI, COL_CONV, COL_TOPW = 0, 1, 2, 3, 4, 5
 COL_I1, COL_DPDA, COL_DKDA, COL_UNIFORM, COL_SKK = 6, 7, 8, 9, 10
 
+# columns of the resampled uniform-elevation-grid table (``utab``) — the
+# ones the jacobi corrector fetches per Newton iteration / hydraulics pass
+UCOL_CONV, UCOL_DKDA, UCOL_TOPW, UCOL_SKK = 0, 1, 2, 3
+NEL_UNIFORM = 128
+
 
 class DiffusiveDomain(NamedTuple):
     """Static domain arrays (device).  [R, C] node arrays right-aligned."""
@@ -82,6 +87,17 @@ class DiffusiveDomain(NamedTuple):
     # hit at perched junctions where a reach bottom sits above the
     # downstream head's surface.  None -> computed on the fly.
     xsec_min: jax.Array | None = None
+    # Uniform-elevation-grid resampled table (``attach_uniform_tables``):
+    # the jacobi corrector's per-Newton-iteration fetches become pure
+    # index arithmetic + short one-hot passes over nel_u entries instead
+    # of searches + passes over the 501-entry non-uniform grid — the
+    # memory traffic that bounds diffusive throughput on TPU (per-lane
+    # gathers being poison, one-hot passes are the only fetch).  None ->
+    # exact 501-entry lookups everywhere (reference parity mode).
+    utab: jax.Array | None = None        # [R, C, 4, nel_u] CONV/DKDA/TOPW/SKK
+    ugrid_lo: jax.Array | None = None    # [R, C] grid bottom elevation
+    ugrid_step: jax.Array | None = None  # [R, C] grid spacing
+    utab_min: jax.Array | None = None    # [R, C, 4] below-range values
 
     @property
     def n_reaches(self):
@@ -128,6 +144,117 @@ def _fetch_last(arr, idx):
     k = jax.lax.broadcasted_iota(jnp.int32, arr.shape, arr.ndim - 1)
     sel = k == idx[..., None]
     return jnp.where(sel, arr, jnp.zeros_like(arr)).sum(-1)
+
+
+def _uinterp(utab, lo, step, x, cols, umin):
+    """Uniform-grid linear interpolation with r_interpol edge semantics.
+
+    ``utab`` [..., n_ucols, nel_u] node tables; ``lo``/``step``/``x``
+    [...]; ``cols`` the UCOL_* indices to fetch.  The bracket index is
+    pure arithmetic (no search) and the two bracket reads collapse into
+    ONE weighted one-hot pass per column: sel = (k==idx)·(1-w) +
+    (k==idx+1)·w sums to the interpolated value, and above-range lanes
+    (w > 1 at idx = nel_u-2) extrapolate along the last segment exactly
+    like the reference ``r_interpol`` (diffusive.f90:2553-2594).
+    Below-range lanes return the column minimum, also per r_interpol.
+    """
+    nel_u = utab.shape[-1]
+    pos = (x - lo) / step
+    idx = jnp.clip(jnp.floor(pos), 0, nel_u - 2).astype(jnp.int32)
+    w = pos - idx
+    k = jax.lax.broadcasted_iota(jnp.int32, x.shape + (nel_u,), x.ndim)
+    sel = jnp.where(k == idx[..., None], 1.0 - w[..., None], 0.0) \
+        + jnp.where(k == idx[..., None] + 1, w[..., None], 0.0)
+    below = (x < lo)[..., None]
+    out = []
+    for c in cols:
+        v = (sel * utab[..., c, :]).sum(-1)
+        out.append(jnp.where(below[..., 0], umin[..., c], v))
+    return out
+
+
+def attach_uniform_tables(dom: DiffusiveDomain,
+                          nel_u: int = NEL_UNIFORM,
+                          chunk: int = 256) -> DiffusiveDomain:
+    """Resample the hot table columns onto per-node uniform elevation
+    grids (device-side, chunked over reaches so no [.., nel_u, nel]
+    broadcast ever exceeds a few hundred MB).
+
+    The resampled table is a piecewise-linear re-sampling of the original
+    piecewise-linear table: the only error is grid resolution (measured
+    accuracy study in ``tests/test_diffusive_uniform.py`` / docs).  The
+    grid spans the original table's full elevation range.
+    """
+    xs = dom.xsec
+    batched = xs.ndim == 5
+    if batched:
+        B, R, C = xs.shape[:3]
+        xs2 = xs.reshape(B * R, *xs.shape[2:])
+    else:
+        R, C = xs.shape[:2]
+        xs2 = xs
+    n_rows = xs2.shape[0]
+    dtype = xs.dtype
+    cols = (COL_CONV, COL_DKDA, COL_TOPW, COL_SKK)
+
+    @functools.partial(jax.jit, static_argnames=("nel_u_",))
+    def _resample(tab, nel_u_):
+        el = tab[:, :, COL_ELEV, :]                      # [r, C, nel]
+        nel = el.shape[-1]
+        lo = el[..., 0]
+        hi = el[..., -1]
+        step = (hi - lo) / (nel_u_ - 1)
+        tgt = lo[..., None] + step[..., None] \
+            * jnp.arange(nel_u_, dtype=tab.dtype)        # [r, C, nel_u]
+        # exact bracket on the original (sorted) grid: compare-all, then
+        # one-hot fetches XLA fuses (no [.., nel_u, nel] materialization;
+        # per-lane gathers are poison off-CPU)
+        idx = jnp.clip(
+            (el[..., None, :] <= tgt[..., None]).sum(-1) - 1,
+            0, nel - 2)                                  # [r, C, nel_u]
+
+        def fetch(v, i):
+            if jax.default_backend() == "cpu":
+                return jnp.take_along_axis(v, i, -1)
+            k = jax.lax.broadcasted_iota(jnp.int32, i.shape + (nel,),
+                                         i.ndim)
+            return jnp.where(k == i[..., None], v[..., None, :],
+                             0.0).sum(-1)
+
+        idx2 = jnp.minimum(idx + 1, nel - 1)
+        g1 = fetch(el, idx)
+        g2 = fetch(el, idx2)
+        w = (tgt - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
+        outs = []
+        for c in cols:
+            v = tab[:, :, c, :]
+            v1 = fetch(v, idx)
+            v2 = fetch(v, idx2)
+            outs.append(v1 + (v2 - v1) * w)
+        ut = jnp.stack(outs, axis=-2)                    # [r, C, 4, nel_u]
+        umin = jnp.stack([tab[:, :, c, :].min(-1) for c in cols], -1)
+        return ut, lo, step, umin
+
+    if jax.default_backend() != "cpu":
+        chunk = min(chunk, 64)
+    uts, los, steps, umins = [], [], [], []
+    for s in range(0, n_rows, chunk):
+        t, lo, st, um = _resample(xs2[s:s + chunk], int(nel_u))
+        uts.append(t)
+        los.append(lo)
+        steps.append(st)
+        umins.append(um)
+    utab = jnp.concatenate(uts).astype(dtype)
+    lo = jnp.concatenate(los).astype(dtype)
+    step = jnp.concatenate(steps).astype(dtype)
+    umin = jnp.concatenate(umins).astype(dtype)
+    if batched:
+        utab = utab.reshape(B, R, C, len(cols), nel_u)
+        lo = lo.reshape(B, R, C)
+        step = step.reshape(B, R, C)
+        umin = umin.reshape(B, R, C, len(cols))
+    return dom._replace(utab=utab, ugrid_lo=lo, ugrid_step=step,
+                        utab_min=umin)
 
 
 def _table_interp(xsec, xcol, ycol, x):
@@ -333,7 +460,8 @@ def _vsearch_right():
 
 
 def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
-                z_ds, dx_cur, y_old_depth, active=None, grids=None):
+                z_ds, dx_cur, y_old_depth, active=None, grids=None,
+                ugrids=None):
     """Vectorized Newton/bisection depth solve
     (reference ``rtsafe``/``funcd_diffdepth``, diffusive.f90:1568-1711).
 
@@ -347,6 +475,13 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     inactive lanes start converged so the early-exit while loop is paced
     by real work only (the node wavefront typically has 1-3 active
     reaches per step).
+
+    ``ugrids`` (uniform-table fast path, see ``attach_uniform_tables``):
+    (lo_cur, step_cur, utab_cur [P, 4, nel_u], umin_cur [P, 4], lo_ds,
+    step_ds, uconv_ds [P, nel_u], uconv_min_ds [P]) — the per-Newton-
+    iteration conveyance/dKdA/topwidth fetches become index arithmetic +
+    nel_u-length one-hot passes instead of 501-entry searches; only the
+    once-per-solve normal-depth lookup still reads the exact table.
     """
 
     vsearch = _vsearch_right()
@@ -356,10 +491,13 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     # substep and bracket values become fused one-hot reads — per-lane
     # 4-D advanced-index gathers per iteration are very slow on TPU
     col_grid = {}
-    if grids is not None and len(grids) > 3:
-        col_grid = {(0, COL_CONV): grids[3], (0, COL_DKDA): grids[4],
-                    (0, COL_TOPW): grids[5], (1, COL_CONV): grids[6],
-                    (0, COL_ELEV): grids[0]}
+    if grids is not None:
+        col_grid[(0, COL_ELEV)] = grids[0]
+        if len(grids) > 3:
+            col_grid.update({(0, COL_CONV): grids[3],
+                             (0, COL_DKDA): grids[4],
+                             (0, COL_TOPW): grids[5],
+                             (1, COL_CONV): grids[6]})
 
     def pt(which, col_of, c, idx):
         """(y1, y2) bracket values of table column c at grid idx;
@@ -383,11 +521,17 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
     y_ds = jnp.maximum(y_ds_elev - z_ds, 0.005)
     slope = jnp.maximum((z_cur - z_ds) / dx_cur, SO_LLM)
 
-    # the [R, nel] elevation/uniform grids are loop-invariant across
-    # jacobi sweeps — callers may precompute them once (``grids``)
-    el_ds_grid = (grids[1] if grids is not None
-                  else xsec[rr, ds_col, COL_ELEV, :])
-    conv_ds = tab(1, ds_col, el_ds_grid, COL_CONV, y_ds + z_ds)
+    if ugrids is not None:
+        (ulo, ustep, ucur, umin_cur, ulo_ds, ustep_ds, uconv_ds,
+         uconv_min_ds) = ugrids
+        conv_ds = _uinterp(uconv_ds[:, None, :], ulo_ds, ustep_ds,
+                           y_ds + z_ds, (0,), uconv_min_ds[:, None])[0]
+    else:
+        # the [R, nel] elevation/uniform grids are loop-invariant across
+        # jacobi sweeps — callers may precompute them once (``grids``)
+        el_ds_grid = (grids[1] if grids is not None
+                      else xsec[rr, ds_col, COL_ELEV, :])
+        conv_ds = tab(1, ds_col, el_ds_grid, COL_CONV, y_ds + z_ds)
     sf_ds = jnp.abs(q_ds) * q_ds / jnp.maximum(conv_ds, 1e-12) ** 2
 
     el_grid = (grids[0] if grids is not None
@@ -397,17 +541,23 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
         """Diffusive-momentum residual + derivative; one elevation-grid
         search shared by the conveyance/dKdA/topwidth interpolations."""
         elv = y_cur + z_cur
-        idx = jnp.clip(vsearch(el_grid, elv) - 1, 0, el_grid.shape[-1] - 2)
-
-        x1 = _fetch_last(el_grid, idx)
-        x2 = _fetch_last(el_grid, idx + 1)
-        w = (elv - x1) / jnp.where(x2 != x1, x2 - x1, 1.0)
-        c1, c2 = pt(0, cur_col, COL_CONV, idx)
-        conv = jnp.maximum(c1 + (c2 - c1) * w, 1e-12)
-        k1, k2 = pt(0, cur_col, COL_DKDA, idx)
-        dkda = k1 + (k2 - k1) * w
-        t1, t2 = pt(0, cur_col, COL_TOPW, idx)
-        topw = t1 + (t2 - t1) * w
+        if ugrids is not None:
+            conv, dkda, topw = _uinterp(
+                ucur, ulo, ustep, elv,
+                (UCOL_CONV, UCOL_DKDA, UCOL_TOPW), umin_cur)
+            conv = jnp.maximum(conv, 1e-12)
+        else:
+            idx = jnp.clip(vsearch(el_grid, elv) - 1, 0,
+                           el_grid.shape[-1] - 2)
+            x1 = _fetch_last(el_grid, idx)
+            x2 = _fetch_last(el_grid, idx + 1)
+            w = (elv - x1) / jnp.where(x2 != x1, x2 - x1, 1.0)
+            c1, c2 = pt(0, cur_col, COL_CONV, idx)
+            conv = jnp.maximum(c1 + (c2 - c1) * w, 1e-12)
+            k1, k2 = pt(0, cur_col, COL_DKDA, idx)
+            dkda = k1 + (k2 - k1) * w
+            t1, t2 = pt(0, cur_col, COL_TOPW, idx)
+            topw = t1 + (t2 - t1) * w
 
         sf_cur = jnp.abs(q_cur) * q_cur / conv ** 2
         f = y_cur - y_ds + slope * dx_cur \
@@ -677,89 +827,169 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype,
                                       signed_q=init_mode)
 
-    # flattened interior lanes: cur node (r, c), downstream node (r, c+1)
+    # Flattened interior lanes: cur node (r, c), downstream node (r, c+1).
+    # Every per-lane view is a STATIC slice + reshape ([:, :-1] = current,
+    # [:, 1:] = downstream): the equivalent advanced-index forms
+    # (xsec[rrf, curf, ...]) lower to per-lane dynamic gathers on TPU
+    # (~8 ns/element — ~120 ms per [P, 501] grid at mainstem scale),
+    # which dominated the whole corrector.
+    P = R * (C - 1)
+
+    def cur(a):
+        return a[:, :C - 1].reshape((P,) + a.shape[2:])
+
+    def dsv(a):
+        return a[:, 1:].reshape((P,) + a.shape[2:])
+
     rrf = jnp.repeat(jnp.arange(R), C - 1)
     curf = jnp.tile(jnp.arange(C - 1), R)
     dsf = curf + 1
-    interior = curf >= dom.head_col[rrf]
+    interior = (jnp.arange(C - 1)[None, :]
+                >= dom.head_col[:, None]).reshape(P)
 
     ds = dom.ds_reach
     ds_head_col = dom.head_col[jnp.maximum(ds, 0)]
-    z_cur = dom.z[rrf, curf]
-    z_ds = dom.z[rrf, dsf]
-    q_cur = qp[rrf, curf]
-    q_ds = qp[rrf, dsf]
-    dx_cur = dom.dx[rrf, curf]
-    y_old_depth = st.y[rrf, curf] - z_cur
+    z_cur = cur(dom.z)
+    z_ds = dsv(dom.z)
+    q_cur = cur(qp)
+    q_ds = dsv(qp)
+    dx_cur = cur(dom.dx)
+    y_old_depth = cur(st.y) - z_cur
     max_sweeps = int(dom.bwd_active.shape[0]) + 2
-    grids = (dom.xsec[rrf, curf, COL_ELEV, :],
-             dom.xsec[rrf, dsf, COL_ELEV, :],
-             dom.xsec[rrf, curf, COL_UNIFORM, :],
-             dom.xsec[rrf, curf, COL_CONV, :],
-             dom.xsec[rrf, curf, COL_DKDA, :],
-             dom.xsec[rrf, curf, COL_TOPW, :],
-             dom.xsec[rrf, dsf, COL_CONV, :])
+    xs_elev = dom.xsec[:, :, COL_ELEV, :]
+    if dom.utab is not None:
+        # uniform-table fast path: only the exact grids the once-per-solve
+        # normal-depth lookup needs are materialized at [P, nel]; every
+        # per-Newton-iteration fetch runs on the [P, 4, nel_u] resampled
+        # tables (index arithmetic, no search)
+        grids = (cur(xs_elev),
+                 None,
+                 cur(dom.xsec[:, :, COL_UNIFORM, :]))
+        ugrids = (cur(dom.ugrid_lo), cur(dom.ugrid_step),
+                  cur(dom.utab), cur(dom.utab_min),
+                  dsv(dom.ugrid_lo), dsv(dom.ugrid_step),
+                  dsv(dom.utab[:, :, UCOL_CONV, :]),
+                  dsv(dom.utab_min[:, :, UCOL_CONV]))
+    else:
+        grids = (cur(xs_elev),
+                 dsv(xs_elev),
+                 cur(dom.xsec[:, :, COL_UNIFORM, :]),
+                 cur(dom.xsec[:, :, COL_CONV, :]),
+                 cur(dom.xsec[:, :, COL_DKDA, :]),
+                 cur(dom.xsec[:, :, COL_TOPW, :]),
+                 dsv(dom.xsec[:, :, COL_CONV, :]))
+        ugrids = None
+
+    # Convergence floor: ``tol`` (1e-6 m) is unreachable in f32 once
+    # surface elevations sit at O(100 m) — eps(100 m) ~ 7.6e-6 — so
+    # without a floor every substep runs the sweep loop to the
+    # max_sweeps cap (measured: the f32 bench spent its whole budget
+    # there).  The iterate is converged once its changes fall below a
+    # few ulps of the largest surface value — the fixed point at the
+    # dtype's own resolution (~0.1 mm at f32/100 m).
+    eps4 = 4.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
     def sweep(carry):
-        y, _delta, k = carry
+        y, _delta, _ymax, k = carry
         y_junc = y[jnp.maximum(ds, 0), ds_head_col]
         y_bot = jnp.where(ds >= 0, y_junc, y_tw_const)
-        y1 = y.at[rr, C - 1].set(y_bot)
+        y1 = jnp.concatenate([y[:, :C - 1], y_bot[:, None]], axis=1)
         # init_mode warm start: the reach's (current-iterate) flat bottom
         # depth, like the reference init sweep (diffusive.f90:566-569)
-        y_old = ((y_bot - dom.z[:, C - 1])[rrf] if init_mode
+        y_old = (jnp.repeat(y_bot - dom.z[:, C - 1], C - 1) if init_mode
                  else y_old_depth)
         y_up = _rtsafe_vec(
-            dom.xsec, rrf, curf, dsf, y1[rrf, dsf], q_cur, q_ds,
+            dom.xsec, rrf, curf, dsf, dsv(y1), q_cur, q_ds,
             z_cur, z_ds, dx_cur, y_old, active=interior,
-            grids=grids)
+            grids=grids, ugrids=ugrids)
         elev_up = jnp.minimum(y_up + z_cur, 1.0e5)
-        new_vals = jnp.where(interior, elev_up, y1[rrf, curf])
-        y2 = y1.at[rrf, curf].set(new_vals)
+        new_vals = jnp.where(interior, elev_up, cur(y1))
+        y2 = jnp.concatenate([new_vals.reshape(R, C - 1), y1[:, -1:]],
+                             axis=1)
         delta = jnp.max(jnp.where(dom.valid, jnp.abs(y2 - y), 0.0))
-        return y2, delta, k + 1
+        ymax = jnp.max(jnp.where(dom.valid, jnp.abs(y2), 0.0))
+        return y2, delta, ymax, k + 1
 
-    newY, _, _ = jax.lax.while_loop(
-        lambda c: (c[2] < max_sweeps) & (c[1] > tol), sweep,
-        (st.y, jnp.asarray(jnp.inf, dtype), jnp.int32(0)))
+    def sweep_cond(c):
+        tol_eff = jnp.maximum(jnp.asarray(tol, dtype), eps4 * c[2])
+        return (c[3] < max_sweeps) & (c[1] > tol_eff)
+
+    newY, _, _, _ = jax.lax.while_loop(
+        sweep_cond, sweep,
+        (st.y, jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
+         jnp.int32(0)))
 
     # hydraulics at every valid node (identical formulas to the wavefront
-    # mode's node step), then reach-mean celerity/diffusivity
-    rrA = jnp.repeat(jnp.arange(R), C)
-    colA = jnp.tile(jnp.arange(C), R)
-    z_a = dom.z[rrA, colA]
-    y_a = newY[rrA, colA]
-    q_a = qp[rrA, colA]
-    el_a = dom.xsec[rrA, colA, COL_ELEV, :]
-    nel = el_a.shape[-1]
-    xmin = (dom.xsec_min if dom.xsec_min is not None
-            else dom.xsec.min(axis=-1))
-    xmin_a = xmin[rrA, colA]
-    vsearch = _vsearch_right()
+    # mode's node step), then reach-mean celerity/diffusivity — again all
+    # flat STATIC reshapes, never per-lane gathers
+    z_a = dom.z.reshape(R * C)
+    y_a = newY.reshape(R * C)
+    q_a = qp.reshape(R * C)
+    if dom.utab is not None:
+        lo_a = dom.ugrid_lo.reshape(R * C)
+        st_a = dom.ugrid_step.reshape(R * C)
+        ut_a = dom.utab.reshape(R * C, *dom.utab.shape[2:])
+        um_a = dom.utab_min.reshape(R * C, -1)
+        bo, sk = _uinterp(ut_a, lo_a, st_a, y_a, (UCOL_TOPW, UCOL_SKK),
+                          um_a)
+        bo = jnp.maximum(bo, 1e-12)
+        # conveyance interpolates against SQUARED depth (reference
+        # diffusive.f90:1437): the bracket index is still elevation
+        # arithmetic (the grid is monotone in depth), only the weight
+        # moves to d^2 space; within the 1-cm notch (bracket depth < 0,
+        # where d^2 is non-monotone) fall back to the linear weight
+        nel_u = ut_a.shape[-1]
+        pos = (y_a - lo_a) / st_a
+        idx = jnp.clip(jnp.floor(pos), 0, nel_u - 2).astype(jnp.int32)
+        w_lin = pos - idx
+        d1 = (lo_a - z_a) + idx * st_a
+        d2v = d1 + st_a
+        den = d2v ** 2 - d1 ** 2
+        depth = y_a - z_a
+        w_sq = jnp.where((d1 >= 0.0) & (den > 1e-30),
+                         (depth ** 2 - d1 ** 2)
+                         / jnp.where(den > 1e-30, den, 1.0), w_lin)
+        k_io = jax.lax.broadcasted_iota(jnp.int32, pos.shape + (nel_u,), 1)
+        sel = jnp.where(k_io == idx[:, None], 1.0 - w_sq[:, None], 0.0) \
+            + jnp.where(k_io == idx[:, None] + 1, w_sq[:, None], 0.0)
+        co = (sel * ut_a[:, UCOL_CONV, :]).sum(-1)
+        co = jnp.where(y_a < lo_a, um_a[:, UCOL_CONV], co)
+        co = jnp.maximum(co, 1e-12)
+    else:
+        el_a = dom.xsec[:, :, COL_ELEV, :].reshape(R * C, -1)
+        nel = el_a.shape[-1]
+        xmin = (dom.xsec_min if dom.xsec_min is not None
+                else dom.xsec.min(axis=-1))
+        xmin_a = xmin.reshape(R * C, -1)
+        vsearch = _vsearch_right()
 
-    def interp_at(grid, x, c):
-        """r_interpol semantics — see the wavefront corrector."""
-        idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
-        g1 = _fetch_last(grid, idx)
-        g2 = _fetch_last(grid, idx + 1)
-        w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
-        v1 = dom.xsec[rrA, colA, c, idx]
-        v2 = dom.xsec[rrA, colA, c, idx + 1]
-        return jnp.where(x < grid[:, 0], xmin_a[:, c],
-                         v1 + (v2 - v1) * w)
+        def interp_at(grid, x, c):
+            """r_interpol semantics — see the wavefront corrector."""
+            idx = jnp.clip(vsearch(grid, x) - 1, 0, nel - 2)
+            g1 = _fetch_last(grid, idx)
+            g2 = _fetch_last(grid, idx + 1)
+            w = (x - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
+            v = dom.xsec[:, :, c, :].reshape(R * C, -1)
+            v1 = _fetch_last(v, idx)
+            v2 = _fetch_last(v, jnp.minimum(idx + 1, nel - 1))
+            return jnp.where(x < grid[:, 0], xmin_a[:, c],
+                             v1 + (v2 - v1) * w)
 
-    d2_grid = (el_a - z_a[:, None]) ** 2
-    co = jnp.maximum(interp_at(d2_grid, (y_a - z_a) ** 2, COL_CONV), 1e-12)
-    bo = jnp.maximum(interp_at(el_a, y_a, COL_TOPW), 1e-12)
-    sk = interp_at(el_a, y_a, COL_SKK)
+        d2_grid = (el_a - z_a[:, None]) ** 2
+        co = jnp.maximum(interp_at(d2_grid, (y_a - z_a) ** 2, COL_CONV),
+                         1e-12)
+        bo = jnp.maximum(interp_at(el_a, y_a, COL_TOPW), 1e-12)
+        sk = interp_at(el_a, y_a, COL_SKK)
     sfi = q_a * jnp.abs(q_a) / co ** 2
     cel_a = (5.0 / 3.0) * jnp.abs(sfi) ** 0.3 \
         * jnp.abs(q_a) ** 0.4 / bo ** 0.4 \
         / (1.0 / jnp.maximum(sk, 1e-12)) ** 0.6
     # same head-node dx rule as the wavefront mode (diffusive.f90:1487-1491)
-    dx_ref = jnp.where(colA > dom.head_col[rrA],
-                       dom.dx[rrA, jnp.maximum(colA - 1, 0)],
-                       dom.dx[rrA, colA])
+    colA = jnp.tile(jnp.arange(C), R)
+    dx_prev = jnp.concatenate([dom.dx[:, :1], dom.dx[:, :-1]],
+                              axis=1).reshape(R * C)
+    dx_ref = jnp.where(colA > jnp.repeat(dom.head_col, C),
+                       dx_prev, dom.dx.reshape(R * C))
     cel_a = jnp.minimum(cel_a, CFL * dx_ref / dtini_min)
     dif_a = jnp.abs(q_a) / 2.0 / bo / jnp.maximum(jnp.abs(sfi), 1e-12)
     cel2 = cel_a.reshape(R, C)
@@ -792,13 +1022,18 @@ def diffusive_step(dom: DiffusiveDomain, st: DiffusiveState, dtini,
     return new_state, max_cel_dx
 
 
+@functools.partial(jax.jit, static_argnames=("dtini_min", "corrector_mode"))
 def initialize_state(dom: DiffusiveDomain, q_init, dtini_min: float,
                      corrector_mode: str = "wavefront"):
     """Reference initialization (diffusive.f90:530-582): tailwater bottoms
     at normal depth (signed-q lookup, :554) or the coastal series at t=0,
     junction hand-up downstream-to-upstream, flat-depth rtsafe warm start,
     then one backward sweep.  ``iniq`` is NOT clamped at q_llm — the
-    reference passes it through raw (:362-364)."""
+    reference passes it through raw (:362-364).
+
+    Jitted: the eager form dispatches each traced op over the (tunneled)
+    device link individually — measured 88 s for a [2048, 16] f32 init
+    that runs in ~1 s compiled."""
     R, C = dom.n_reaches, dom.n_cols
     dtype = q_init.dtype
     q = jnp.asarray(q_init, dtype)
@@ -883,12 +1118,14 @@ _run_device = functools.partial(
 def _domain_axes(dom: DiffusiveDomain) -> DiffusiveDomain:
     """vmap ``in_axes`` spec for a batched [B, ...] DiffusiveDomain:
     arrays map over axis 0, the shared scalar timesteps broadcast."""
+    u = None if dom.utab is None else 0
     return DiffusiveDomain(
         z=0, dx=0, ncomp=0, head_col=0, valid=0, xsec=0, ds_reach=0,
         up_reaches=0, bwd_active=0, bwd_col=0, trib_q=0, dt_trib=None,
         qlat=0, dt_qlat=None, dtini_given=None,
         db_depth=(None if dom.db_depth is None else 0), dt_db=None,
-        xsec_min=(None if dom.xsec_min is None else 0))
+        xsec_min=(None if dom.xsec_min is None else 0),
+        utab=u, ugrid_lo=u, ugrid_step=u, utab_min=u)
 
 
 @functools.partial(

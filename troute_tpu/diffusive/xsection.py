@@ -180,12 +180,17 @@ def _build_xsec_tables_chunk(z, bo, traps, tw, twcc, mann, manncc, dx,
     cs_ac = np.concatenate([z1, np.cumsum(dA * centers, axis=0)])
     first_moment = el * cs_a - cs_ac
 
-    # Einstein-Horton composite roughness
+    # Einstein-Horton composite roughness; a dry section (possible at the
+    # first table row when f32 cannot resolve z_notch + 1e-5, |z| > ~84 m)
+    # degrades to the main-channel roughness instead of 1/sqrt(0) = inf
     peri_abs = np.abs(peri3)
-    comp_mann = np.sqrt(
-        (peri_abs[0] * manncc ** 2 + peri_abs[1] * mann ** 2
-         + peri_abs[2] * manncc ** 2)
-        / np.maximum(peri_abs.sum(axis=0), 1e-12))
+    peri_tot = peri_abs.sum(axis=0)
+    comp_mann = np.where(
+        peri_tot > 1e-12,
+        np.sqrt((peri_abs[0] * manncc ** 2 + peri_abs[1] * mann ** 2
+                 + peri_abs[2] * manncc ** 2)
+                / np.maximum(peri_tot, 1e-12)),
+        mann)
     skk = 1.0 / comp_mann
 
     # uniform-flow column: K * sqrt(max(S0, so_llm)) with the slope of the
@@ -409,11 +414,17 @@ def build_xsec_tables_jax(z, bo, traps, tw, twcc, mann, manncc, dx,
         cs_ac = jnp.concatenate([z1, csum(dA * centers)])
         first_moment = el * cs_a - cs_ac
 
+        # dry-section guard: see build_xsec_tables (f32 cannot resolve
+        # z_notch + 1e-5 at |z| > ~84 m, making row 0's perimeter 0)
         peri_fp = jnp.abs(fp_peri)
         peri_mn = jnp.abs(main_peri)
-        comp_mann = jnp.sqrt(
-            (2.0 * peri_fp * manncc[None] ** 2 + peri_mn * mann[None] ** 2)
-            / jnp.maximum(2.0 * peri_fp + peri_mn, 1e-12))
+        peri_tot = 2.0 * peri_fp + peri_mn
+        comp_mann = jnp.where(
+            peri_tot > 1e-12,
+            jnp.sqrt((2.0 * peri_fp * manncc[None] ** 2
+                      + peri_mn * mann[None] ** 2)
+                     / jnp.maximum(peri_tot, 1e-12)),
+            mann[None])
         skk = 1.0 / comp_mann
 
         slope = jnp.zeros_like(z)

@@ -26,7 +26,12 @@ from jax.experimental.pallas import tpu as pltpu
 from troute_tpu.ops import muskingum as mc
 
 LANE = 128
-DEFAULT_SUBLANES = 8   # 8 x 128 = 1024 segments per block
+# 8 x 128 = 1024 segments per block.  Swept on one v5e (CONUS warm AnA,
+# see CLAUDE.md): 4/8/16 sublanes measured; 8 is the default.
+# TROUTE_MC_SUBLANES overrides for experiments.
+import os
+
+DEFAULT_SUBLANES = int(os.environ.get("TROUTE_MC_SUBLANES", "8"))
 
 _IN_NAMES = ("qup", "quc", "qdp", "ql", "dx", "bw", "tw", "twcc", "n",
              "ncc", "cs", "s0", "depthp")

@@ -164,6 +164,11 @@ class RoutingConfig(NamedTuple):
     strict_iterative: bool = False
     strict_tol: float = 1e-9
     strict_max_sweeps: int = 64
+    # route_stepped strict mode: sweeps compiled per host-polled chunk.
+    # Measured on one v5e, CONUS-scale warm (16-20 sweeps/step to the
+    # dtype floor): chunk 2 -> 4.0e6, 4 -> 6.5e6, 8 -> 8.2e6 seg-ts/s
+    # (fewer host polls beat the <=7 wasted sweeps past convergence)
+    strict_sweep_chunk: int = 8
 
 
 class RoutingState(NamedTuple):
@@ -876,9 +881,10 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         # compiled chunks, host polls the scalar delta between chunks.
         # Warm-started iterates converge in a handful of sweeps, so the
         # common cost is one chunk (+1 scalar round-trip) per timestep.
-        SWEEPS = 4
+        SWEEPS = max(int(cfg.strict_sweep_chunk), 1)
         n_obs_t = da.obs.shape[0] if have_da else 0
         sweep_counts = []
+        q_prev_step = None      # q at t-2, for the extrapolated warm start
         for t in range(1, cfg.nts + 1):
             ql_t = qlat[(t - 1) // cfg.qts_subdivisions]
             if have_da:
@@ -891,7 +897,16 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                                             - 1)]
                        if res_da is not None else None)
             t_seconds = jnp.asarray(t * cfg.dt, dtype)
-            q_est, total = q, 0
+            # linear-extrapolation warm start 2*q_{t-1} - q_{t-2}: flows
+            # evolve smoothly between timesteps, so the extrapolated
+            # iterate starts ~O(dt^2) from the fixed point instead of
+            # O(dt) — fewer sweeps to converge.  Any start converges to
+            # the same fixed point; only the sweep count changes.
+            if q_prev_step is None:
+                q_est = q
+            else:
+                q_est = jnp.maximum(2.0 * q - q_prev_step, 0.0)
+            total = 0
             eps4 = 4.0 * float(jnp.finfo(dtype).eps)
             while True:
                 # never exceed the configured cap: the tail chunk shrinks
@@ -913,6 +928,7 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                         or total >= cfg.strict_max_sweeps:
                     break
             sweep_counts.append(total)
+            q_prev_step = q
             q, depth, res_elev = q_est, d, res_elev_c
             lo_val, lo_time, da_states = lo_val_c, lo_time_c, da_states_c
             if collect:

@@ -446,7 +446,8 @@ class HybridDomain:
         return [np.asarray(groups[k], np.int64) for k in sorted(groups)]
 
     def build_diffusive_domain(self, qlat_rows, dt_qlat, trib_q, dt_trib,
-                               dtini, dtype=None, reach_idx=None):
+                               dtini, dtype=None, reach_idx=None,
+                               nel_uniform=None):
         """Assemble the solver domain.
 
         Args:
@@ -528,7 +529,8 @@ class HybridDomain:
                             dt_qlat, trib, dt_trib, dtini, dtype=dtype,
                             natural_xsec=natural_xsec,
                             db_depth=db_depth,
-                            dt_db=getattr(self, "coastal_dt_db", 3600.0))
+                            dt_db=getattr(self, "coastal_dt_db", 3600.0),
+                            nel_uniform=nel_uniform)
 
     def saves_to_segments(self, saves, dom):
         """Map solver snapshots to per-mainstem-segment series.
