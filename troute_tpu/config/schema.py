@@ -136,12 +136,15 @@ class HybridParameters(_Permissive):
     # most-restrictive dt).  Single-tailwater domains are unaffected.
     diffusive_batching: str = "auto"
     # When set (e.g. 128), resample the hot lookup-table columns onto
-    # per-node uniform elevation grids of this many entries — the jacobi
-    # corrector's table fetches become index arithmetic + short one-hot
-    # passes instead of searches over the 501-entry non-uniform grid
-    # (~5-10x diffusive throughput on TPU; accuracy study in
-    # tests/test_diffusive_uniform.py: q within ~0.6% at 128 on the
-    # junction fixture).  None (default) = exact reference-parity lookups.
+    # per-node sqrt-stretched elevation grids of this many entries — the
+    # jacobi corrector's table fetches become index arithmetic + short
+    # one-hot passes instead of searches over the 501-entry non-uniform
+    # grid, and the sweep switches to Gauss-Seidel-within-reach (~27x
+    # diffusive throughput on TPU at mainstem scale).  Accuracy study in
+    # tests/test_diffusive_uniform.py: at 128, steady flows within ~2%,
+    # surfaces within ~1 cm; steep transients can show larger
+    # instantaneous dq from hydrograph phase shift (volumes agree).
+    # None (default) = exact reference-parity lookups.
     diffusive_table_nel: Optional[int] = None
 
     @model_validator(mode="after")

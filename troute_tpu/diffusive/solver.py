@@ -96,7 +96,10 @@ class DiffusiveDomain(NamedTuple):
     # exact 501-entry lookups everywhere (reference parity mode).
     utab: jax.Array | None = None        # [R, C, 4, nel_u] CONV/DKDA/TOPW/SKK
     ugrid_lo: jax.Array | None = None    # [R, C] grid bottom elevation
-    ugrid_step: jax.Array | None = None  # [R, C] grid spacing
+    # [R, C] sqrt-space spacing: knot k sits at lo + (k*step)^2
+    # (_ugrid_bracket) — fine near the bed where the curves bend, coarse
+    # in the floodplain where they are near-linear
+    ugrid_step: jax.Array | None = None
     utab_min: jax.Array | None = None    # [R, C, 4] below-range values
 
     @property
@@ -146,10 +149,32 @@ def _fetch_last(arr, idx):
     return jnp.where(sel, arr, jnp.zeros_like(arr)).sum(-1)
 
 
-def _uinterp(utab, lo, step, x, cols, umin):
-    """Uniform-grid linear interpolation with r_interpol edge semantics.
+def _ugrid_bracket(lo, step, x, nel_u):
+    """Bracket (idx, w) on the sqrt-STRETCHED grid, pure arithmetic.
 
-    ``utab`` [..., n_ucols, nel_u] node tables; ``lo``/``step``/``x``
+    Knots sit at el_k = lo + (k*step)^2 — uniform in sqrt(el - lo) — so
+    the spacing grows linearly with depth: the operating region (a few
+    metres above the bed) gets 8-16x finer sampling than a plain uniform
+    grid over the full 2*hbf*timesDepth elevation range, where the
+    conveyance/topwidth curves have all their curvature (error scales
+    with local-spacing^2).  The index is floor(sqrt(x - lo)/step); the
+    weight is linear IN ELEVATION between the bracketing knots, like
+    ``r_interpol``.
+    """
+    pos = jnp.sqrt(jnp.maximum(x - lo, 0.0)) / step
+    idx = jnp.clip(jnp.floor(pos), 0, nel_u - 2).astype(jnp.int32)
+    fidx = idx.astype(x.dtype)
+    e1 = lo + (fidx * step) ** 2
+    e2 = lo + ((fidx + 1.0) * step) ** 2
+    w = (x - e1) / jnp.maximum(e2 - e1, 1e-30)
+    return idx, w
+
+
+def _uinterp(utab, lo, step, x, cols, umin):
+    """Stretched-grid linear interpolation with r_interpol edge semantics.
+
+    ``utab`` [..., n_ucols, nel_u] node tables resampled at the
+    sqrt-stretched knots (see ``_ugrid_bracket``); ``lo``/``step``/``x``
     [...]; ``cols`` the UCOL_* indices to fetch.  The bracket index is
     pure arithmetic (no search) and the two bracket reads collapse into
     ONE weighted one-hot pass per column: sel = (k==idx)·(1-w) +
@@ -159,17 +184,15 @@ def _uinterp(utab, lo, step, x, cols, umin):
     Below-range lanes return the column minimum, also per r_interpol.
     """
     nel_u = utab.shape[-1]
-    pos = (x - lo) / step
-    idx = jnp.clip(jnp.floor(pos), 0, nel_u - 2).astype(jnp.int32)
-    w = pos - idx
+    idx, w = _ugrid_bracket(lo, step, x, nel_u)
     k = jax.lax.broadcasted_iota(jnp.int32, x.shape + (nel_u,), x.ndim)
     sel = jnp.where(k == idx[..., None], 1.0 - w[..., None], 0.0) \
         + jnp.where(k == idx[..., None] + 1, w[..., None], 0.0)
-    below = (x < lo)[..., None]
+    below = x < lo
     out = []
     for c in cols:
         v = (sel * utab[..., c, :]).sum(-1)
-        out.append(jnp.where(below[..., 0], umin[..., c], v))
+        out.append(jnp.where(below, umin[..., c], v))
     return out
 
 
@@ -203,9 +226,10 @@ def attach_uniform_tables(dom: DiffusiveDomain,
         nel = el.shape[-1]
         lo = el[..., 0]
         hi = el[..., -1]
-        step = (hi - lo) / (nel_u_ - 1)
-        tgt = lo[..., None] + step[..., None] \
-            * jnp.arange(nel_u_, dtype=tab.dtype)        # [r, C, nel_u]
+        # sqrt-stretched knots: el_k = lo + (k*step)^2 (see _ugrid_bracket)
+        step = jnp.sqrt(hi - lo) / (nel_u_ - 1)
+        tgt = lo[..., None] + (step[..., None]
+                               * jnp.arange(nel_u_, dtype=tab.dtype)) ** 2
         # exact bracket on the original (sorted) grid: compare-all, then
         # one-hot fetches XLA fuses (no [.., nel_u, nel] materialization;
         # per-lane gathers are poison off-CPU)
@@ -367,7 +391,9 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     ones = jnp.ones((R,), oldQ.dtype)
     zeros = jnp.zeros((R,), oldQ.dtype)
     init = (ones, zeros, zeros, zeros)
-    _, rows = jax.lax.scan(scan_fwd, init, jnp.arange(1, C))
+    # unrolled: C is ~16; per-iteration TPU loop overhead on tiny [R]
+    # rows otherwise dominates the (trivial) row arithmetic
+    _, rows = jax.lax.scan(scan_fwd, init, jnp.arange(1, C), unroll=True)
     # assemble [R, C]: column 0 rows are the init values
     eei = jnp.concatenate([ones[:, None], rows[0].T], axis=1)
     ffi = jnp.concatenate([zeros[:, None], rows[1].T], axis=1)
@@ -417,7 +443,8 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
         return (qp_i, qpx_i), (qp_i, qpx_i)
 
     (_, _), (qp_rows, qpx_rows) = jax.lax.scan(
-        scan_bwd, (qp_last, qpx_last), jnp.arange(C - 2, -1, -1))
+        scan_bwd, (qp_last, qpx_last), jnp.arange(C - 2, -1, -1),
+        unroll=True)
     qp = jnp.concatenate([qp_rows[::-1].T, qp_last[:, None]], axis=1)
     qpx_new = jnp.concatenate([qpx_rows[::-1].T, qpx_last[:, None]], axis=1)
 
@@ -895,9 +922,21 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         y_bot = jnp.where(ds >= 0, y_junc, y_tw_const)
         y1 = jnp.concatenate([y[:, :C - 1], y_bot[:, None]], axis=1)
         # init_mode warm start: the reach's (current-iterate) flat bottom
-        # depth, like the reference init sweep (diffusive.f90:566-569)
-        y_old = (jnp.repeat(y_bot - dom.z[:, C - 1], C - 1) if init_mode
-                 else y_old_depth)
+        # depth, like the reference init sweep (diffusive.f90:566-569).
+        # The uniform fast path warm-starts each sweep's Newton from the
+        # CURRENT iterate instead of the previous substep's surface: the
+        # first sweep is identical (the iterate starts at st.y), later
+        # sweeps bracket progressively tighter around the fixed point, so
+        # the per-sweep Newton converges in a couple of iterations.  The
+        # fixed point itself is unchanged (the bracket always contains
+        # the same root); exact mode keeps the reference's previous-
+        # timestep warm start verbatim.
+        if init_mode:
+            y_old = jnp.repeat(y_bot - dom.z[:, C - 1], C - 1)
+        elif ugrids is not None:
+            y_old = jnp.maximum(cur(y1) - z_cur, 0.005)
+        else:
+            y_old = y_old_depth
         y_up = _rtsafe_vec(
             dom.xsec, rrf, curf, dsf, dsv(y1), q_cur, q_ds,
             z_cur, z_ds, dx_cur, y_old, active=interior,
@@ -910,12 +949,56 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         ymax = jnp.max(jnp.where(dom.valid, jnp.abs(y2), 0.0))
         return y2, delta, ymax, k + 1
 
+    def sweep_gs(carry):
+        """Uniform fast-path sweep: Gauss-Seidel WITHIN each reach
+        (columns solved C-2 -> 0, each against the just-updated
+        downstream node — exactly the reference's sequential in-reach
+        substitution, ``mesh_diffusive_backward``), Jacobi only ACROSS
+        junctions (a reach bottom reads the downstream reach's head from
+        the previous sweep).  Per chain the in-reach solve is EXACT in
+        one pass (triangular substitution), so convergence needs
+        ~reach-tree-depth sweeps instead of ~node-chain-length —
+        measured ~5x fewer sweeps at mainstem scale.  Same fixed point
+        as ``sweep``: only the iteration order differs."""
+        y, _delta, _ymax, k = carry
+        y_junc = y[jnp.maximum(ds, 0), ds_head_col]
+        y_bot = jnp.where(ds >= 0, y_junc, y_tw_const)
+        ynew = jnp.concatenate([y[:, :C - 1], y_bot[:, None]], axis=1)
+        (ulo, ustep, ucur_t, umin_t, ulo_d, ustep_d, uconv_d,
+         uconv_min_d) = ugrids
+
+        def pick(a, i):
+            return a.reshape(R, C - 1, *a.shape[1:])[:, i]
+
+        for i in range(C - 2, -1, -1):
+            active_i = i >= dom.head_col
+            if init_mode:
+                y_old_i = y_bot - dom.z[:, C - 1]
+            else:
+                y_old_i = jnp.maximum(ynew[:, i] - dom.z[:, i], 0.005)
+            col_ugrids = (pick(ulo, i), pick(ustep, i), pick(ucur_t, i),
+                          pick(umin_t, i), pick(ulo_d, i),
+                          pick(ustep_d, i), pick(uconv_d, i),
+                          pick(uconv_min_d, i))
+            col_grids = (pick(grids[0], i), None, pick(grids[2], i))
+            y_up = _rtsafe_vec(
+                dom.xsec, rrf[:R], curf[:R], dsf[:R], ynew[:, i + 1],
+                qp[:, i], qp[:, i + 1], dom.z[:, i], dom.z[:, i + 1],
+                dom.dx[:, i], y_old_i, active=active_i,
+                grids=col_grids, ugrids=col_ugrids)
+            elev_i = jnp.minimum(y_up + dom.z[:, i], 1.0e5)
+            newcol = jnp.where(active_i, elev_i, ynew[:, i])
+            ynew = ynew.at[:, i].set(newcol)
+        delta = jnp.max(jnp.where(dom.valid, jnp.abs(ynew - y), 0.0))
+        ymax = jnp.max(jnp.where(dom.valid, jnp.abs(ynew), 0.0))
+        return ynew, delta, ymax, k + 1
+
     def sweep_cond(c):
         tol_eff = jnp.maximum(jnp.asarray(tol, dtype), eps4 * c[2])
         return (c[3] < max_sweeps) & (c[1] > tol_eff)
 
     newY, _, _, _ = jax.lax.while_loop(
-        sweep_cond, sweep,
+        sweep_cond, sweep_gs if ugrids is not None else sweep,
         (st.y, jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
          jnp.int32(0)))
 
@@ -939,17 +1022,16 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         # moves to d^2 space; within the 1-cm notch (bracket depth < 0,
         # where d^2 is non-monotone) fall back to the linear weight
         nel_u = ut_a.shape[-1]
-        pos = (y_a - lo_a) / st_a
-        idx = jnp.clip(jnp.floor(pos), 0, nel_u - 2).astype(jnp.int32)
-        w_lin = pos - idx
-        d1 = (lo_a - z_a) + idx * st_a
-        d2v = d1 + st_a
+        idx, w_lin = _ugrid_bracket(lo_a, st_a, y_a, nel_u)
+        fidx = idx.astype(y_a.dtype)
+        d1 = (lo_a - z_a) + (fidx * st_a) ** 2
+        d2v = (lo_a - z_a) + ((fidx + 1.0) * st_a) ** 2
         den = d2v ** 2 - d1 ** 2
         depth = y_a - z_a
         w_sq = jnp.where((d1 >= 0.0) & (den > 1e-30),
                          (depth ** 2 - d1 ** 2)
                          / jnp.where(den > 1e-30, den, 1.0), w_lin)
-        k_io = jax.lax.broadcasted_iota(jnp.int32, pos.shape + (nel_u,), 1)
+        k_io = jax.lax.broadcasted_iota(jnp.int32, y_a.shape + (nel_u,), 1)
         sel = jnp.where(k_io == idx[:, None], 1.0 - w_sq[:, None], 0.0) \
             + jnp.where(k_io == idx[:, None] + 1, w_sq[:, None], 0.0)
         co = (sel * ut_a[:, UCOL_CONV, :]).sum(-1)
