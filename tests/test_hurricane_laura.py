@@ -316,3 +316,62 @@ def test_laura_two_tailwater_batched_matches_merged(tmp_path):
     n_ms = len(d_got["ids"])
     np.testing.assert_array_equal(got["fvd"][:, :-n_ms],
                                   ref["fvd"][:, :-n_ms])
+
+
+def test_laura_uniform_table_fast_path_matches_exact(tmp_path):
+    """The diffusive fast path (diffusive_table_nel + in-reach GS sweep)
+    on REAL Laura bathymetry (natural xsec tables, coastal boundary):
+    flows and depths track the exact-table run within the documented
+    approximation tolerances."""
+    from troute_tpu.cli import main_v04
+
+    def run(nel):
+        cfg = yaml.safe_load(open(REF / "troute_UnitTest_noRS.yaml"))
+        sp = cfg["network_topology_parameters"]["supernetwork_parameters"]
+        sp["geo_file_path"] = str(REF / "domain/RouteLink_NWMv2.1.nc")
+        sp["mask_file_path"] = \
+            str(REF / "domain/unit_test_noRS/coastal_subset.txt")
+        cfg["network_topology_parameters"]["waterbody_parameters"][
+            "level_pool"]["level_pool_waterbody_parameter_file_path"] = \
+            str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+        rp = cfg["compute_parameters"]["restart_parameters"]
+        rp["wrf_hydro_channel_restart_file"] = \
+            str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+        rp["wrf_hydro_channel_ID_crosswalk_file"] = \
+            str(REF / "domain/RouteLink_NWMv2.1.nc")
+        rp["wrf_hydro_waterbody_restart_file"] = \
+            str(REF / "restart/HYDRO_RST.2020-08-26_00:00_DOMAIN1")
+        rp["wrf_hydro_waterbody_ID_crosswalk_file"] = \
+            str(REF / "domain/LAKEPARM_NWMv2.1.nc")
+        rp["start_datetime"] = "2020-08-26_00:00"
+        hp = cfg["compute_parameters"]["hybrid_parameters"]
+        hp["diffusive_domain"] = \
+            str(REF / "domain/unit_test_noRS/coastal_domain.yaml")
+        hp["topobathy_domain"] = \
+            str(REF / "domain/final_diffusive_natural_xs.nc")
+        hp["run_refactored_network"] = False
+        hp["coastal_boundary_domain"] = \
+            str(REF / "domain/unit_test_noRS/coastal_boundary_domain.yaml")
+        if nel:
+            hp["diffusive_table_nel"] = nel
+        fp = cfg["compute_parameters"]["forcing_parameters"]
+        fp["qlat_input_folder"] = str(REF / "channel_forcing")
+        fp["coastal_boundary_input_file"] = \
+            str(REF / "channel_forcing/schout_1.nc")
+        fp["nts"] = 12
+        cfg["compute_parameters"]["data_assimilation_parameters"] = {}
+        cfg["output_parameters"] = {}
+        p = tmp_path / f"cfg_nel{nel}.yaml"
+        yaml.safe_dump(cfg, open(p, "w"))
+        return main_v04(["-f", str(p)])["diffusive"]
+
+    exact = run(0)
+    fast = run(128)
+    assert np.isfinite(fast["q"]).all() and fast["depth"].min() > 0
+    dq = np.abs(fast["q"] - exact["q"]) \
+        / np.maximum(np.abs(exact["q"]), 1.0)
+    dd = np.abs(fast["depth"] - exact["depth"])
+    # short real-bathymetry transient: flows within a few %, depths cm
+    assert np.median(dq) < 1e-2, np.median(dq)
+    assert dq.max() < 0.15, dq.max()
+    assert np.median(dd) < 0.02, np.median(dd)

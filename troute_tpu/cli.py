@@ -654,7 +654,9 @@ def main_v04(argv=None) -> dict:
             return_courant=cfg.compute_parameters.return_courant,
             kernel=kernel,
             strict_iterative=bool(getattr(cfg.compute_parameters,
-                                          "strict_iterative", False)))
+                                          "strict_iterative", False)),
+            strict_sweep_chunk=int(getattr(cfg.compute_parameters,
+                                           "strict_sweep_chunk", 16)))
         pcm = str(cfg.compute_parameters.parallel_compute_method or "")
         if pcm == "sharded" \
                 and (rcfg.assume_short_ts or rcfg.strict_iterative) \

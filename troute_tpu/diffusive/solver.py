@@ -850,7 +850,6 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     """
     R, C = dom.n_reaches, dom.n_cols
     dtype = qp.dtype
-    rr = jnp.arange(R)
     y_tw_const = _tailwater_elevation(dom, qp, t_next, dtype,
                                       signed_q=init_mode)
 

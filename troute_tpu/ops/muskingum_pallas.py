@@ -26,12 +26,15 @@ from jax.experimental.pallas import tpu as pltpu
 from troute_tpu.ops import muskingum as mc
 
 LANE = 128
-# 8 x 128 = 1024 segments per block.  Swept on one v5e (CONUS warm AnA,
-# see CLAUDE.md): 4/8/16 sublanes measured; 8 is the default.
-# TROUTE_MC_SUBLANES overrides for experiments.
+# 16 x 128 = 2048 segments per block.  Swept on one v5e (CONUS-scale
+# warm AnA, 24-step dispatches, fetch-forced): 8 sublanes 0.337 s,
+# 16 -> 0.290 s, 32 -> 0.291 s (4 did not finish compiling in 25 min) —
+# grid-scheduling overhead outweighs the coarser per-block early exit.
+# Per-lane results are block-size independent (converged lanes hold
+# their values under the masked update).  TROUTE_MC_SUBLANES overrides.
 import os
 
-DEFAULT_SUBLANES = int(os.environ.get("TROUTE_MC_SUBLANES", "8"))
+DEFAULT_SUBLANES = int(os.environ.get("TROUTE_MC_SUBLANES", "16"))
 
 _IN_NAMES = ("qup", "quc", "qdp", "ql", "dx", "bw", "tw", "twcc", "n",
              "ncc", "cs", "s0", "depthp")

@@ -165,10 +165,11 @@ class RoutingConfig(NamedTuple):
     strict_tol: float = 1e-9
     strict_max_sweeps: int = 64
     # route_stepped strict mode: sweeps compiled per host-polled chunk.
-    # Measured on one v5e, CONUS-scale warm (16-20 sweeps/step to the
-    # dtype floor): chunk 2 -> 4.0e6, 4 -> 6.5e6, 8 -> 8.2e6 seg-ts/s
-    # (fewer host polls beat the <=7 wasted sweeps past convergence)
-    strict_sweep_chunk: int = 8
+    # Measured on one v5e, CONUS-scale warm (16 sweeps/step to the dtype
+    # floor; 16-sublane Pallas blocks): chunk 2 -> 4.0e6, 4 -> 6.5e6,
+    # 8 -> 9.8e6, 16 -> 1.23e7 seg-ts/s — fewer host polls beat the
+    # wasted sweeps past convergence at every measured size
+    strict_sweep_chunk: int = 16
 
 
 class RoutingState(NamedTuple):
