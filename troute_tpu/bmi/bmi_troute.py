@@ -493,9 +493,11 @@ class BmiTrouteTpu:
             sl = db[:, skip:]
             hyb.coastal_db = sl if sl.shape[1] >= 2 else None
             hyb.coastal_dt_db = dt_db
+        hp_cfg = self._cfg.compute_parameters.hybrid_parameters
         dom = hyb.build_diffusive_domain(
             qlat_rows, dt_qlat=window, trib_q=trib_q, dt_trib=self._dt,
-            dtini=self._dt)
+            dtini=self._dt,
+            nel_uniform=getattr(hp_cfg, "diffusive_table_nel", None))
         if self._dst is None:
             q_init = jnp.maximum(jnp.asarray(
                 np.broadcast_to(trib_q[0].sum() / max(dom.n_reaches, 1),
