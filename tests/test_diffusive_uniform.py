@@ -201,3 +201,43 @@ def test_uniform_gs_sweep_matches_exact_on_deep_tree():
     # mass balance at the root-reach bottom: the tree's accumulated
     # steady inflow must come out regardless of table mode
     assert abs(qu[0, -1] - qe[0, -1]) / qe[0, -1] < 1e-2
+
+
+def test_fuzz_uniform_fast_path_stays_finite():
+    """Random (near-degenerate) geometries through the GS fast path
+    (stretched-grid tables) in BOTH dtypes: no NaN/Inf, no negative
+    depth — same fuzz envelope as the exact-mode fuzz test."""
+    rng = np.random.default_rng(321)
+    for trial in range(6):
+        n = int(rng.integers(3, 10))
+        dx = rng.uniform(80, 5000, n)
+        bo = rng.uniform(0.5, 30, n)
+        tw = bo * rng.uniform(1.0, 3.0, n)
+        twcc = tw * rng.uniform(1.0, 3.0, n)
+        s0 = rng.uniform(1e-5, 0.05, n)
+        # include HIGH base elevations (f32 row-0 collapse regression)
+        z0 = float(rng.uniform(0, 400))
+        z = z0 + np.concatenate([[0.0], np.cumsum(dx[:-1] * s0[:-1])])[::-1]
+        r = dict(z=z, dx=dx, bo=bo,
+                 traps=1.0 / np.maximum(rng.uniform(0.05, 2.0, n), 1e-6),
+                 tw=tw, twcc=twcc,
+                 mann=rng.uniform(0.02, 0.15, n),
+                 manncc=rng.uniform(0.04, 0.3, n))
+        nts = 12
+        qlat = np.zeros((nts, 1, n))
+        trib = np.full((nts, 1), float(rng.uniform(0.05, 300)))
+        for dtype in (jnp.float64, jnp.float32):
+            dom = build_domain([r], [-1], qlat, 300.0, trib, 300.0, 300.0,
+                               dtype=dtype, nel_uniform=128)
+            q0 = jnp.full((1, dom.n_cols), float(trib[0, 0]), dtype)
+            st = initialize_state(dom, q0, dtini_min=30.0,
+                                  corrector_mode="jacobi")
+            st, _ = run_diffusive(dom, st, t_final=3600.0,
+                                  save_interval=300.0,
+                                  corrector_mode="jacobi")
+            assert np.isfinite(np.asarray(st.q)).all(), (trial, dtype)
+            assert np.isfinite(np.asarray(st.y)).all(), (trial, dtype)
+            tol = 1e-6 if dtype == jnp.float64 else 1e-2
+            assert (np.asarray(st.y)[dom.valid]
+                    >= np.asarray(dom.z)[dom.valid] - tol).all(), \
+                (trial, dtype)
