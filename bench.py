@@ -255,6 +255,25 @@ def chan_params_dev(chan):
 
 
 def main():
+    # diffusive legs run FIRST, in subprocesses, BEFORE this process
+    # initializes the TPU runtime: two processes attached to the
+    # tunneled chip contend (measured: 478 s build+init contended vs
+    # ~20 s alone).  (name, dtype, nel_uniform): uniform-128 f32 is the
+    # production fast path (hybrid_parameters.diffusive_table_nel;
+    # accuracy study in tests/test_diffusive_uniform.py); exact-table
+    # legs are the reference-parity modes.
+    diff = {}
+    for name, dtype_name, nelu in (
+            ("f32_uniform128", "float32", 128),
+            ("f64", "float64", 0),
+            ("f32", "float32", 0)):
+        try:
+            diff[name] = round(_diffusive_subprocess(dtype_name, nelu), 1)
+        except Exception as e:       # keep the headline metric robust
+            print(f"diffusive[{name}] bench failed: {e!r}",
+                  file=sys.stderr)
+            diff[name] = None
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_troute_bench")
@@ -379,22 +398,6 @@ def main():
                                            qlats, n, nts), 1)
     except Exception as e:
         print(f"sharded 1-dev bench failed: {e!r}", file=sys.stderr)
-
-    diff = {}
-    # (name, dtype, nel_uniform): uniform-128 f32 is the production fast
-    # path (hybrid_parameters.diffusive_table_nel; accuracy study in
-    # tests/test_diffusive_uniform.py); exact-table legs are the
-    # reference-parity modes
-    for name, dtype_name, nelu in (
-            ("f32_uniform128", "float32", 128),
-            ("f64", "float64", 0),
-            ("f32", "float32", 0)):
-        try:
-            diff[name] = round(_diffusive_subprocess(dtype_name, nelu), 1)
-        except Exception as e:       # keep the headline metric robust
-            print(f"diffusive[{name}] bench failed: {e!r}",
-                  file=sys.stderr)
-            diff[name] = None
 
     # real-domain end-to-end: the reference CI's LowerColorado AnA
     # (288 steps, MC + levelpool + nudging + persistence DA) via the CLI
