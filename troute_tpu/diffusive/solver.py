@@ -28,6 +28,7 @@ Double precision, like the reference solver.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -51,6 +52,10 @@ COL_I1, COL_DPDA, COL_DKDA, COL_UNIFORM, COL_SKK = 6, 7, 8, 9, 10
 # ones the jacobi corrector fetches per Newton iteration / hydraulics pass
 UCOL_CONV, UCOL_DKDA, UCOL_TOPW, UCOL_SKK = 0, 1, 2, 3
 NEL_UNIFORM = 128
+
+# predictor form: "assoc" (associative scans, O(log C) depth — default)
+# or "seq" (C-step sequential scans, the direct reference vectorization)
+_PREDICTOR_MODE = os.environ.get("TROUTE_DIFF_PREDICTOR", "assoc")
 
 
 class DiffusiveDomain(NamedTuple):
@@ -333,8 +338,147 @@ def _hermite_coeffs(cour2, dxm):
         (h1, h2, h3, h4)
 
 
-def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
-    """One forward (discharge) step for all reaches; returns qp, qpx_new."""
+def _forward_elim_coeffs(dom: DiffusiveDomain, st: DiffusiveState, dtini):
+    """All CN-Hermite forward-elimination row coefficients in ONE fused
+    [R, C-1] pass (slot j holds node column i = j+1) — ``row()`` of the
+    sequential predictor vectorized over the node axis.  Same formulas as
+    the reference per-node loop (diffusive.f90:1164-1231)."""
+    oldQ, qpx = st.q, st.qpx
+    dxm = dom.dx[:, :-1]
+    cour = dtini / dxm
+    cour2 = jnp.abs(st.celerity[:, 1:]) * cour
+    A, B, D, H = _hermite_coeffs(cour2, dxm)
+    alpha = dom.dx[:, 1:] / dxm
+    alpha = alpha.at[:, -1].set(1.0)          # i == C-1 rule
+    qL, qR = oldQ[:, :-1], oldQ[:, 1:]
+    pL, pR = qpx[:, :-1], qpx[:, 1:]
+    qy = A[0] * qL + A[1] * qR + A[2] * pL + A[3] * pR
+    qxy = B[0] * qL + B[1] * qR + B[2] * pL + B[3] * pR
+    qxxy = D[0] * qL + D[1] * qR + D[2] * pL + D[3] * pR
+    qxxxy = H[0] * qL + H[1] * qR + H[2] * pL + H[3] * pR
+    dif = st.diffusivity[:, 1:]
+    ppi = -THETA * dif * dtini / dxm ** 2 \
+        * 2.0 / (alpha * (alpha + 1.0)) * alpha
+    qqi = 1.0 - ppi * (alpha + 1.0) / alpha
+    rri = ppi / alpha
+    ssi = qy + dtini * dif * (1.0 - THETA) * qxxy
+    sxi = qxy + dtini * dif * (1.0 - THETA) * qxxxy
+    return ppi, qqi, rri, ssi, sxi
+
+
+def _linear_scan(a, b, init, reverse=False):
+    """Cumulative first-order linear recurrence along axis 1.
+
+    Forward (default): ``v_j = a_j * v_{j-1} + b_j`` with ``v`` before
+    slot 0 equal to ``init``; reverse: ``v_j = a_j * v_{j+1} + b_j`` with
+    ``v`` past the last slot equal to ``init``.  O(log C) depth via
+    ``associative_scan`` of the transform pairs (a, b)."""
+    def combine(x, y):
+        xa, xb = x
+        ya, yb = y
+        return ya * xa, ya * xb + yb
+
+    ca, cb = jax.lax.associative_scan(combine, (a, b), axis=1,
+                                      reverse=reverse)
+    init = jnp.asarray(init)
+    if init.ndim == 1:
+        init = init[:, None]
+    return ca * init + cb
+
+
+def _forward_elim_assoc(dom: DiffusiveDomain, st: DiffusiveState, dtini):
+    """eei/ffi/exi/fxi [R, C] via associative scans: O(log C) depth
+    instead of C sequential rows.  Exactly the sequential recurrences
+    re-associated (rounding differs at ~eps — see
+    tests/test_diffusive_predictor.py).
+
+    The eei/exi recurrences are Möbius maps
+    ``v_i = -rri_i / (ppi_i v_{i-1} + qqi_i)`` — composed as homogeneous
+    2x2 transforms on (num, den), normalized per compose so f32 products
+    never overflow (the map is projective; scale cancels in num/den).
+    Each row holds ONE right-aligned reach, so there is at most one head
+    reset per row (a constant map) and everything left of it is padding.
+    Given eei/exi, the denominators are elementwise and the ffi/fxi and
+    backward-substitution recurrences become first-order linear scans.
+    """
+    R, C = dom.n_reaches, dom.n_cols
+    dtype = st.q.dtype
+    ppi, qqi, rri, ssi, sxi = _forward_elim_coeffs(dom, st, dtini)
+    cols = jnp.arange(1, C)[None, :]
+    is_head = dom.head_col[:, None] == cols
+    # Padding columns (left of the head) MUST be identity transforms:
+    # their coefficients are garbage (state pads are never consumed and
+    # drift across steps), and although the head reset is a constant map,
+    # composing it with an inf pad entry yields 0*inf = NaN which
+    # contaminates the whole cumulative product.  The sequential scan
+    # tolerates pad garbage because where() discards it at the head; the
+    # associative form has to neutralize it before composing.
+    is_pad = cols < dom.head_col[:, None]
+
+    zero = jnp.zeros_like(ppi)
+    one = jnp.ones_like(ppi)
+
+    def mobius_vals(init_val):
+        elems = (jnp.where(is_pad, one, zero),
+                 jnp.where(is_pad | is_head,
+                           jnp.where(is_pad, zero, init_val), -rri),
+                 jnp.where(is_pad | is_head, zero, ppi),
+                 jnp.where(is_pad | is_head, one, qqi))
+
+        def combine(a, b):
+            a00, a01, a10, a11 = a
+            b00, b01, b10, b11 = b
+            c00 = b00 * a00 + b01 * a10
+            c01 = b00 * a01 + b01 * a11
+            c10 = b10 * a00 + b11 * a10
+            c11 = b10 * a01 + b11 * a11
+            s = jnp.maximum(jnp.maximum(jnp.abs(c00), jnp.abs(c01)),
+                            jnp.maximum(jnp.abs(c10), jnp.abs(c11)))
+            s = jnp.where(s > 0.0, s, 1.0)
+            return c00 / s, c01 / s, c10 / s, c11 / s
+
+        c00, c01, c10, c11 = jax.lax.associative_scan(combine, elems,
+                                                      axis=1)
+        num = c00 * init_val + c01
+        den = c10 * init_val + c11
+        den = jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
+        return num / den
+
+    eei_v = mobius_vals(1.0)
+    exi_v = mobius_vals(0.0)
+
+    ones_col = jnp.ones((R, 1), dtype)
+    zeros_col = jnp.zeros((R, 1), dtype)
+    eei_prev = jnp.concatenate([ones_col, eei_v[:, :-1]], axis=1)
+    exi_prev = jnp.concatenate([zeros_col, exi_v[:, :-1]], axis=1)
+    den1 = ppi * eei_prev + qqi
+    den2 = ppi * exi_prev + qqi
+    den1 = jnp.where(jnp.abs(den1) > 1e-30, den1, 1e-30)
+    den2 = jnp.where(jnp.abs(den2) > 1e-30, den2, 1e-30)
+    # pads: constant-0 maps (bounded; the head reset already isolates
+    # valid columns — pads just must never contribute inf to a compose)
+    dead = is_pad | is_head
+    af = jnp.where(dead, zero, -ppi / den1)
+    bf = jnp.where(dead, zero, ssi / den1)
+    ax = jnp.where(dead, zero, -ppi / den2)
+    bx = jnp.where(dead, zero, sxi / den2)
+    ffi_v = _linear_scan(af, bf, jnp.zeros((R,), dtype))
+    fxi_v = _linear_scan(ax, bx, jnp.zeros((R,), dtype))
+
+    eei = jnp.concatenate([ones_col, eei_v], axis=1)
+    ffi = jnp.concatenate([zeros_col, ffi_v], axis=1)
+    exi = jnp.concatenate([zeros_col, exi_v], axis=1)
+    fxi = jnp.concatenate([zeros_col, fxi_v], axis=1)
+    return eei, ffi, exi, fxi
+
+
+def predictor_seq(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
+    """One forward (discharge) step for all reaches; returns qp, qpx_new.
+
+    Sequential-scan form (C-step forward elimination + C-step backward
+    substitution) — the direct vectorization of the reference per-node
+    loops, kept as the executable spec the associative form is tested
+    against."""
     R, C = dom.n_reaches, dom.n_cols
     oldQ, qpx = st.q, st.qpx
 
@@ -400,6 +544,16 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     exi = jnp.concatenate([zeros[:, None], rows[2].T], axis=1)
     fxi = jnp.concatenate([zeros[:, None], rows[3].T], axis=1)
     # reaches whose head is column 0 need init there (already ones/zeros)
+    return _predictor_tail(dom, st, dtini, t, eei, ffi, exi, fxi,
+                           assoc=False)
+
+
+def _predictor_tail(dom: DiffusiveDomain, st: DiffusiveState, dtini, t,
+                    eei, ffi, exi, fxi, assoc: bool):
+    """Ghost-node row, backward substitution, and junction hand-off —
+    shared by the sequential and associative predictor forms."""
+    R, C = dom.n_reaches, dom.n_cols
+    oldQ, qpx = st.q, st.qpx
 
     # ghost-node row beyond the last column (reference :1233-1283)
     i = C - 1
@@ -436,17 +590,26 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     qpx_last = exi[:, i] * qpx_ghost + fxi[:, i]
 
     # backward substitution, uniform from the last column
-    def scan_bwd(carry, i):
-        qp_next, qpx_next = carry
-        qp_i = eei[:, i] * qp_next + ffi[:, i]
-        qpx_i = exi[:, i] * qpx_next + fxi[:, i]
-        return (qp_i, qpx_i), (qp_i, qpx_i)
+    if assoc:
+        qp_body = _linear_scan(eei[:, :C - 1], ffi[:, :C - 1], qp_last,
+                               reverse=True)
+        qpx_body = _linear_scan(exi[:, :C - 1], fxi[:, :C - 1], qpx_last,
+                                reverse=True)
+        qp = jnp.concatenate([qp_body, qp_last[:, None]], axis=1)
+        qpx_new = jnp.concatenate([qpx_body, qpx_last[:, None]], axis=1)
+    else:
+        def scan_bwd(carry, i):
+            qp_next, qpx_next = carry
+            qp_i = eei[:, i] * qp_next + ffi[:, i]
+            qpx_i = exi[:, i] * qpx_next + fxi[:, i]
+            return (qp_i, qpx_i), (qp_i, qpx_i)
 
-    (_, _), (qp_rows, qpx_rows) = jax.lax.scan(
-        scan_bwd, (qp_last, qpx_last), jnp.arange(C - 2, -1, -1),
-        unroll=True)
-    qp = jnp.concatenate([qp_rows[::-1].T, qp_last[:, None]], axis=1)
-    qpx_new = jnp.concatenate([qpx_rows[::-1].T, qpx_last[:, None]], axis=1)
+        (_, _), (qp_rows, qpx_rows) = jax.lax.scan(
+            scan_bwd, (qp_last, qpx_last), jnp.arange(C - 2, -1, -1),
+            unroll=True)
+        qp = jnp.concatenate([qp_rows[::-1].T, qp_last[:, None]], axis=1)
+        qpx_new = jnp.concatenate([qpx_rows[::-1].T, qpx_last[:, None]],
+                                  axis=1)
 
     # junction hand-off: head-node inflow = sum of upstream mainstem bottom
     # discharges (this step) + tributary series + total reach lateral flow.
@@ -474,6 +637,21 @@ def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
     return qp, qpx_new
 
 
+def predictor(dom: DiffusiveDomain, st: DiffusiveState, dtini, t):
+    """One forward (discharge) step for all reaches; returns qp, qpx_new.
+
+    Default form: the forward elimination runs as associative scans
+    (O(log C) depth, all row coefficients in one fused pass) — same math
+    as ``predictor_seq``, re-associated; the sequential form's 2C rows of
+    tiny [R] elementwise ops are latency-bound on TPU.
+    ``TROUTE_DIFF_PREDICTOR=seq`` restores the sequential-scan form."""
+    if _PREDICTOR_MODE != "assoc":
+        return predictor_seq(dom, st, dtini, t)
+    eei, ffi, exi, fxi = _forward_elim_assoc(dom, st, dtini)
+    return _predictor_tail(dom, st, dtini, t, eei, ffi, exi, fxi,
+                           assoc=True)
+
+
 
 def _vsearch_right():
     """vmapped searchsorted(side="right") with a backend-suited method:
@@ -488,9 +666,15 @@ def _vsearch_right():
 
 def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
                 z_ds, dx_cur, y_old_depth, active=None, grids=None,
-                ugrids=None):
+                ugrids=None, y_norm=None):
     """Vectorized Newton/bisection depth solve
     (reference ``rtsafe``/``funcd_diffdepth``, diffusive.f90:1568-1711).
+
+    ``y_norm`` (optional [lanes] normal DEPTH) skips the exact-table
+    uniform-flow lookup: it depends only on ``q_cur``, which is constant
+    across a substep's fixed-point sweeps, so the jacobi correctors hoist
+    it out of the sweep loop (one [P, nel] pass per substep instead of
+    one per column per sweep).
 
     ``xsec`` is the full [R, C, 11, nel] table; ``cur_col``/``ds_col`` are
     per-reach node columns.  Only [R, nel] elevation/uniform-flow grids are
@@ -592,10 +776,11 @@ def _rtsafe_vec(xsec, rr, cur_col, ds_col, y_ds_elev, q_cur, q_ds, z_cur,
         df = 1.0 + (jnp.abs(q_cur) * q_cur / conv ** 3) * dx_cur * topw * dkda
         return f, df
 
-    uni_grid = (grids[2] if grids is not None
-                else xsec[rr, cur_col, COL_UNIFORM, :])
-    elv_norm = tab(0, cur_col, uni_grid, COL_ELEV, jnp.abs(q_cur))
-    y_norm = elv_norm - z_cur
+    if y_norm is None:
+        uni_grid = (grids[2] if grids is not None
+                    else xsec[rr, cur_col, COL_UNIFORM, :])
+        elv_norm = tab(0, cur_col, uni_grid, COL_ELEV, jnp.abs(q_cur))
+        y_norm = elv_norm - z_cur
     x1 = 0.5 * (y_norm + y_old_depth) * 0.1
     x2 = 0.5 * (y_norm + y_old_depth) * 2.0
 
@@ -906,6 +1091,25 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
                  dsv(dom.xsec[:, :, COL_CONV, :]))
         ugrids = None
 
+    # Normal depth per node (reference's uniform-flow warm start /
+    # fallback): depends only on ``qp`` and the tables, both constant
+    # across a substep's sweeps — computed ONCE here instead of once per
+    # column per sweep (the exact [P, nel] uniform-flow pass was the
+    # dominant fixed cost of the GS sweep loop).  Bit-identical to the
+    # in-solve lookup (same ``tab`` arithmetic).
+    vsearch_n = _vsearch_right()
+    uni_g, el_g = grids[2], grids[0]
+    q_abs = jnp.abs(q_cur)
+    n_idx = jnp.clip(vsearch_n(uni_g, q_abs) - 1, 0, uni_g.shape[-1] - 2)
+    nx1 = _fetch_last(uni_g, n_idx)
+    nx2 = _fetch_last(uni_g, n_idx + 1)
+    ny1 = _fetch_last(el_g, n_idx)
+    ny2 = _fetch_last(el_g, n_idx + 1)
+    elv_norm_flat = ny1 + (ny2 - ny1) * (q_abs - nx1) \
+        / jnp.where(nx2 != nx1, nx2 - nx1, 1.0)
+    y_norm_flat = elv_norm_flat - z_cur
+    y_norm_cols = y_norm_flat.reshape(R, C - 1)
+
     # Convergence floor: ``tol`` (1e-6 m) is unreachable in f32 once
     # surface elevations sit at O(100 m) — eps(100 m) ~ 7.6e-6 — so
     # without a floor every substep runs the sweep loop to the
@@ -939,7 +1143,7 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         y_up = _rtsafe_vec(
             dom.xsec, rrf, curf, dsf, dsv(y1), q_cur, q_ds,
             z_cur, z_ds, dx_cur, y_old, active=interior,
-            grids=grids, ugrids=ugrids)
+            grids=grids, ugrids=ugrids, y_norm=y_norm_flat)
         elev_up = jnp.minimum(y_up + z_cur, 1.0e5)
         new_vals = jnp.where(interior, elev_up, cur(y1))
         y2 = jnp.concatenate([new_vals.reshape(R, C - 1), y1[:, -1:]],
@@ -984,7 +1188,8 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
                 dom.xsec, rrf[:R], curf[:R], dsf[:R], ynew[:, i + 1],
                 qp[:, i], qp[:, i + 1], dom.z[:, i], dom.z[:, i + 1],
                 dom.dx[:, i], y_old_i, active=active_i,
-                grids=col_grids, ugrids=col_ugrids)
+                grids=col_grids, ugrids=col_ugrids,
+                y_norm=y_norm_cols[:, i])
             elev_i = jnp.minimum(y_up + dom.z[:, i], 1.0e5)
             newcol = jnp.where(active_i, elev_i, ynew[:, i])
             ynew = ynew.at[:, i].set(newcol)
