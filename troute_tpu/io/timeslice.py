@@ -80,10 +80,14 @@ def get_obs_from_timeslices(gage_ids: np.ndarray, timeslice_files,
 def build_obs_array(obs_df: pd.DataFrame, gage_rows: dict,
                     n_gages: int, nts: int) -> np.ndarray:
     """[nts+1, n_gages] array aligned with engine timesteps (NaN missing)."""
+    if len(obs_df) > n_gages:
+        raise ValueError(
+            f"observation table has {len(obs_df)} gage rows but the gage "
+            f"crosswalk provisioned only {n_gages}; refusing to silently "
+            f"drop observations — check the gage/crosswalk alignment "
+            f"(extra rows start at {list(obs_df.index[n_gages:n_gages + 5])})")
     arr = np.full((nts + 1, n_gages), np.nan, np.float32)
     for gi, (gage, row) in enumerate(obs_df.iterrows()):
-        if gi >= n_gages:
-            break
         vals = row.to_numpy(np.float64)[:nts + 1]
         arr[:vals.size, gi] = vals
     return arr

@@ -24,25 +24,37 @@ Connections = Dict[Hashable, List[Hashable]]
 def extract_connections(ids: Sequence, downstreams: Sequence,
                         terminal_codes: Iterable = (0,)) -> Connections:
     """Build the downstream-connections dict from parallel id/downstream
-    sequences, dropping links into terminal codes (reference
-    ``nhd_network.py:26-53`` semantics)."""
-    terminals = set(terminal_codes)
-    conn: Connections = {}
+    sequences, dropping links into terminal codes.
+
+    Contract matches the reference loader (``nhd_network.py:26-53``
+    produces the same mapping); implementation is a two-pass build —
+    register every id as a key first, then append the surviving edges —
+    so duplicate ids accumulate rather than overwrite.
+    """
+    drop = frozenset(terminal_codes)
+    conn: Connections = {src: [] for src in ids}
     for src, dst in zip(ids, downstreams):
-        lst = conn.setdefault(src, [])
-        if dst not in terminals:
-            lst.append(dst)
+        if dst not in drop:
+            conn[src].append(dst)
     return conn
 
 
 def reverse_network(conn: Connections) -> Connections:
-    """Upstream-connections dict; every node appears as a key."""
-    rev: Connections = defaultdict(list)
+    """Upstream-connections dict; every node appears as a key.
+
+    Two-pass edge inversion: the key set is fixed up front from both
+    endpoints of every edge, then each edge is appended in the opposite
+    direction.
+    """
+    rev: Connections = {n: [] for n in conn}
+    for dsts in conn.values():
+        for d in dsts:
+            if d not in rev:
+                rev[d] = []
     for src, dsts in conn.items():
-        rev[src]
         for d in dsts:
             rev[d].append(src)
-    return dict(rev)
+    return rev
 
 
 def headwaters(conn: Connections) -> Set:
@@ -127,38 +139,49 @@ def dfs_reach_decomposition(rconn: Connections,
     upstream reaches, and nodes within a reach run upstream→downstream —
     the same contract as the reference's ``dfs_decomposition``
     (``nhd_network.py:503-557``), yielding directly comparable outputs.
+
+    Implementation (unlike the reference's DFS stack machine): a single
+    downstream sweep in Kahn topological order.  Each node either extends
+    the reach whose current tail is its sole upstream neighbour — when the
+    continuation predicate admits the edge — or opens a new reach.  Reaches
+    are created in head-topological order, which is a valid reach-level
+    topological order because a reach's head only appears after every node
+    upstream of it.
     """
     if keep_going is None:
         keep_going = break_at_junction(rconn)
-    if sources is None:
-        sources = headwaters(rconn)
+
+    # flow-direction adjacency (invert the upstream dict)
+    conn: Connections = {n: [] for n in rconn}
+    for node, ups in rconn.items():
+        for u in ups:
+            conn.setdefault(u, []).append(node)
+
+    if sources is not None:
+        # restrict to the upstream closure of the requested outlets
+        keep_nodes: Set = set()
+        frontier = list(sources)
+        while frontier:
+            n = frontier.pop()
+            if n in keep_nodes:
+                continue
+            keep_nodes.add(n)
+            frontier.extend(rconn.get(n, ()))
+        conn = {n: [d for d in dsts if d in keep_nodes]
+                for n, dsts in conn.items() if n in keep_nodes}
 
     reaches: List[List] = []
-    visited: Set = set()
-    for tw in sources:
-        stack: List[tuple] = [(tw, iter(rconn[tw]))]
-        while stack:
-            node, children = stack[-1]
-            advanced = False
-            for child in children:
-                if child not in visited:
-                    visited.add(child)
-                    if child in rconn:
-                        stack.append((child, iter(rconn[child])))
-                        advanced = True
-                        break
-            if advanced:
-                continue
-            stack.pop()
-            reach = [node]
-            for anc, _ in reversed(stack):
-                if keep_going(reach, anc):
-                    reach.append(anc)
-                else:
-                    break
-            reaches.append(reach)
-            if len(reach) > 1:
-                del stack[-(len(reach) - 1):]
+    tail_reach: Dict[Hashable, int] = {}  # reach index currently ending at node
+    for node in kahn_toposort(conn):
+        ups = rconn.get(node, ())
+        ri = tail_reach.get(ups[0]) if len(ups) == 1 else None
+        if ri is not None and keep_going(reaches[ri], node):
+            del tail_reach[ups[0]]
+            reaches[ri].append(node)
+        else:
+            ri = len(reaches)
+            reaches.append([node])
+        tail_reach[node] = ri
     return reaches
 
 
