@@ -117,7 +117,12 @@ class BmiTrouteTpu:
         exclude = None
         if hp and hp.run_hybrid_routing and hp.diffusive_domain:
             import jax
-            jax.config.update("jax_enable_x64", True)
+            self._diff_dtype_str, self._diff_nel = hp.resolved_diffusive()
+            if self._diff_dtype_str == "float64":
+                # reference precision needs x64; the f32 TPU fast path
+                # must not enable it (f64 scalars would leak into the
+                # 32-bit MC Pallas kernel)
+                jax.config.update("jax_enable_x64", True)
             from troute_tpu.routing.hybrid import HybridDomain
             self._hyb = HybridDomain(cfg, base)
             exclude = self._hyb.mainstem_set
@@ -493,11 +498,13 @@ class BmiTrouteTpu:
             sl = db[:, skip:]
             hyb.coastal_db = sl if sl.shape[1] >= 2 else None
             hyb.coastal_dt_db = dt_db
-        hp_cfg = self._cfg.compute_parameters.hybrid_parameters
+        import jax.numpy as jnp
         dom = hyb.build_diffusive_domain(
             qlat_rows, dt_qlat=window, trib_q=trib_q, dt_trib=self._dt,
             dtini=self._dt,
-            nel_uniform=getattr(hp_cfg, "diffusive_table_nel", None))
+            dtype=(jnp.float32 if self._diff_dtype_str == "float32"
+                   else jnp.float64),
+            nel_uniform=self._diff_nel)
         if self._dst is None:
             q_init = jnp.maximum(jnp.asarray(
                 np.broadcast_to(trib_q[0].sum() / max(dom.n_reaches, 1),

@@ -456,9 +456,13 @@ def main_v04(argv=None) -> dict:
     hyb = None
     exclude = None
     hp = cfg.compute_parameters.hybrid_parameters
+    hp_dtype_str, hp_nel = hp.resolved_diffusive()
     if hp.run_hybrid_routing and hp.diffusive_domain:
-        # the diffusive solver runs in double precision like the reference
-        jax.config.update("jax_enable_x64", True)
+        if hp_dtype_str == "float64":
+            # reference-precision diffusive needs x64 (the f32 TPU fast
+            # path must NOT enable it: stray f64 scalars would leak into
+            # the 32-bit MC Pallas kernel, which Mosaic rejects)
+            jax.config.update("jax_enable_x64", True)
         from troute_tpu.routing.hybrid import HybridDomain
         hyb = HybridDomain(cfg, base)
         exclude = hyb.mainstem_set
@@ -838,8 +842,7 @@ def main_v04(argv=None) -> dict:
                                 float(fp.qlat_const), np.float32)
         qlat_rows = {int(s): ql_ms[:, k] for k, s in enumerate(ms_ids)}
 
-        diff_dtype = (jnp.float32
-                      if str(hp.diffusive_dtype) == "float32"
+        diff_dtype = (jnp.float32 if hp_dtype_str == "float32"
                       else jnp.float64)
         groups = hyb.tailwater_groups()
         q0val = float(trib_q[0].sum()) / max(hyb.n_reaches, 1)
@@ -856,7 +859,7 @@ def main_v04(argv=None) -> dict:
             doms = [hyb.build_diffusive_domain(
                         qlat_rows, dt_qlat=dt * qts, trib_q=trib_q,
                         dt_trib=dt, dtini=dt, dtype=diff_dtype,
-                        reach_idx=g, nel_uniform=hp.diffusive_table_nel)
+                        reach_idx=g, nel_uniform=hp_nel)
                     for g in groups]
             bdom = stack_domains(doms)
             B, Rb, Cb = bdom.z.shape
@@ -897,7 +900,7 @@ def main_v04(argv=None) -> dict:
             dom = hyb.build_diffusive_domain(
                 qlat_rows, dt_qlat=dt * qts, trib_q=trib_q, dt_trib=dt,
                 dtini=dt, dtype=diff_dtype,
-                nel_uniform=hp.diffusive_table_nel)
+                nel_uniform=hp_nel)
             q_init = jnp.maximum(
                 jnp.full((dom.n_reaches, dom.n_cols), q0val,
                          diff_dtype), 0.1)

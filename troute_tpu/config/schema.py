@@ -13,7 +13,7 @@ domain required for hybrid routing).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 import yaml
 from pydantic import BaseModel, ConfigDict, Field, model_validator
@@ -118,10 +118,11 @@ class HybridParameters(_Permissive):
     refactored_domain: Optional[str] = None
     refactored_topobathy_domain: Optional[str] = None
     coastal_boundary_domain: Optional[str] = None
-    # "float64" = reference precision (default); "float32" = TPU-native
-    # (f64 is emulated on TPU; f32 agrees to ~0.1 mm depth on the
-    # LowerColorado mainstem)
-    diffusive_dtype: str = "float64"
+    # "float64" = reference precision; "float32" = TPU-native (f64 is
+    # emulated on TPU; f32 agrees to ~0.1 mm depth on the LowerColorado
+    # mainstem).  "auto" (default) resolves per backend at run time:
+    # float32 on TPU, float64 elsewhere — see ``resolved_diffusive``.
+    diffusive_dtype: str = "auto"
     # "jacobi" (default) = depth-independent fixed-point corrector — after
     # at most depth-D sweeps it reproduces the sequential substitution
     # exactly (triangular chain), and with warm starts converges in a
@@ -135,17 +136,39 @@ class HybridParameters(_Permissive):
     # merged single-[R, C] form (all tailwaters coupled to the global
     # most-restrictive dt).  Single-tailwater domains are unaffected.
     diffusive_batching: str = "auto"
-    # When set (e.g. 128), resample the hot lookup-table columns onto
+    # When an int (e.g. 128), resample the hot lookup-table columns onto
     # per-node sqrt-stretched elevation grids of this many entries — the
     # jacobi corrector's table fetches become index arithmetic + short
     # one-hot passes instead of searches over the 501-entry non-uniform
     # grid, and the sweep switches to Gauss-Seidel-within-reach (~27x
-    # diffusive throughput on TPU at mainstem scale).  Accuracy study in
-    # tests/test_diffusive_uniform.py: at 128, steady flows within ~2%,
-    # surfaces within ~1 cm; steep transients can show larger
-    # instantaneous dq from hydrograph phase shift (volumes agree).
-    # None (default) = exact reference-parity lookups.
-    diffusive_table_nel: Optional[int] = None
+    # diffusive throughput on TPU at mainstem scale).  Accuracy studies:
+    # tests/test_diffusive_uniform.py (synthetic: at 128, steady flows
+    # within ~2%, surfaces within ~1 cm; steep transients can show larger
+    # instantaneous dq from hydrograph phase shift, volumes agree) and
+    # tests/test_hurricane_laura.py (real Gulf-coast bathymetry, same
+    # quantile assertions).  None/0 = exact reference-parity lookups.
+    # "auto" (default) resolves per backend: 128 on TPU, exact elsewhere.
+    diffusive_table_nel: Optional[Union[int, str]] = "auto"
+
+    def resolved_diffusive(self) -> tuple:
+        """Resolve the backend-aware ``"auto"`` defaults to concrete
+        ``(dtype_str, nel_uniform)`` values.
+
+        On TPU the production default is the f32 + uniform-128 fast path
+        (f64 is emulated at ~2x program cost and the exact-table searches
+        are latency-bound there — BENCH: 2.3e6 vs 1.9e4 seg-ts/s);
+        off-TPU (and whenever the user pins explicit values, e.g. for
+        reference parity) the exact-table float64 configuration runs.
+        """
+        import jax
+        tpu = jax.default_backend() == "tpu"
+        dtype = self.diffusive_dtype
+        if dtype == "auto":
+            dtype = "float32" if tpu else "float64"
+        nel = self.diffusive_table_nel
+        if isinstance(nel, str):
+            nel = 128 if tpu else None
+        return dtype, (nel or None)
 
     @model_validator(mode="after")
     def _check_domain(self):

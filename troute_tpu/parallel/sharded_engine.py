@@ -261,6 +261,120 @@ def shard_reservoir_da(part: NetworkPartition, topo, res_da,
         obs_lookback_hours=float(res_da.obs_lookback_hours))
 
 
+def make_interior_sum(up, n_local, band_shifts, band_masks, band_rem_dst,
+                      band_rem_src):
+    """Local-only upstream-sum callable (halo contributions 0; boundary
+    rows are recomputed after the exchange).  Banded masked-shift form
+    when a ``band_shifts`` plan exists, masked gather otherwise."""
+    def interior_sum(q):
+        if band_shifts is None:
+            local_up = (up >= 0) & (up < n_local)
+            vals = jnp.where(local_up,
+                             q[jnp.clip(up, 0, n_local - 1)], 0.0)
+            return vals.sum(axis=1)
+        from troute_tpu.routing.upstream_plan import banded_upstream_sum
+        return banded_upstream_sum(q, band_masks, band_shifts,
+                                   band_rem_dst, band_rem_src,
+                                   padded_remainder=True)
+    return interior_sum
+
+
+def make_exchange(exchange, perms, n_halo, dtype, export_slot, send_slot,
+                  recv_pos, halo_src_dev, halo_src_pos):
+    """Halo-exchange callable: cross-shard boundary values of ``q`` into
+    the [n_halo] halo layout (``"neighbor"`` ppermute rounds or the
+    ``"allgather"`` fallback; both fill the same slots bit-identically)."""
+    def exchange_halo(q):
+        if exchange == "neighbor":
+            halo = jnp.zeros((n_halo,), dtype)
+            for r, perm in enumerate(perms):
+                if not perm:
+                    continue
+                buf = q[send_slot[r]]
+                rec = jax.lax.ppermute(buf, AXIS, perm)
+                pos = recv_pos[r]
+                halo = halo.at[jnp.where(pos >= 0, pos,
+                                         n_halo)].set(rec, mode="drop")
+            return halo
+        exported = q[export_slot]                     # [E]
+        all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
+        halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
+        return jnp.where(halo_src_dev >= 0, halo, 0.0)
+    return exchange_halo
+
+
+def apply_local_nudge(q_new, gage_slot, gage_obs, lo_val, lo_time,
+                      t_idx, t_seconds, decay_coeff):
+    """simple_da on device-local gage lanes (identical math to
+    engine._apply_nudging, slot-local layout).  Past the end of the
+    observation table means "missing" (decay nudging), exactly like the
+    engine's obs_seq NaN fill."""
+    safe_g = jnp.maximum(gage_slot, 0)
+    obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
+    obs_t = jnp.where((gage_slot >= 0) & (t_idx < gage_obs.shape[0]),
+                      obs_t, jnp.nan)
+    model = q_new[safe_g]
+    have_obs = ~jnp.isnan(obs_t)
+    minutes = (t_seconds - lo_time) / 60.0
+    weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
+    shift = (lo_val - model) * weight
+    no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
+    replaced = jnp.where(have_obs, obs_t,
+                         jnp.where(no_memory, model, model + shift))
+    nudge = jnp.where(gage_slot >= 0,
+                      jnp.where(have_obs, obs_t - model,
+                                jnp.where(no_memory, 0.0, shift)), 0.0)
+    lo_val_c = jnp.where(have_obs, obs_t, lo_val)
+    lo_time_c = jnp.where(have_obs, t_seconds, lo_time)
+    g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
+    q_new = q_new.at[g_scatter].set(replaced, mode="drop")
+    return q_new, nudge, lo_val_c, lo_time_c
+
+
+def reservoir_update(q_new, d_new, res_elev, inflow_src, res_slots,
+                     res_params, rda, da_states, t_idx, t_seconds, dt_):
+    """Levelpool step + typed reservoir DA on the padded per-device
+    reservoir slots; scatters outflow/depth into the local state arrays.
+    ``inflow_src`` is the upstream-sum vector the reservoirs read
+    (previous-step sums in short mode, the iterate's sums in strict
+    mode).  ``rda=None`` means plain levelpool."""
+    hyb_s, rfc_s, gl_s = da_states
+    safe_slots = jnp.maximum(res_slots, 0)
+    inflow = inflow_src[safe_slots]
+    lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
+                                     jnp.zeros_like(inflow), dt_,
+                                     res_params)
+    if rda is not None:
+        month_i = rda.month_idx[jnp.minimum(
+            t_idx, rda.month_idx.shape[0] - 1)]
+        outflow, elev, d_scat, hyb_s, rfc_s, gl_s = \
+            typed_reservoir_dispatch(
+                rda.wbody_type, rda.hybrid_obs, rda.hybrid_obs_time,
+                hyb_s, rda.rfc_series, rda.rfc_counts, rda.rfc_use,
+                rda.rfc_timestep, rda.rfc_persist_seconds, rfc_s,
+                rda.gl_obs, rda.gl_obs_time, rda.gl_climatology,
+                gl_s, rda.obs_lookback_hours,
+                res_elev, inflow, lp_out, lp_elev, t_seconds, month_i,
+                res_params.area, res_params.max_depth,
+                res_params.orifice_elev, dt_)
+    else:
+        outflow, elev, d_scat = lp_out, lp_elev, lp_elev
+    have = res_slots >= 0
+    scatter = jnp.where(have, safe_slots, q_new.shape[0])
+    q_new = q_new.at[scatter].set(outflow, mode="drop")
+    d_new = d_new.at[scatter].set(d_scat, mode="drop")
+    res_elev = jnp.where(have, elev, res_elev)
+    return q_new, d_new, res_elev, (hyb_s, rfc_s, gl_s)
+
+
+def zero_da_states(R, dtype):
+    """Placeholder per-device DA state lanes when no reservoir DA runs."""
+    z = jnp.zeros((R,), dtype)
+    return (HybridDAState(z, z, z, z),
+            RfcDAState(jnp.zeros((R,), jnp.int32), z),
+            GreatLakesDAState(z, z, z))
+
+
 def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   qts_subdivisions: int = 1,
                   res_da: ShardedResDA | None = None,
@@ -310,71 +424,6 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                                chan.bw, chan.tw, chan.twcc, chan.n,
                                chan.ncc, chan.cs, chan.s0, depth, dt_)
 
-    def make_interior_sum(up, n_local, band_masks, band_rem_dst,
-                          band_rem_src):
-        def interior_sum(q):
-            """Local-only upstream sums (halo contributions 0; the
-            boundary rows are recomputed after the exchange)."""
-            if band_shifts is None:
-                local_up = (up >= 0) & (up < n_local)
-                vals = jnp.where(local_up,
-                                 q[jnp.clip(up, 0, n_local - 1)], 0.0)
-                return vals.sum(axis=1)
-            from troute_tpu.routing.upstream_plan import banded_upstream_sum
-            return banded_upstream_sum(q, band_masks, band_shifts,
-                                       band_rem_dst, band_rem_src,
-                                       padded_remainder=True)
-        return interior_sum
-
-    def make_exchange(export_slot, send_slot, recv_pos, halo_src_dev,
-                      halo_src_pos):
-        def exchange_halo(q):
-            """Cross-shard boundary values of ``q`` into the halo slots
-            (either mechanism; both fill the same [H] layout)."""
-            if exchange == "neighbor":
-                halo = jnp.zeros((n_halo,), dtype)
-                for r, perm in enumerate(perms):
-                    if not perm:
-                        continue
-                    buf = q[send_slot[r]]
-                    rec = jax.lax.ppermute(buf, AXIS, perm)
-                    pos = recv_pos[r]
-                    halo = halo.at[jnp.where(pos >= 0, pos,
-                                             n_halo)].set(rec, mode="drop")
-                return halo
-            exported = q[export_slot]                     # [E]
-            all_exp = jax.lax.all_gather(exported, AXIS)  # [D, E]
-            halo = all_exp[jnp.maximum(halo_src_dev, 0), halo_src_pos]
-            return jnp.where(halo_src_dev >= 0, halo, 0.0)
-        return exchange_halo
-
-    def apply_local_nudge(q_new, gage_slot, gage_obs, lo_val, lo_time,
-                          t_idx, t_seconds):
-        """simple_da on device-local gage lanes (identical math to
-        engine._apply_nudging, slot-local layout).  Past the end of the
-        observation table means "missing" (decay nudging), exactly like
-        the engine's obs_seq NaN fill."""
-        safe_g = jnp.maximum(gage_slot, 0)
-        obs_t = gage_obs[jnp.minimum(t_idx, gage_obs.shape[0] - 1)]
-        obs_t = jnp.where((gage_slot >= 0) & (t_idx < gage_obs.shape[0]),
-                          obs_t, jnp.nan)
-        model = q_new[safe_g]
-        have_obs = ~jnp.isnan(obs_t)
-        minutes = (t_seconds - lo_time) / 60.0
-        weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
-        shift = (lo_val - model) * weight
-        no_memory = jnp.isnan(obs_t) & jnp.isnan(lo_val)
-        replaced = jnp.where(have_obs, obs_t,
-                             jnp.where(no_memory, model, model + shift))
-        nudge = jnp.where(gage_slot >= 0,
-                          jnp.where(have_obs, obs_t - model,
-                                    jnp.where(no_memory, 0.0, shift)), 0.0)
-        lo_val_c = jnp.where(have_obs, obs_t, lo_val)
-        lo_time_c = jnp.where(have_obs, t_seconds, lo_time)
-        g_scatter = jnp.where(gage_slot >= 0, safe_g, q_new.shape[0])
-        q_new = q_new.at[g_scatter].set(replaced, mode="drop")
-        return q_new, nudge, lo_val_c, lo_time_c
-
     def local_step(carry, xs, upstream_local, export_slot, halo_src_dev,
                    halo_src_pos, perm_pairs, send_slot, recv_pos,
                    boundary_rows, valid, is_res, res_slots, chan,
@@ -384,8 +433,9 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         qlat_t, t_idx = xs
         up = upstream_local
         n_local = q.shape[0]
-        interior_sum = make_interior_sum(up, n_local, band_masks,
-                                         band_rem_dst, band_rem_src)
+        interior_sum = make_interior_sum(up, n_local, band_shifts,
+                                         band_masks, band_rem_dst,
+                                         band_rem_src)
 
         def boundary_fix(q_ext, qdc, velc, depthc, up_prev):
             """Recompute halo-referencing rows with true upstream sums."""
@@ -404,7 +454,8 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             up_prev = up_prev.at[scat_b].set(up_prev_b, mode="drop")
             return qdc, velc, depthc, up_prev
 
-        exchange_halo = make_exchange(export_slot, send_slot, recv_pos,
+        exchange_halo = make_exchange(exchange, perms, n_halo, dtype,
+                                      export_slot, send_slot, recv_pos,
                                       halo_src_dev, halo_src_pos)
         if exchange == "neighbor":
             # interior pass first: upstream sums from owned nodes only
@@ -441,36 +492,15 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         d_new = jnp.where(valid & ~is_res, depthc, depth)
 
         # reservoirs: padded per-device slots
-        safe_slots = jnp.maximum(res_slots, 0)
-        inflow = up_prev[safe_slots]
-        lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
-                                         jnp.zeros_like(inflow), dt_,
-                                         res_params)
         t_seconds = t_idx.astype(dtype) * dt_
-        if have_res_da:
-            month_i = rda.month_idx[jnp.minimum(
-                t_idx, rda.month_idx.shape[0] - 1)]
-            outflow, elev, d_scat, hyb_s, rfc_s, gl_s = \
-                typed_reservoir_dispatch(
-                    rda.wbody_type, rda.hybrid_obs, rda.hybrid_obs_time,
-                    hyb_s, rda.rfc_series, rda.rfc_counts, rda.rfc_use,
-                    rda.rfc_timestep, rda.rfc_persist_seconds, rfc_s,
-                    rda.gl_obs, rda.gl_obs_time, rda.gl_climatology,
-                    gl_s, rda.obs_lookback_hours,
-                    res_elev, inflow, lp_out, lp_elev, t_seconds, month_i,
-                    res_params.area, res_params.max_depth,
-                    res_params.orifice_elev, dt_)
-        else:
-            outflow, elev, d_scat = lp_out, lp_elev, lp_elev
-        have = res_slots >= 0
-        scatter = jnp.where(have, safe_slots, q_new.shape[0])
-        q_new = q_new.at[scatter].set(outflow, mode="drop")
-        d_new = d_new.at[scatter].set(d_scat, mode="drop")
-        res_elev = jnp.where(have, elev, res_elev)
+        q_new, d_new, res_elev, (hyb_s, rfc_s, gl_s) = reservoir_update(
+            q_new, d_new, res_elev, up_prev, res_slots, res_params, rda,
+            (hyb_s, rfc_s, gl_s), t_idx, t_seconds, dt_)
 
         # streamflow-nudging DA on device-local gage lanes
         q_new, nudge, lo_val, lo_time = apply_local_nudge(
-            q_new, gage_slot, gage_obs, lo_val, lo_time, t_idx, t_seconds)
+            q_new, gage_slot, gage_obs, lo_val, lo_time, t_idx, t_seconds,
+            decay_coeff)
 
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
         return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
@@ -496,9 +526,11 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
         up = upstream_local
         n_local = q.shape[0]
         t_seconds = t_idx.astype(dtype) * dt_
-        interior_sum = make_interior_sum(up, n_local, band_masks,
-                                         band_rem_dst, band_rem_src)
-        exchange_halo = make_exchange(export_slot, send_slot, recv_pos,
+        interior_sum = make_interior_sum(up, n_local, band_shifts,
+                                         band_masks, band_rem_dst,
+                                         band_rem_src)
+        exchange_halo = make_exchange(exchange, perms, n_halo, dtype,
+                                      export_slot, send_slot, recv_pos,
                                       halo_src_dev, halo_src_pos)
 
         def sums_full(qv):
@@ -523,38 +555,14 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             v_new = jnp.where(valid & ~is_res, out.velc, 0.0)
             d_new = jnp.where(valid & ~is_res, out.depthc, depth)
 
-            safe_slots = jnp.maximum(res_slots, 0)
-            inflow = quc[safe_slots]
-            lp_out, lp_elev = levelpool_step(res_elev, inflow, inflow,
-                                             jnp.zeros_like(inflow), dt_,
-                                             res_params)
-            if have_res_da:
-                month_i = rda.month_idx[jnp.minimum(
-                    t_idx, rda.month_idx.shape[0] - 1)]
-                outflow, elev, d_scat, hyb_c, rfc_c, gl_c = \
-                    typed_reservoir_dispatch(
-                        rda.wbody_type, rda.hybrid_obs,
-                        rda.hybrid_obs_time, hyb_s, rda.rfc_series,
-                        rda.rfc_counts, rda.rfc_use, rda.rfc_timestep,
-                        rda.rfc_persist_seconds, rfc_s, rda.gl_obs,
-                        rda.gl_obs_time, rda.gl_climatology, gl_s,
-                        rda.obs_lookback_hours, res_elev, inflow, lp_out,
-                        lp_elev, t_seconds, month_i, res_params.area,
-                        res_params.max_depth, res_params.orifice_elev,
-                        dt_)
-            else:
-                outflow, elev, d_scat = lp_out, lp_elev, lp_elev
-                hyb_c, rfc_c, gl_c = hyb_s, rfc_s, gl_s
-            have = res_slots >= 0
-            scatter = jnp.where(have, safe_slots, q_new.shape[0])
-            q_new = q_new.at[scatter].set(outflow, mode="drop")
-            d_new = d_new.at[scatter].set(d_scat, mode="drop")
-            elev_c = jnp.where(have, elev, res_elev)
+            q_new, d_new, elev_c, (hyb_c, rfc_c, gl_c) = reservoir_update(
+                q_new, d_new, res_elev, quc, res_slots, res_params, rda,
+                (hyb_s, rfc_s, gl_s), t_idx, t_seconds, dt_)
 
             # nudging from the carried-in lastobs state (idempotent)
             q_new, nudge, lo_val_c, lo_time_c = apply_local_nudge(
                 q_new, gage_slot, gage_obs, lo_val, lo_time, t_idx,
-                t_seconds)
+                t_seconds, decay_coeff)
             return (q_new, v_new, d_new, elev_c, lo_val_c, lo_time_c,
                     nudge, hyb_c, rfc_c, gl_c)
 
@@ -604,11 +612,7 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             hyb0, rfc0, gl0 = rda_l.hyb0, rda_l.rfc0, rda_l.gl0
         else:
             rda_l = None
-            R = res_slots.shape[-1]
-            z = jnp.zeros((R,), dtype)
-            hyb0 = HybridDAState(z, z, z, z)
-            rfc0 = RfcDAState(jnp.zeros((R,), jnp.int32), z)
-            gl0 = GreatLakesDAState(z, z, z)
+            hyb0, rfc0, gl0 = zero_da_states(res_slots.shape[-1], dtype)
         args = (sq(upstream_local), sq(export_slot), sq(halo_src_dev),
                 sq(halo_src_pos), perm_pairs, sq(send_slot), sq(recv_pos),
                 sq(boundary_rows), sq(valid), sq(is_res), sq(res_slots),
@@ -711,7 +715,7 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
                          res_params_np, cfg, q0, depth0, res_elev0,
                          qlat_cols, da=None, res_da=None,
                          part: NetworkPartition | None = None,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, driver: str = "auto"):
     """Multi-device routing with the ``route()`` contract on GLOBAL arrays.
 
     Partitions the network over ``mesh`` (greedy basin packing unless a
@@ -757,15 +761,34 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
         rda_sh = shard_reservoir_da(part, topo, res_da,
                                     np.asarray(inp.res_slots), dtype=dtype)
 
-    res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
-                        qts_subdivisions=cfg.qts_subdivisions,
-                        res_da=rda_sh,
-                        decay_coeff=(da.decay_coeff if have_da else 120.0),
-                        band_shifts=part.band_shifts,
-                        strict=not cfg.assume_short_ts,
-                        strict_tol=getattr(cfg, "strict_tol", 1e-9),
-                        strict_max_sweeps=getattr(cfg, "strict_max_sweeps",
-                                                  64))
+    # driver selection: the host-stepped Pallas driver (stepped_engine)
+    # is the production short-timestep path on TPU (~8x the in-scan XLA
+    # form per chip); the in-scan driver remains the CPU-mesh default
+    # (interpreted Pallas is slow off-TPU) and the only strict-mode form
+    if driver == "auto":
+        driver = ("stepped" if cfg.assume_short_ts
+                  and jax.default_backend() == "tpu" else "scan")
+    if driver == "stepped" and not cfg.assume_short_ts:
+        raise ValueError("the stepped sharded driver is short-timestep "
+                         "only; strict mode runs the in-scan driver")
+    if driver == "stepped":
+        from troute_tpu.parallel.stepped_engine import route_sharded_stepped
+        res = route_sharded_stepped(
+            mesh, inp, cfg.dt, cfg.nts,
+            qts_subdivisions=cfg.qts_subdivisions, res_da=rda_sh,
+            decay_coeff=(da.decay_coeff if have_da else 120.0),
+            band_shifts=part.band_shifts)
+    else:
+        res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
+                            qts_subdivisions=cfg.qts_subdivisions,
+                            res_da=rda_sh,
+                            decay_coeff=(da.decay_coeff if have_da
+                                         else 120.0),
+                            band_shifts=part.band_shifts,
+                            strict=not cfg.assume_short_ts,
+                            strict_tol=getattr(cfg, "strict_tol", 1e-9),
+                            strict_max_sweeps=getattr(
+                                cfg, "strict_max_sweeps", 64))
 
     # ---- reassemble global outputs ----
     fvd_sh = np.asarray(res.fvd)                       # [D, nts, L, 3]

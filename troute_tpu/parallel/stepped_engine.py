@@ -1,0 +1,256 @@
+"""Host-stepped multi-device routing: shard_map + Pallas MC + ppermute halo.
+
+The in-scan sharded engine (``sharded_engine.route_sharded``) runs the
+plain XLA secant inside ``lax.scan`` because the Pallas block kernel
+cannot live inside scan on this toolchain (Mosaic-in-scan compile hang —
+see ``routing/engine.route_stepped``).  That costs ~8x per chip vs the
+single-device stepped path (BENCH_r03: 2.57e7 vs 2.12e8 seg-ts/s).
+
+This driver lifts the ``route_stepped`` pattern onto the device mesh:
+ONE jitted ``shard_map`` program unrolls K short timesteps (a Python
+loop, legal for Pallas), each step =
+
+    banded local upstream sums  ->  Pallas block-secant MC solve
+    (overlapped with the per-round ``ppermute`` halo exchange)
+    ->  boundary-row recompute  ->  reservoirs / typed DA / nudging
+
+and the host drives one dispatch per K steps — exactly
+``engine._stepped_kernel_multi`` with a neighbor halo exchange added.
+
+Numerics match ``route_stepped`` exactly: the same Pallas kernel solves
+every row (per-lane results are block-composition independent — masked
+updates freeze converged lanes), and per-shard banded plans use the same
+displacement-frequency ordering as the global plan, so on a 1-device
+mesh the result is bit-identical to the single-device stepped path.
+Across cuts, boundary rows are recomputed from the full upstream-column
+gather in original column order, like the in-scan engine.
+
+Replaces: the reference's by-subnetwork joblib scheduler
+(``compute.py:553-907``) at production rate on TPU meshes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from troute_tpu.ops.levelpool import LevelpoolParams
+from troute_tpu.ops.muskingum_pallas import muskingum_cunge_pallas
+from troute_tpu.ops.reservoir_da import (
+    GreatLakesDAState, HybridDAState, RfcDAState)
+from troute_tpu.parallel.sharded_engine import (
+    AXIS, ShardedInputs, ShardedResDA, ShardedRunResult, apply_local_nudge,
+    input_specs, make_exchange, make_interior_sum, reservoir_update,
+    zero_da_states)
+from troute_tpu.routing.engine import ChannelParams
+
+
+@functools.lru_cache(maxsize=64)
+def _make_block_fn(mesh: Mesh, k_steps: int, dt: float, qts: int,
+                   decay_coeff: float, exchange: str,
+                   band_shifts: tuple | None, perms: tuple,
+                   collect: bool, has_boundary: bool, have_res_da: bool,
+                   lookback: float, rda_treedef):
+    """Build (and cache) the jitted K-step shard_map program for one
+    static configuration; jit itself handles shape re-tracing."""
+
+    def device_fn(q, depth, res_elev, lo_val, lo_time, hyb, rfc, gl,
+                  t0_idx, upstream_local, export_slot, halo_src_dev,
+                  halo_src_pos, perm_pairs, send_slot, recv_pos,
+                  boundary_rows, valid, is_res, res_slots, chan,
+                  res_params, q0_unused, depth0_unused, res_elev0_unused,
+                  qlat, gage_slot, gage_index, gage_obs, gage_lo_val,
+                  gage_lo_time, band_masks, band_rem_dst, band_rem_src,
+                  *rda_flat):
+        sq = lambda a: a[0]                # drop the size-1 device axis
+        dtype = q.dtype
+        dt_ = jnp.asarray(dt, dtype)
+        q, depth, res_elev = sq(q), sq(depth), sq(res_elev)
+        lo_val, lo_time = sq(lo_val), sq(lo_time)
+        das = tuple(jax.tree.map(sq, s) for s in (hyb, rfc, gl))
+        up = sq(upstream_local)
+        n_local = q.shape[0]
+        n_halo = int(sq(halo_src_dev).shape[0])
+        chan_l = jax.tree.map(sq, chan)
+        res_params_l = jax.tree.map(sq, res_params)
+        qlat_l = qlat[:, 0]                # [n_cols, n_local]
+        gage_slot_l, gage_obs_l = sq(gage_slot), sq(gage_obs)
+        res_slots_l = sq(res_slots)
+        valid_l, is_res_l = sq(valid), sq(is_res)
+        b_rows = sq(boundary_rows)
+
+        if have_res_da:
+            rda_d = jax.tree.unflatten(rda_treedef, rda_flat)
+            rda_d = jax.tree.map(sq, rda_d)
+            rda = ShardedResDA(obs_lookback_hours=lookback, **rda_d)
+        else:
+            rda = None
+
+        interior_sum = make_interior_sum(
+            up, n_local, band_shifts, sq(band_masks), sq(band_rem_dst),
+            sq(band_rem_src))
+        exchange_halo = make_exchange(
+            exchange, perms, n_halo, dtype, sq(export_slot),
+            sq(send_slot), sq(recv_pos), sq(halo_src_dev),
+            sq(halo_src_pos))
+
+        def mc(up_prev, quc, qdp, ql, ch, dp):
+            return muskingum_cunge_pallas(
+                up_prev, quc, qdp, ql, ch.dx, ch.bw, ch.tw, ch.twcc,
+                ch.n, ch.ncc, ch.cs, ch.s0, dp, dt,
+                with_diagnostics=False)
+
+        # boundary-row plan: static per run, gathered once per dispatch
+        if has_boundary:
+            safe_b = jnp.maximum(b_rows, 0)
+            up_b = up[safe_b]              # [B, K] ext indices
+            chan_b = jax.tree.map(lambda a: a[safe_b], chan_l)
+            scat_b = jnp.where(b_rows >= 0, safe_b, n_local)
+
+        def one_step(q, depth, res_elev, lo_val, lo_time, das, t_idx):
+            col = (t_idx - 1) // qts
+            ql_t = jax.lax.dynamic_index_in_dim(qlat_l, col, 0,
+                                                keepdims=False)
+            # interior pass first: the big Pallas solve has no data
+            # dependency on the collective, so XLA can overlap it with
+            # the sparse per-round ppermutes
+            up_prev = interior_sum(q)
+            out = mc(up_prev, up_prev, q, ql_t, chan_l, depth)
+            qdc, velc, depthc = out.qdc, out.velc, out.depthc
+
+            if has_boundary:
+                q_ext = jnp.concatenate([q, exchange_halo(q)])
+                vals_b = jnp.where(up_b >= 0,
+                                   q_ext[jnp.maximum(up_b, 0)], 0.0)
+                up_prev_b = vals_b.sum(axis=1)
+                out_b = mc(up_prev_b, up_prev_b, q[safe_b], ql_t[safe_b],
+                           chan_b, depth[safe_b])
+                qdc = qdc.at[scat_b].set(out_b.qdc, mode="drop")
+                velc = velc.at[scat_b].set(out_b.velc, mode="drop")
+                depthc = depthc.at[scat_b].set(out_b.depthc, mode="drop")
+                up_prev = up_prev.at[scat_b].set(up_prev_b, mode="drop")
+
+            q_new = jnp.where(valid_l & ~is_res_l, qdc, q)
+            v_new = jnp.where(valid_l & ~is_res_l, velc, 0.0)
+            d_new = jnp.where(valid_l & ~is_res_l, depthc, depth)
+
+            t_seconds = t_idx.astype(dtype) * dt_
+            q_new, d_new, res_elev, das = reservoir_update(
+                q_new, d_new, res_elev, up_prev, res_slots_l,
+                res_params_l, rda, das, t_idx, t_seconds, dt_)
+            q_new, nudge, lo_val, lo_time = apply_local_nudge(
+                q_new, gage_slot_l, gage_obs_l, lo_val, lo_time, t_idx,
+                t_seconds, decay_coeff)
+            return q_new, v_new, d_new, res_elev, lo_val, lo_time, das, \
+                nudge
+
+        fvds, nudges = [], []
+        for j in range(k_steps):
+            t_idx = t0_idx + jnp.int32(j)
+            (q, v, depth, res_elev, lo_val, lo_time, das,
+             nudge) = one_step(q, depth, res_elev, lo_val, lo_time, das,
+                               t_idx)
+            nudges.append(nudge)
+            if collect:
+                fvds.append(jnp.stack([q, v, depth], axis=-1))
+
+        add1 = lambda a: a[None]
+        hyb_f, rfc_f, gl_f = (jax.tree.map(add1, s) for s in das)
+        fvd = jnp.stack(fvds)[None] if collect else \
+            jnp.zeros((1, 0, n_local, 3), dtype)
+        return ShardedRunResult(
+            fvd=fvd, nudge=jnp.stack(nudges)[None], q=q[None],
+            depth=depth[None], res_elev=res_elev[None],
+            lo_val=lo_val[None], lo_time=lo_time[None],
+            hyb=hyb_f, rfc=rfc_f, gl=gl_f)
+
+    da_specs = (
+        HybridDAState(*[P(AXIS)] * len(HybridDAState._fields)),
+        RfcDAState(*[P(AXIS)] * len(RfcDAState._fields)),
+        GreatLakesDAState(*[P(AXIS)] * len(GreatLakesDAState._fields)))
+    in_specs = (P(AXIS),) * 5 + da_specs + (P(),) + tuple(input_specs())
+    if have_res_da:
+        n_rda = rda_treedef.num_leaves
+        in_specs = in_specs + (P(AXIS),) * n_rda
+    out_specs = ShardedRunResult(
+        fvd=P(AXIS), nudge=P(AXIS), q=P(AXIS), depth=P(AXIS),
+        res_elev=P(AXIS), lo_val=P(AXIS), lo_time=P(AXIS),
+        hyb=da_specs[0], rfc=da_specs[1], gl=da_specs[2])
+    fn = jax.shard_map(device_fn, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(fn)
+
+
+def route_sharded_stepped(mesh: Mesh, inp: ShardedInputs, dt: float,
+                          nts: int, qts_subdivisions: int = 1,
+                          res_da: ShardedResDA | None = None,
+                          decay_coeff: float = 120.0,
+                          exchange: str = "neighbor",
+                          band_shifts: tuple | None = None,
+                          k_steps: int = 24,
+                          collect: bool = True) -> ShardedRunResult:
+    """Production multi-device routing (short-timestep + Pallas kernel).
+
+    Same contract as ``sharded_engine.route_sharded`` in short-timestep
+    mode (the strict fixed-point form stays on the in-scan driver);
+    semantically identical, ~8x faster per chip on TPU.  ``k_steps``
+    trades compile size for dispatch amortization, exactly like
+    ``engine.route_stepped``'s K.
+    """
+    dtype = inp.q0.dtype
+    perm_np = np.asarray(inp.perm_pairs)
+    perms = tuple(
+        tuple((int(s), int(d)) for s, d in perm_np[r] if s >= 0)
+        for r in range(perm_np.shape[0]))
+    has_boundary = bool((np.asarray(inp.boundary_rows) >= 0).any())
+    have_res_da = res_da is not None
+
+    rda_args = ()
+    rda_treedef = None
+    lookback = 48.0
+    if have_res_da:
+        lookback = float(res_da.obs_lookback_hours)
+        rda_dict = {k: v for k, v in res_da._asdict().items()
+                    if k != "obs_lookback_hours"}
+        rda_flat, rda_treedef = jax.tree.flatten(rda_dict)
+        rda_args = tuple(rda_flat)
+
+    R = int(inp.res_slots.shape[-1])
+    n_dev = int(np.prod(mesh.devices.shape))
+    if have_res_da:
+        das = (res_da.hyb0, res_da.rfc0, res_da.gl0)
+    else:
+        rep = lambda a: jnp.broadcast_to(a, (n_dev,) + a.shape)
+        das = tuple(jax.tree.map(rep, s) for s in zero_da_states(R, dtype))
+
+    q, depth, res_elev = inp.q0, inp.depth0, inp.res_elev0
+    lo_val, lo_time = inp.gage_lo_val, inp.gage_lo_time
+    hyb, rfc, gl = das
+    fvd_blocks, nudge_blocks = [], []
+    res = None
+    t = 1
+    while t <= nts:
+        k = min(k_steps, nts - t + 1)
+        fn = _make_block_fn(mesh, k, float(dt), int(qts_subdivisions),
+                            float(decay_coeff), exchange, band_shifts,
+                            perms, collect, has_boundary, have_res_da,
+                            lookback, rda_treedef)
+        res = fn(q, depth, res_elev, lo_val, lo_time, hyb, rfc, gl,
+                 jnp.int32(t), *inp, *rda_args)
+        q, depth, res_elev = res.q, res.depth, res.res_elev
+        lo_val, lo_time = res.lo_val, res.lo_time
+        hyb, rfc, gl = res.hyb, res.rfc, res.gl
+        if collect:
+            fvd_blocks.append(res.fvd)
+        nudge_blocks.append(res.nudge)
+        t += k
+
+    fvd = (fvd_blocks[0] if len(fvd_blocks) == 1 else
+           jnp.concatenate(fvd_blocks, axis=1)) if collect else None
+    nudge = (nudge_blocks[0] if len(nudge_blocks) == 1 else
+             jnp.concatenate(nudge_blocks, axis=1))
+    return res._replace(fvd=fvd, nudge=nudge)
