@@ -170,6 +170,22 @@ class RoutingConfig(NamedTuple):
     # 8 -> 9.8e6, 16 -> 1.23e7 seg-ts/s — fewer host polls beat the
     # wasted sweeps past convergence at every measured size
     strict_sweep_chunk: int = 16
+    # route_stepped strict mode: iterate with Gauss-Seidel column sweeps
+    # (chains resolve strict_gs_cols lanes per sweep instead of 1 — see
+    # _strict_gs_sweep_kernel) when the banded plan allows it; the
+    # committed state always comes from one standard Jacobi sweep at the
+    # converged iterate, so final semantics are identical.
+    # Measured on one v5e at CONUS scale (2.73M lanes, 4-step windows,
+    # fetch-forced, 2026-08-20): GS cuts sweeps exactly as designed
+    # (32 -> 7 per step at C=16) but each GS sweep costs ~4.8x a Jacobi
+    # sweep (58 ms vs 12 ms: 16 SERIALIZED column solves — per-launch
+    # overhead and the cols[c-d] dependency chain dominate; traffic is
+    # identical) -> net wash (6.7e6 vs 7.0e6 seg-ts/s).  Default stays
+    # False on TPU; the flag remains for depth-bound regimes (cold
+    # starts, f64 deep chains) where the sweep reduction dominates —
+    # tests/test_strict_gs.py pins both parity and the sweep-count win.
+    strict_gs: bool = False
+    strict_gs_cols: int = 16
 
 
 class RoutingState(NamedTuple):
@@ -817,6 +833,138 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
             da_states_c, courant, delta, jnp.max(jnp.abs(q_est)))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("decay_coeff", "dt", "n_sweeps",
+                                    "shifts", "col_width"))
+def _strict_gs_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
+                            ql_t, obs_t, t_seconds, upstream,
+                            chan: ChannelParams,
+                            res_params: LevelpoolParams, is_res, res_rows,
+                            gage_rows, decay_coeff, dt, n_sweeps,
+                            shifts, col_width, masks, rem_dst, rem_src,
+                            res_da=None, da_states=None, month_i=None):
+    """``n_sweeps`` GAUSS-SEIDEL fixed-point sweeps of one strict timestep.
+
+    The Jacobi sweep (``_strict_sweep_kernel``) propagates current-step
+    coupling ONE edge per sweep, so warm CONUS steps sit at a ~16-sweep
+    f32 influence horizon.  Here the padded postorder layout [N] is
+    viewed as [N/C, C] rows (C = ``col_width``) and each sweep runs C
+    sequential column updates, vectorized over the N/C rows:
+
+    * same-row sources (band shift d <= c) read THIS sweep's freshly
+      solved columns — chains resolve C lanes per sweep instead of 1;
+    * cross-row band sources (d > c), the sparse remainder, and the
+      reservoir lanes read the previous iterate (Jacobi) — at the fixed
+      point old == new, so the mixed splitting has exactly the strict
+      fixed point of the Jacobi form (parity-tested).
+
+    Reservoir outflows update once per sweep from the old iterate's
+    inflows (candidate DA states discarded, like the Jacobi sweep);
+    nudging applies per column so downstream columns see nudged values,
+    like the Jacobi iterate which carries nudged q.  The committed state
+    comes from one standard ``_strict_sweep_kernel`` sweep at the
+    converged iterate, so final semantics (v/depth/DA/nudge bookkeeping)
+    are shared with the Jacobi path.  Strict semantics:
+    ``mc_reach.pyx:492-800``."""
+    from troute_tpu.ops.muskingum_pallas import muskingum_cunge_pallas
+
+    dtype = q.dtype
+    N = q.shape[0]
+    C = col_width
+    R = N // C
+    D = len(shifts)
+    to2d = lambda a: a.reshape(R, C)
+    from troute_tpu.routing.upstream_plan import banded_upstream_sum
+    up_prev = banded_upstream_sum(q, masks, shifts, rem_dst, rem_src)
+    up_prev2d = to2d(up_prev)
+    chan2d = jax.tree.map(to2d, chan)
+    q2d, depth2d, ql2d = to2d(q), to2d(depth), to2d(ql_t)
+    is_res2d = to2d(is_res)
+    masks2d = masks.reshape(D, R, C)
+    lo = max(shifts) if shifts else 0
+
+    n_gage = int(gage_rows.shape[0])
+    if n_gage:
+        gmask2d = to2d(jnp.zeros(N, bool).at[gage_rows].set(True))
+        scat = lambda v, fill: to2d(
+            jnp.full(N, fill, dtype).at[gage_rows].set(v))
+        obs2d = scat(obs_t, jnp.nan)
+        lov2d = scat(lo_val, jnp.nan)
+        lot2d = scat(lo_time, 0.0)
+
+    n_res = int(res_rows.shape[0])
+    delta = jnp.asarray(jnp.inf, dtype)
+    for _ in range(n_sweeps):
+        q_old = q_est
+        # reservoir Jacobi pre-pass: outflows from the old iterate's sums
+        if n_res:
+            up_res = upstream[res_rows]
+            vals = jnp.where(up_res >= 0,
+                             q_old[jnp.maximum(up_res, 0)], 0.0)
+            inflow = vals.sum(axis=1)
+            lp_out, lp_elev = levelpool_step(
+                res_elev, inflow, inflow, jnp.zeros_like(inflow),
+                jnp.asarray(dt, dtype), res_params)
+            if res_da is not None:
+                hyb_s, rfc_s, gl_s = da_states
+                outflow = typed_reservoir_dispatch(
+                    res_da.wbody_type, res_da.hybrid_obs,
+                    res_da.hybrid_obs_time, hyb_s, res_da.rfc_series,
+                    res_da.rfc_counts, res_da.rfc_use,
+                    res_da.rfc_timestep, res_da.rfc_persist_seconds,
+                    rfc_s, res_da.gl_obs, res_da.gl_obs_time,
+                    res_da.gl_climatology, gl_s,
+                    res_da.obs_lookback_hours, res_elev, inflow, lp_out,
+                    lp_elev, t_seconds, month_i, res_params.area,
+                    res_params.max_depth, res_params.orifice_elev,
+                    jnp.asarray(dt, dtype))[0]
+            else:
+                outflow = lp_out
+            overlay2d = to2d(jnp.zeros(N, dtype).at[res_rows].set(outflow))
+        # cross-row band sources + sparse remainder from the old iterate
+        qx = jnp.concatenate([jnp.zeros((lo,), dtype), q_old]) if lo \
+            else q_old
+        shifted_old = [
+            to2d(jax.lax.dynamic_slice(qx, (lo - d,), (N,)))
+            for d in shifts]
+        rem = jnp.zeros(N, dtype)
+        if rem_dst.shape[0]:
+            rem = rem.at[rem_dst].add(q_old[rem_src])
+        rem2d = to2d(rem)
+
+        cols = []
+        for c in range(C):
+            quc_col = rem2d[:, c]
+            for di, d in enumerate(shifts):
+                src = cols[c - d] if d <= c else shifted_old[di][:, c]
+                quc_col = quc_col + jnp.where(masks2d[di, :, c], src, 0.0)
+            ch = jax.tree.map(lambda a: a[:, c], chan2d)
+            out = muskingum_cunge_pallas(
+                up_prev2d[:, c], quc_col, q2d[:, c], ql2d[:, c], ch.dx,
+                ch.bw, ch.tw, ch.twcc, ch.n, ch.ncc, ch.cs, ch.s0,
+                depth2d[:, c], float(dt), with_diagnostics=False)
+            col_q = jnp.where(is_res2d[:, c],
+                              overlay2d[:, c] if n_res else q2d[:, c],
+                              out.qdc)
+            if n_gage:
+                obs_c, lov_c, lot_c = (obs2d[:, c], lov2d[:, c],
+                                       lot2d[:, c])
+                minutes = (t_seconds - lot_c) / 60.0
+                weight = jnp.exp(jnp.abs(minutes) / -decay_coeff)
+                shift_v = (lov_c - col_q) * weight
+                have_obs = ~jnp.isnan(obs_c)
+                no_mem = jnp.isnan(obs_c) & jnp.isnan(lov_c)
+                replaced = jnp.where(
+                    have_obs, obs_c,
+                    jnp.where(no_mem, col_q, col_q + shift_v))
+                col_q = jnp.where(gmask2d[:, c], replaced, col_q)
+            cols.append(col_q)
+        q_new = jnp.stack(cols, axis=1).reshape(N)
+        delta = jnp.max(jnp.abs(q_new - q_old))
+        q_est = q_new
+    return q_est, delta, jnp.max(jnp.abs(q_est))
+
+
 def route_stepped(net: NetworkArrays, chan: ChannelParams,
                   res_params: LevelpoolParams, cfg: RoutingConfig,
                   q0, depth0, res_elev0, qlat, da: GageDA | None = None,
@@ -886,6 +1034,16 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         n_obs_t = da.obs.shape[0] if have_da else 0
         sweep_counts = []
         q_prev_step = None      # q at t-2, for the extrapolated warm start
+        uplan = net.uplan
+        C_gs = int(cfg.strict_gs_cols)
+        use_gs = (cfg.strict_gs and uplan is not None
+                  and len(uplan.shifts) > 0
+                  and all(s > 0 for s in uplan.shifts)
+                  and q.shape[0] == uplan.n_pad
+                  and q.shape[0] % C_gs == 0)
+        # each GS sweep advances chains C_gs lanes (vs 1 for Jacobi), so
+        # a few sweeps reach the dtype floor — poll in small chunks
+        GS_CHUNK = max(1, SWEEPS // 8)
         for t in range(1, cfg.nts + 1):
             ql_t = qlat[(t - 1) // cfg.qts_subdivisions]
             if have_da:
@@ -909,7 +1067,37 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                 q_est = jnp.maximum(2.0 * q - q_prev_step, 0.0)
             total = 0
             eps4 = 4.0 * float(jnp.finfo(dtype).eps)
-            while True:
+            if use_gs:
+                # GS iteration to the fixed point (reserving one sweep of
+                # the cap for the standard commit sweep below)
+                while total < cfg.strict_max_sweeps - 1:
+                    chunk = min(GS_CHUNK, cfg.strict_max_sweeps - 1 - total)
+                    q_est, delta, qmax = _strict_gs_sweep_kernel(
+                        q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
+                        obs_t, t_seconds, net.upstream, chan, res_params,
+                        net.is_reservoir, net.res_rows, gage_rows, decay,
+                        cfg.dt, n_sweeps=chunk, shifts=uplan.shifts,
+                        col_width=C_gs, masks=uplan.masks,
+                        rem_dst=uplan.rem_dst, rem_src=uplan.rem_src,
+                        res_da=res_da, da_states=da_states,
+                        month_i=month_i)
+                    total += chunk
+                    tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
+                    if float(delta) <= tol_eff:
+                        break
+                # committed state from ONE standard sweep at the converged
+                # iterate — identical final semantics to the Jacobi path
+                (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge_t,
+                 da_states_c, cour_t, delta, qmax) = _strict_sweep_kernel(
+                    q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
+                    obs_t, t_seconds, net.upstream, chan, res_params,
+                    net.is_reservoir, net.res_rows, gage_rows, decay,
+                    cfg.dt, n_sweeps=1, res_da=res_da,
+                    da_states=da_states, month_i=month_i,
+                    return_courant=cfg.return_courant, uplan=net.uplan)
+                total += 1
+            else:
+              while True:
                 # never exceed the configured cap: the tail chunk shrinks
                 # so sweep counts match step_strict_iter's k < cap exactly
                 chunk = min(SWEEPS, cfg.strict_max_sweeps - total)
