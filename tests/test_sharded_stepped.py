@@ -105,6 +105,38 @@ def test_stepped_matches_scan_with_gage_nudging():
                                np.asarray(res_scan.lo_time), atol=1e-9)
 
 
+def test_route_sharded_global_stepped_driver():
+    """The CLI glue (route_sharded_global) with driver='stepped' — the
+    TPU production selection — returns the same full output contract as
+    the in-scan driver."""
+    from troute_tpu.parallel.sharded_engine import route_sharded_global
+
+    nts, dt = 12, 300.0
+    dtype = jnp.float64
+    topo, chan, q0, depth0, qlat_cols, lake_row = _global_setup()
+    cfg = RoutingConfig(dt=dt, nts=nts, qts_subdivisions=4,
+                        assume_short_ts=True)
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    assignment = (np.arange(topo.n_nodes) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    parm = LAKE_ROWVALS
+    elev0 = jnp.asarray([ELEV0], dtype)
+    outs = {}
+    for drv in ("scan", "stepped"):
+        outs[drv] = route_sharded_global(
+            mesh, topo, chan, parm, cfg, q0, depth0, elev0, qlat_cols,
+            part=part, dtype=dtype, driver=drv)
+    np.testing.assert_allclose(outs["stepped"]["flowveldepth"],
+                               outs["scan"]["flowveldepth"],
+                               rtol=1e-9, atol=1e-12)
+    for name in ("q", "depth", "res_elev"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(outs["stepped"]["state"], name)),
+            np.asarray(getattr(outs["scan"]["state"], name)),
+            rtol=1e-9, atol=1e-12, err_msg=name)
+
+
 def test_stepped_typed_reservoir_da():
     """Typed reservoir DA (persistence + Great Lakes) through the stepped
     driver matches the single-device engine."""
