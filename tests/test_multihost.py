@@ -32,6 +32,7 @@ from test_sharded import CONN, LAKE_ID, LAKE_ROWVALS, ELEV0, _global_setup
 from troute_tpu.parallel.partition import partition_network
 from troute_tpu.parallel.sharded_engine import (
     build_sharded_inputs, place_global, route_sharded)
+from troute_tpu.parallel.stepped_engine import route_sharded_stepped
 
 assert jax.device_count() == 8 and jax.local_device_count() == 4
 
@@ -47,8 +48,16 @@ mesh = Mesh(np.array(jax.devices()), ("basin",))
 inp_g = place_global(mesh, inp)
 fvd = route_sharded(mesh, inp_g, dt, nts, qts_subdivisions=4).fvd
 full = np.asarray(multihost_utils.process_allgather(fvd, tiled=True))
+# the production host-stepped driver over the same 2-process mesh: its
+# host loop runs identically on every process (SPMD), with the
+# cross-process ppermute halo inside each K-step dispatch
+fvd_st = route_sharded_stepped(mesh, inp_g, dt, nts, qts_subdivisions=4,
+                               band_shifts=part.band_shifts,
+                               k_steps=10).fvd
+full_st = np.asarray(multihost_utils.process_allgather(fvd_st, tiled=True))
 if pid == 0:
     np.save(f"{outdir}/fvd_mp.npy", full)
+    np.save(f"{outdir}/fvd_mp_stepped.npy", full_st)
     np.save(f"{outdir}/gnode.npy", part.global_row)
 print(f"proc {pid} done", flush=True)
 '''
@@ -84,6 +93,7 @@ def test_two_process_distributed_routing(tmp_path):
                              jnp.float64)
 
     n_dev, nts, n_local, _ = fvd_mp.shape
+    fvd_st = np.load(tmp_path / "fvd_mp_stepped.npy")
     for d in range(n_dev):
         for j in range(n_local):
             g = global_node[d, j]
@@ -92,3 +102,6 @@ def test_two_process_distributed_routing(tmp_path):
             np.testing.assert_allclose(
                 fvd_mp[d, :, j], ref[:, g], rtol=0, atol=1e-12,
                 err_msg=f"dev {d} node {g}")
+            np.testing.assert_allclose(
+                fvd_st[d, :, j], ref[:, g], rtol=1e-9, atol=1e-12,
+                err_msg=f"stepped dev {d} node {g}")

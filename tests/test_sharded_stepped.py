@@ -28,10 +28,13 @@ from troute_tpu.routing.engine import (
     network_arrays_from_topology, route)
 
 
-@pytest.mark.parametrize("k_steps", [24, 5])
-def test_stepped_matches_single_device(k_steps):
+@pytest.mark.parametrize("k_steps,exchange", [(24, "neighbor"),
+                                              (5, "neighbor"),
+                                              (24, "allgather")])
+def test_stepped_matches_single_device(k_steps, exchange):
     """Forced-cut stepped driver vs the single-device engine; k_steps=5
-    exercises multi-dispatch carry hand-off and the tail block."""
+    exercises multi-dispatch carry hand-off and the tail block; the
+    allgather leg pins the fallback exchange mechanism."""
     nts, dt = 24, 300.0
     dtype = jnp.float64
     topo, chan, q0, depth0, qlat_cols, lake_row = _global_setup()
@@ -48,7 +51,7 @@ def test_stepped_matches_single_device(k_steps):
         {lake_row: ELEV0}, qlat_cols, dtype=dtype)
     res = route_sharded_stepped(mesh, inp, dt, nts, qts_subdivisions=4,
                                 band_shifts=part.band_shifts,
-                                k_steps=k_steps)
+                                k_steps=k_steps, exchange=exchange)
     fvd_sh = np.asarray(res.fvd)
     for d in range(n_dev):
         for j in range(part.n_local):

@@ -202,11 +202,19 @@ def route_sharded_stepped(mesh: Mesh, inp: ShardedInputs, dt: float,
     ``engine.route_stepped``'s K.
     """
     dtype = inp.q0.dtype
-    perm_np = np.asarray(inp.perm_pairs)
-    perms = tuple(
+    perm_np = np.asarray(inp.perm_pairs)     # replicated spec: always
+    perms = tuple(                           # fully addressable
         tuple((int(s), int(d)) for s, d in perm_np[r] if s >= 0)
         for r in range(perm_np.shape[0]))
-    has_boundary = bool((np.asarray(inp.boundary_rows) >= 0).any())
+    ba = inp.boundary_rows
+    if getattr(ba, "is_fully_addressable", True):
+        has_boundary = bool((np.asarray(ba) >= 0).any())
+    else:
+        # multi-process mesh: boundary_rows is sharded across hosts, and
+        # this is a static compile flag that MUST agree on every process
+        # — take the conservative global truth (the fix-up is a no-op on
+        # devices whose rows are all -1 padding)
+        has_boundary = True
     have_res_da = res_da is not None
 
     rda_args = ()
@@ -224,7 +232,17 @@ def route_sharded_stepped(mesh: Mesh, inp: ShardedInputs, dt: float,
     if have_res_da:
         das = (res_da.hyb0, res_da.rfc0, res_da.gl0)
     else:
-        rep = lambda a: jnp.broadcast_to(a, (n_dev,) + a.shape)
+        multiproc = any(d.process_index != jax.process_index()
+                        for d in mesh.devices.flat)
+
+        def rep(a):
+            full = np.broadcast_to(np.asarray(a), (n_dev,) + a.shape)
+            if not multiproc:
+                return jnp.asarray(full)
+            from jax.sharding import NamedSharding
+            sh = NamedSharding(mesh, P(AXIS))
+            return jax.make_array_from_callback(full.shape, sh,
+                                                lambda idx: full[idx])
         das = tuple(jax.tree.map(rep, s) for s in zero_da_states(R, dtype))
 
     q, depth, res_elev = inp.q0, inp.depth0, inp.res_elev0

@@ -1097,25 +1097,28 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     return_courant=cfg.return_courant, uplan=net.uplan)
                 total += 1
             else:
-              while True:
-                # never exceed the configured cap: the tail chunk shrinks
-                # so sweep counts match step_strict_iter's k < cap exactly
-                chunk = min(SWEEPS, cfg.strict_max_sweeps - total)
-                (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge_t,
-                 da_states_c, cour_t, delta, qmax) = _strict_sweep_kernel(
-                    q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
-                    obs_t, t_seconds, net.upstream, chan, res_params,
-                    net.is_reservoir, net.res_rows, gage_rows, decay,
-                    cfg.dt, n_sweeps=chunk, res_da=res_da,
-                    da_states=da_states, month_i=month_i,
-                    return_courant=cfg.return_courant, uplan=net.uplan)
-                total += chunk
-                # dtype-resolution floor: see step_strict_iter — f32
-                # cannot resolve strict_tol-sized |dq| on large flows
-                tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
-                if float(delta) <= tol_eff \
-                        or total >= cfg.strict_max_sweeps:
-                    break
+                while True:
+                    # never exceed the configured cap: the tail chunk
+                    # shrinks so sweep counts match step_strict_iter's
+                    # k < cap exactly
+                    chunk = min(SWEEPS, cfg.strict_max_sweeps - total)
+                    (q_est, v, d, res_elev_c, lo_val_c, lo_time_c,
+                     nudge_t, da_states_c, cour_t, delta,
+                     qmax) = _strict_sweep_kernel(
+                        q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
+                        obs_t, t_seconds, net.upstream, chan, res_params,
+                        net.is_reservoir, net.res_rows, gage_rows, decay,
+                        cfg.dt, n_sweeps=chunk, res_da=res_da,
+                        da_states=da_states, month_i=month_i,
+                        return_courant=cfg.return_courant,
+                        uplan=net.uplan)
+                    total += chunk
+                    # dtype-resolution floor: see step_strict_iter — f32
+                    # cannot resolve strict_tol-sized |dq| on large flows
+                    tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
+                    if float(delta) <= tol_eff \
+                            or total >= cfg.strict_max_sweeps:
+                        break
             sweep_counts.append(total)
             q_prev_step = q
             q, depth, res_elev = q_est, d, res_elev_c
