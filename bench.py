@@ -485,6 +485,14 @@ def bench_laura_hybrid(platform: str, out_npy: str, nts: int = 48):
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     from troute_tpu.cli import main_v04
+    from troute_tpu.config.schema import HybridParameters
+
+    # the backend-aware "auto" defaults must resolve to the fast path on
+    # TPU and to reference-precision exact tables off-TPU (VERDICT r3 #3)
+    resolved = HybridParameters().resolved_diffusive()
+    expected = (("float32", 128) if jax.default_backend() == "tpu"
+                else ("float64", None))
+    assert resolved == expected, (resolved, expected)
 
     ref = pathlib.Path("/root/reference/test/HurricaneLaura")
     cfg = yaml.safe_load(open(ref / "troute_UnitTest_noRS.yaml"))

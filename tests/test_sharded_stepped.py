@@ -108,6 +108,49 @@ def test_stepped_matches_scan_with_gage_nudging():
                                np.asarray(res_scan.lo_time), atol=1e-9)
 
 
+def test_strict_stepped_matches_strict_scan():
+    """The strict host-stepped sharded driver (per-sweep halo, Pallas,
+    host-polled convergence) agrees with the in-scan strict engine at
+    fixed-point tolerance on a forced-cut partition with gage DA."""
+    from troute_tpu.parallel.stepped_engine import (
+        route_sharded_strict_stepped)
+
+    nts, dt = 6, 300.0
+    dtype = jnp.float64
+    topo, chan, q0, depth0, qlat_cols, lake_row = _global_setup()
+    rng = np.random.default_rng(5)
+    gage_rows = np.asarray([topo.index_of[g] for g in (3, 22)])
+    obs = np.full((nts + 1, 2), np.nan, np.float64)
+    obs[2:5, 0] = rng.uniform(5, 9, 3)
+    obs[1:, 1] = rng.uniform(1, 2, nts)
+    lo_val = np.asarray([np.nan, 3.0])
+    lo_time = np.asarray([0.0, -600.0])
+
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    assignment = (np.arange(topo.n_nodes) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    inp = build_sharded_inputs(
+        part, topo, chan, LAKE_ROWVALS, q0, depth0, {lake_row: ELEV0},
+        qlat_cols, dtype=dtype, gage_rows=gage_rows, gage_obs=obs,
+        gage_lo_val=lo_val, gage_lo_time=lo_time)
+
+    res_scan = route_sharded(mesh, inp, dt, nts, qts_subdivisions=2,
+                             band_shifts=part.band_shifts, strict=True)
+    res_step = route_sharded_strict_stepped(
+        mesh, inp, dt, nts, qts_subdivisions=2,
+        band_shifts=part.band_shifts)
+    np.testing.assert_allclose(np.asarray(res_step.fvd),
+                               np.asarray(res_scan.fvd),
+                               rtol=2e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_step.nudge),
+                               np.asarray(res_scan.nudge),
+                               rtol=2e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res_step.lo_val),
+                               np.asarray(res_scan.lo_val),
+                               rtol=2e-7, atol=1e-7)
+
+
 def test_route_sharded_global_stepped_driver():
     """The CLI glue (route_sharded_global) with driver='stepped' — the
     TPU production selection — returns the same full output contract as

@@ -761,23 +761,29 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
         rda_sh = shard_reservoir_da(part, topo, res_da,
                                     np.asarray(inp.res_slots), dtype=dtype)
 
-    # driver selection: the host-stepped Pallas driver (stepped_engine)
-    # is the production short-timestep path on TPU (~8x the in-scan XLA
-    # form per chip); the in-scan driver remains the CPU-mesh default
-    # (interpreted Pallas is slow off-TPU) and the only strict-mode form
+    # driver selection: the host-stepped Pallas drivers (stepped_engine)
+    # are the production paths on TPU (~8x the in-scan XLA form per chip
+    # in short mode); the in-scan driver remains the CPU-mesh default
+    # (interpreted Pallas is slow off-TPU)
     if driver == "auto":
-        driver = ("stepped" if cfg.assume_short_ts
-                  and jax.default_backend() == "tpu" else "scan")
-    if driver == "stepped" and not cfg.assume_short_ts:
-        raise ValueError("the stepped sharded driver is short-timestep "
-                         "only; strict mode runs the in-scan driver")
-    if driver == "stepped":
+        driver = ("stepped" if jax.default_backend() == "tpu" else "scan")
+    if driver == "stepped" and cfg.assume_short_ts:
         from troute_tpu.parallel.stepped_engine import route_sharded_stepped
         res = route_sharded_stepped(
             mesh, inp, cfg.dt, cfg.nts,
             qts_subdivisions=cfg.qts_subdivisions, res_da=rda_sh,
             decay_coeff=(da.decay_coeff if have_da else 120.0),
             band_shifts=part.band_shifts)
+    elif driver == "stepped":
+        from troute_tpu.parallel.stepped_engine import (
+            route_sharded_strict_stepped)
+        res = route_sharded_strict_stepped(
+            mesh, inp, cfg.dt, cfg.nts,
+            qts_subdivisions=cfg.qts_subdivisions, res_da=rda_sh,
+            decay_coeff=(da.decay_coeff if have_da else 120.0),
+            band_shifts=part.band_shifts,
+            strict_tol=getattr(cfg, "strict_tol", 1e-9),
+            strict_max_sweeps=getattr(cfg, "strict_max_sweeps", 64))
     else:
         res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
                             qts_subdivisions=cfg.qts_subdivisions,

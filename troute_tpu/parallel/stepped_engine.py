@@ -185,6 +185,206 @@ def _make_block_fn(mesh: Mesh, k_steps: int, dt: float, qts: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=64)
+def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
+                          decay_coeff: float, exchange: str,
+                          band_shifts: tuple | None, perms: tuple,
+                          have_res_da: bool, lookback: float,
+                          rda_treedef):
+    """Jitted shard_map program: ``n_sweeps`` strict fixed-point sweeps
+    of ONE timestep with a per-sweep halo exchange of the iterate and the
+    Pallas block secant (cf. ``sharded_engine.local_step_strict``, which
+    runs the same iteration in-scan with the XLA kernel, and
+    ``engine._strict_sweep_kernel``, the single-device form).  Returns
+    the last sweep's outputs plus the globally-reduced (``lax.pmax``)
+    delta and qmax the host polls for convergence."""
+
+    def device_fn(q_est, q, depth, res_elev, lo_val, lo_time, hyb, rfc,
+                  gl, t_idx, upstream_local, export_slot, halo_src_dev,
+                  halo_src_pos, perm_pairs, send_slot, recv_pos,
+                  boundary_rows, valid, is_res, res_slots, chan,
+                  res_params, q0_unused, depth0_unused, res_elev0_unused,
+                  qlat, gage_slot, gage_index, gage_obs, gage_lo_val,
+                  gage_lo_time, band_masks, band_rem_dst, band_rem_src,
+                  *rda_flat):
+        sq = lambda a: a[0]
+        dtype = q.dtype
+        dt_ = jnp.asarray(dt, dtype)
+        q_est, q, depth, res_elev = (sq(q_est), sq(q), sq(depth),
+                                     sq(res_elev))
+        lo_val, lo_time = sq(lo_val), sq(lo_time)
+        das = tuple(jax.tree.map(sq, s) for s in (hyb, rfc, gl))
+        up = sq(upstream_local)
+        n_local = q.shape[0]
+        n_halo = int(sq(halo_src_dev).shape[0])
+        chan_l = jax.tree.map(sq, chan)
+        res_params_l = jax.tree.map(sq, res_params)
+        valid_l, is_res_l = sq(valid), sq(is_res)
+        b_rows = sq(boundary_rows)
+        res_slots_l = sq(res_slots)
+        qlat_l = qlat[:, 0]
+        gage_slot_l, gage_obs_l = sq(gage_slot), sq(gage_obs)
+        if have_res_da:
+            rda_d = jax.tree.map(sq, jax.tree.unflatten(rda_treedef,
+                                                        rda_flat))
+            rda = ShardedResDA(obs_lookback_hours=lookback, **rda_d)
+        else:
+            rda = None
+
+        interior_sum = make_interior_sum(
+            up, n_local, band_shifts, sq(band_masks), sq(band_rem_dst),
+            sq(band_rem_src))
+        exchange_halo = make_exchange(
+            exchange, perms, n_halo, dtype, sq(export_slot),
+            sq(send_slot), sq(recv_pos), sq(halo_src_dev),
+            sq(halo_src_pos))
+        safe_b = jnp.maximum(b_rows, 0)
+        up_b = up[safe_b]
+        scat_b = jnp.where(b_rows >= 0, safe_b, n_local)
+
+        def sums_full(qv):
+            """True upstream sums incl. cross-shard neighbors."""
+            upv = interior_sum(qv)
+            q_ext = jnp.concatenate([qv, exchange_halo(qv)])
+            vals_b = jnp.where(up_b >= 0, q_ext[jnp.maximum(up_b, 0)],
+                               0.0)
+            return upv.at[scat_b].set(vals_b.sum(axis=1), mode="drop")
+
+        col = (t_idx - 1) // qts
+        ql_t = jax.lax.dynamic_index_in_dim(qlat_l, col, 0,
+                                            keepdims=False)
+        t_seconds = t_idx.astype(dtype) * dt_
+        up_prev = sums_full(q)
+
+        delta = qmax = jnp.asarray(jnp.inf, dtype)
+        v_new = d_new = nudge = None
+        res_elev_c, lo_val_c, lo_time_c, das_c = (res_elev, lo_val,
+                                                  lo_time, das)
+        for _ in range(n_sweeps):
+            quc = sums_full(q_est)
+            out = muskingum_cunge_pallas(
+                up_prev, quc, q, ql_t, chan_l.dx, chan_l.bw, chan_l.tw,
+                chan_l.twcc, chan_l.n, chan_l.ncc, chan_l.cs, chan_l.s0,
+                depth, dt, with_diagnostics=False)
+            q_new = jnp.where(valid_l & ~is_res_l, out.qdc, q)
+            v_new = jnp.where(valid_l & ~is_res_l, out.velc, 0.0)
+            d_new = jnp.where(valid_l & ~is_res_l, out.depthc, depth)
+            q_new, d_new, res_elev_c, das_c = reservoir_update(
+                q_new, d_new, res_elev, quc, res_slots_l, res_params_l,
+                rda, das, t_idx, t_seconds, dt_)
+            q_new, nudge, lo_val_c, lo_time_c = apply_local_nudge(
+                q_new, gage_slot_l, gage_obs_l, lo_val, lo_time, t_idx,
+                t_seconds, decay_coeff)
+            delta = jax.lax.pmax(jnp.max(jnp.abs(q_new - q_est)), AXIS)
+            qmax = jax.lax.pmax(jnp.max(jnp.abs(q_new)), AXIS)
+            q_est = q_new
+
+        add1 = lambda a: a[None]
+        hyb_c, rfc_c, gl_c = (jax.tree.map(add1, s) for s in das_c)
+        fvd = jnp.stack([q_est, v_new, d_new], axis=-1)[None, None]
+        res = ShardedRunResult(
+            fvd=fvd, nudge=nudge[None, None], q=q_est[None],
+            depth=d_new[None], res_elev=res_elev_c[None],
+            lo_val=lo_val_c[None], lo_time=lo_time_c[None],
+            hyb=hyb_c, rfc=rfc_c, gl=gl_c)
+        return res, delta, qmax
+
+    da_specs = (
+        HybridDAState(*[P(AXIS)] * len(HybridDAState._fields)),
+        RfcDAState(*[P(AXIS)] * len(RfcDAState._fields)),
+        GreatLakesDAState(*[P(AXIS)] * len(GreatLakesDAState._fields)))
+    in_specs = (P(AXIS),) * 6 + da_specs + (P(),) + tuple(input_specs())
+    if have_res_da:
+        in_specs = in_specs + (P(AXIS),) * rda_treedef.num_leaves
+    out_res = ShardedRunResult(
+        fvd=P(AXIS), nudge=P(AXIS), q=P(AXIS), depth=P(AXIS),
+        res_elev=P(AXIS), lo_val=P(AXIS), lo_time=P(AXIS),
+        hyb=da_specs[0], rfc=da_specs[1], gl=da_specs[2])
+    fn = jax.shard_map(device_fn, mesh=mesh,
+                       in_specs=in_specs,
+                       out_specs=(out_res, P(), P()),
+                       check_vma=False)
+    return jax.jit(fn)
+
+
+def route_sharded_strict_stepped(mesh: Mesh, inp: ShardedInputs,
+                                 dt: float, nts: int,
+                                 qts_subdivisions: int = 1,
+                                 res_da: ShardedResDA | None = None,
+                                 decay_coeff: float = 120.0,
+                                 exchange: str = "neighbor",
+                                 band_shifts: tuple | None = None,
+                                 strict_tol: float = 1e-9,
+                                 strict_max_sweeps: int = 64,
+                                 sweep_chunk: int = 8,
+                                 collect: bool = True) -> ShardedRunResult:
+    """STRICT production multi-device routing: host-polled fixed-point
+    sweeps of the Pallas block kernel with a per-sweep ppermute halo
+    exchange — ``engine.route_stepped``'s strict form lifted onto the
+    device mesh (the in-scan ``route_sharded(strict=True)`` remains the
+    CPU-mesh form).  Warm-started with the 2q_{t-1}-q_{t-2} linear
+    extrapolation; converges on the globally-pmax'ed |dq| with the
+    dtype-resolution floor, exactly like the single-device driver."""
+    dtype = inp.q0.dtype
+    perm_np = np.asarray(inp.perm_pairs)
+    perms = tuple(
+        tuple((int(s), int(d)) for s, d in perm_np[r] if s >= 0)
+        for r in range(perm_np.shape[0]))
+    have_res_da = res_da is not None
+    rda_args, rda_treedef, lookback = (), None, 48.0
+    if have_res_da:
+        lookback = float(res_da.obs_lookback_hours)
+        rda_dict = {k: v for k, v in res_da._asdict().items()
+                    if k != "obs_lookback_hours"}
+        rda_flat, rda_treedef = jax.tree.flatten(rda_dict)
+        rda_args = tuple(rda_flat)
+
+    R = int(inp.res_slots.shape[-1])
+    n_dev = int(np.prod(mesh.devices.shape))
+    if have_res_da:
+        hyb, rfc, gl = res_da.hyb0, res_da.rfc0, res_da.gl0
+    else:
+        rep = lambda a: jnp.broadcast_to(a, (n_dev,) + a.shape)
+        hyb, rfc, gl = (jax.tree.map(rep, s)
+                        for s in zero_da_states(R, dtype))
+
+    q, depth, res_elev = inp.q0, inp.depth0, inp.res_elev0
+    lo_val, lo_time = inp.gage_lo_val, inp.gage_lo_time
+    eps4 = 4.0 * float(jnp.finfo(dtype).eps)
+    fvd_steps, nudge_steps = [], []
+    res = None
+    q_prev_step = None
+    for t in range(1, nts + 1):
+        q_est = (q if q_prev_step is None
+                 else jnp.maximum(2.0 * q - q_prev_step, 0.0))
+        total = 0
+        while True:
+            chunk = min(max(sweep_chunk, 1), strict_max_sweeps - total)
+            fn = _make_strict_sweep_fn(
+                mesh, chunk, float(dt), int(qts_subdivisions),
+                float(decay_coeff), exchange, band_shifts, perms,
+                have_res_da, lookback, rda_treedef)
+            res, delta, qmax = fn(q_est, q, depth, res_elev, lo_val,
+                                  lo_time, hyb, rfc, gl, jnp.int32(t),
+                                  *inp, *rda_args)
+            q_est = res.q
+            total += chunk
+            tol_eff = max(strict_tol, eps4 * float(qmax))
+            if float(delta) <= tol_eff or total >= strict_max_sweeps:
+                break
+        q_prev_step = q
+        q, depth, res_elev = res.q, res.depth, res.res_elev
+        lo_val, lo_time = res.lo_val, res.lo_time
+        hyb, rfc, gl = res.hyb, res.rfc, res.gl
+        if collect:
+            fvd_steps.append(res.fvd)
+        nudge_steps.append(res.nudge)
+
+    fvd = jnp.concatenate(fvd_steps, axis=1) if collect else None
+    nudge = jnp.concatenate(nudge_steps, axis=1)
+    return res._replace(fvd=fvd, nudge=nudge)
+
+
 def route_sharded_stepped(mesh: Mesh, inp: ShardedInputs, dt: float,
                           nts: int, qts_subdivisions: int = 1,
                           res_da: ShardedResDA | None = None,
