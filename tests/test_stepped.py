@@ -218,3 +218,61 @@ def test_strict_floor_converges_large_flows_f32():
     assert len(sweeps) == 4
     # every step must stop short of the cap (floor-converged)
     assert all(s < cfg.strict_max_sweeps for s in sweeps), sweeps
+
+
+def test_strict_linear_accel_matches_plain_with_fewer_sweeps():
+    """The linearized-propagation accelerator (strict_accel) must reach
+    the same strict fixed point as the plain Jacobi sweep loop — the
+    accelerated iterate is only a warm start; convergence is judged on
+    true sweeps — while spending measurably fewer nonlinear sweeps
+    (CONUS-scale measurement in RoutingConfig notes)."""
+    rng = np.random.default_rng(4)
+    n = 4096
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    idx = np.arange(n)
+    hop = rng.integers(1, 5, n)
+    j = np.minimum(idx + hop, n - 1)
+    down = ids[j]
+    down[idx == n - 1] = 0
+    from troute_tpu.network.topology import build_topology
+    topo = build_topology(ids, down)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    assert net.uplan is not None    # accel requires the banded plan
+    dtype = jnp.float32
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(500, 3000, n), dtype),
+        bw=jnp.asarray(rng.uniform(2, 20, n), dtype),
+        tw=jnp.asarray(rng.uniform(25, 60, n), dtype),
+        twcc=jnp.asarray(rng.uniform(80, 200, n), dtype),
+        n=jnp.full((n,), 0.055, dtype), ncc=jnp.full((n,), 0.11, dtype),
+        cs=jnp.asarray(rng.uniform(0.3, 1.5, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.001, 0.02, n), dtype))
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    q0 = jnp.asarray(rng.uniform(0.5, 5.0, n), dtype)
+    d0 = jnp.asarray(rng.uniform(0.05, 0.8, n), dtype)
+    qlat = jnp.asarray(rng.uniform(0.1, 2.0, (2, n)), dtype)
+    z1 = jnp.zeros((1,), dtype)
+
+    # warm the state (production strict runs start from a routed state)
+    cfg_w = RoutingConfig(dt=300.0, nts=12, qts_subdivisions=6,
+                          assume_short_ts=True, kernel="pallas")
+    out_w = route_stepped(net, cp, lp, cfg_w, q0, d0, z1, qlat, None,
+                          collect=False)
+    q_w, d_w = out_w["state"].q, out_w["state"].depth
+
+    base = dict(dt=300.0, nts=4, qts_subdivisions=2,
+                assume_short_ts=False, strict_iterative=True,
+                kernel="pallas")
+    out_p = route_stepped(net, cp, lp, RoutingConfig(
+        **base, strict_accel=False), q_w, d_w, z1, qlat, None)
+    out_a = route_stepped(net, cp, lp, RoutingConfig(
+        **base, strict_accel=True), q_w, d_w, z1, qlat, None)
+    # same fixed point within the convergence floor (4*eps*max|q| in f32)
+    np.testing.assert_allclose(np.asarray(out_a["flowveldepth"]),
+                               np.asarray(out_p["flowveldepth"]),
+                               rtol=1e-5, atol=1e-5)
+    s_plain = sum(out_p["strict_sweeps"])
+    s_accel = sum(out_a["strict_sweeps"])
+    assert s_accel < s_plain, (s_accel, s_plain)
+    # warm junction-rich regime: expect ~2x or better (measured 16 -> 5)
+    assert s_accel <= 0.75 * s_plain, (s_accel, s_plain)

@@ -660,7 +660,13 @@ def main_v04(argv=None) -> dict:
             strict_iterative=bool(getattr(cfg.compute_parameters,
                                           "strict_iterative", False)),
             strict_sweep_chunk=int(getattr(cfg.compute_parameters,
-                                           "strict_sweep_chunk", 16)))
+                                           "strict_sweep_chunk", 16)),
+            strict_accel=bool(getattr(cfg.compute_parameters,
+                                      "strict_accel", True)),
+            strict_accel_lin=int(getattr(cfg.compute_parameters,
+                                         "strict_accel_lin", 12)),
+            strict_accel_chunk=int(getattr(cfg.compute_parameters,
+                                           "strict_accel_chunk", 8)))
         pcm = str(cfg.compute_parameters.parallel_compute_method or "")
         if pcm == "sharded" \
                 and (rcfg.assume_short_ts or rcfg.strict_iterative) \

@@ -783,7 +783,12 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
             decay_coeff=(da.decay_coeff if have_da else 120.0),
             band_shifts=part.band_shifts,
             strict_tol=getattr(cfg, "strict_tol", 1e-9),
-            strict_max_sweeps=getattr(cfg, "strict_max_sweeps", 64))
+            strict_max_sweeps=getattr(cfg, "strict_max_sweeps", 64),
+            sweep_chunk=(getattr(cfg, "strict_accel_chunk", 8)
+                         if getattr(cfg, "strict_accel", True)
+                         else getattr(cfg, "strict_sweep_chunk", 16)),
+            accel_lin=(getattr(cfg, "strict_accel_lin", 12)
+                       if getattr(cfg, "strict_accel", True) else 0))
     else:
         res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
                             qts_subdivisions=cfg.qts_subdivisions,

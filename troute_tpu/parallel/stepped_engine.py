@@ -186,18 +186,30 @@ def _make_block_fn(mesh: Mesh, k_steps: int, dt: float, qts: int,
 
 
 @functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=64)
 def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
                           decay_coeff: float, exchange: str,
                           band_shifts: tuple | None, perms: tuple,
                           have_res_da: bool, lookback: float,
-                          rda_treedef):
+                          rda_treedef, accel_lin: int = 0):
     """Jitted shard_map program: ``n_sweeps`` strict fixed-point sweeps
     of ONE timestep with a per-sweep halo exchange of the iterate and the
     Pallas block secant (cf. ``sharded_engine.local_step_strict``, which
     runs the same iteration in-scan with the XLA kernel, and
     ``engine._strict_sweep_kernel``, the single-device form).  Returns
     the last sweep's outputs plus the globally-reduced (``lax.pmax``)
-    delta and qmax the host polls for convergence."""
+    delta and qmax the host polls for convergence.
+
+    ``accel_lin > 0``: fused linearized-propagation acceleration between
+    sweeps (see ``engine._strict_sweep_kernel``), SHARD-LOCAL — the gain
+    is zeroed on boundary rows (their upstream lanes live on other
+    shards, whose residual is unknown between exchanges), so the linear
+    terms propagate within the shard and cross-shard coupling still
+    advances one halo exchange per true sweep: Gauss-accelerated within
+    shards, Jacobi across them.  Cuts true-sweep count — and with it the
+    number of per-sweep collective rounds, the term that dominates on
+    real pods.  Memoized (lru_cache) so chunk re-dispatches reuse the
+    traced program."""
 
     def device_fn(q_est, q, depth, res_elev, lo_val, lo_time, hyb, rfc,
                   gl, t_idx, upstream_local, export_slot, halo_src_dev,
@@ -260,12 +272,14 @@ def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
         v_new = d_new = nudge = None
         res_elev_c, lo_val_c, lo_time_c, das_c = (res_elev, lo_val,
                                                   lo_time, das)
-        for _ in range(n_sweeps):
+        quc_prev = g_prev = None
+        for k in range(n_sweeps):
+            want_diag = accel_lin > 0 and k < n_sweeps - 1
             quc = sums_full(q_est)
             out = muskingum_cunge_pallas(
                 up_prev, quc, q, ql_t, chan_l.dx, chan_l.bw, chan_l.tw,
                 chan_l.twcc, chan_l.n, chan_l.ncc, chan_l.cs, chan_l.s0,
-                depth, dt, with_diagnostics=False)
+                depth, dt, with_diagnostics=want_diag)
             q_new = jnp.where(valid_l & ~is_res_l, out.qdc, q)
             v_new = jnp.where(valid_l & ~is_res_l, out.velc, 0.0)
             d_new = jnp.where(valid_l & ~is_res_l, out.depthc, depth)
@@ -275,9 +289,42 @@ def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
             q_new, nudge, lo_val_c, lo_time_c = apply_local_nudge(
                 q_new, gage_slot_l, gage_obs_l, lo_val, lo_time, t_idx,
                 t_seconds, decay_coeff)
-            delta = jax.lax.pmax(jnp.max(jnp.abs(q_new - q_est)), AXIS)
+            dq = q_new - q_est
+            delta = jax.lax.pmax(jnp.max(jnp.abs(dq)), AXIS)
             qmax = jax.lax.pmax(jnp.max(jnp.abs(q_new)), AXIS)
             q_est = q_new
+            if want_diag:
+                # shard-local linearized propagation (see docstring and
+                # engine._strict_sweep_kernel for the gain estimator)
+                tiny = jnp.finfo(dtype).tiny
+                km = jnp.where(out.ck > 0.0,
+                               jnp.maximum(dt_, chan_l.dx /
+                                           jnp.maximum(out.ck, tiny)),
+                               dt_)
+                den = km * (1.0 - out.X) + dt_ / 2.0
+                gain = (dt_ / 2.0 - km * out.X) / \
+                    jnp.where(den != 0.0, den, 1.0)
+                if k >= 1:
+                    du = quc - quc_prev
+                    floor = 16.0 * jnp.finfo(dtype).eps * \
+                        (jnp.abs(quc) + 1.0)
+                    g_emp = (q_new - g_prev) / \
+                        jnp.where(jnp.abs(du) > floor, du, 1.0)
+                    ok = (jnp.abs(du) > floor) & jnp.isfinite(g_emp) \
+                        & (jnp.abs(g_emp) < 1.0)
+                    gain = jnp.where(ok, g_emp, gain)
+                gain = jnp.where(valid_l & ~is_res_l, gain, 0.0)
+                gain = gain.at[scat_b].set(0.0, mode="drop")
+                gain = gain.at[jnp.where(gage_slot_l >= 0,
+                                         jnp.maximum(gage_slot_l, 0),
+                                         n_local)].set(0.0, mode="drop")
+                acc = q_est
+                lin = dq
+                for _ in range(accel_lin):
+                    lin = gain * interior_sum(lin)
+                    acc = acc + lin
+                q_est = jnp.maximum(acc, 0.0)
+            quc_prev, g_prev = quc, q_new
 
         add1 = lambda a: a[None]
         hyb_c, rfc_c, gl_c = (jax.tree.map(add1, s) for s in das_c)
@@ -317,6 +364,7 @@ def route_sharded_strict_stepped(mesh: Mesh, inp: ShardedInputs,
                                  strict_tol: float = 1e-9,
                                  strict_max_sweeps: int = 64,
                                  sweep_chunk: int = 8,
+                                 accel_lin: int = 12,
                                  collect: bool = True) -> ShardedRunResult:
     """STRICT production multi-device routing: host-polled fixed-point
     sweeps of the Pallas block kernel with a per-sweep ppermute halo
@@ -363,14 +411,19 @@ def route_sharded_strict_stepped(mesh: Mesh, inp: ShardedInputs,
             fn = _make_strict_sweep_fn(
                 mesh, chunk, float(dt), int(qts_subdivisions),
                 float(decay_coeff), exchange, band_shifts, perms,
-                have_res_da, lookback, rda_treedef)
+                have_res_da, lookback, rda_treedef,
+                accel_lin=(int(accel_lin) if band_shifts is not None
+                           and chunk >= 3 else 0))
             res, delta, qmax = fn(q_est, q, depth, res_elev, lo_val,
                                   lo_time, hyb, rfc, gl, jnp.int32(t),
                                   *inp, *rda_args)
             q_est = res.q
             total += chunk
-            tol_eff = max(strict_tol, eps4 * float(qmax))
-            if float(delta) <= tol_eff or total >= strict_max_sweeps:
+            # one blocking transfer for both poll scalars (separate
+            # float() calls are separate tunnel round trips)
+            dm = np.asarray(jnp.stack([delta, qmax]))
+            tol_eff = max(strict_tol, eps4 * float(dm[1]))
+            if float(dm[0]) <= tol_eff or total >= strict_max_sweeps:
                 break
         q_prev_step = q
         q, depth, res_elev = res.q, res.depth, res.res_elev

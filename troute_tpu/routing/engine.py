@@ -186,6 +186,30 @@ class RoutingConfig(NamedTuple):
     # tests/test_strict_gs.py pins both parity and the sweep-count win.
     strict_gs: bool = False
     strict_gs_cols: int = 16
+    # route_stepped strict mode: linearized-propagation acceleration.
+    # The Jacobi sweep's iteration matrix is M = g .* U (per-lane MC
+    # gain dq_dc/dq_uc times the upstream-sum operator U) — strictly
+    # triangular over the drainage DAG, so each expensive nonlinear
+    # sweep propagates the residual exactly ONE edge, and no affine
+    # recombination of iterates (Anderson/Chebyshev) can beat M^k e0
+    # per sweep.  The residual can, however, be propagated many edges
+    # CHEAPLY: near the fixed point q* - q_k ~ sum_j M^j (q_k -
+    # q_{k-1}), and each M application is one banded upstream sum times
+    # the per-lane gain — no secant solve.  _strict_sweep_kernel fuses
+    # `strict_accel_lin` such terms between consecutive sweeps of one
+    # compiled chunk (see its docstring for the gain estimator);
+    # convergence is still judged only on true-sweep deltas and the
+    # committed state always comes from a true sweep, so the fixed
+    # point and final semantics are unchanged — only the sweep count
+    # drops (measured on one v5e, CONUS-scale warm strict steps:
+    # 16 -> 8-9 sweeps/step).  Requires the banded plan (a gather-form
+    # linear term would cost ~80 ms/iter at CONUS scale); gated off
+    # under strict_gs.  `strict_accel_chunk` is the accelerated poll
+    # chunk (accelerated steps converge in ~half the sweeps, so the
+    # chunk is half of strict_sweep_chunk).
+    strict_accel: bool = True
+    strict_accel_lin: int = 12
+    strict_accel_chunk: int = 8
 
 
 class RoutingState(NamedTuple):
@@ -793,14 +817,15 @@ def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
 
 @functools.partial(jax.jit,
                    static_argnames=("decay_coeff", "dt", "n_sweeps",
-                                    "return_courant"))
+                                    "return_courant", "accel_lin"))
 def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
                          ql_t, obs_t, t_seconds, upstream,
                          chan: ChannelParams,
                          res_params: LevelpoolParams, is_res, res_rows,
                          gage_rows, decay_coeff, dt, n_sweeps,
                          res_da=None, da_states=None, month_i=None,
-                         return_courant=False, uplan=None):
+                         return_courant=False, uplan=None,
+                         accel_lin=0):
     """``n_sweeps`` fixed-point sweeps of ONE strict timestep in one
     compiled program (cf. ``route()``'s ``step_strict_iter``, which runs
     the same iteration as a device-side ``while_loop`` with the XLA MC
@@ -813,24 +838,81 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
     outputs plus ``delta`` = max |q_new - q_est| of that sweep and
     ``qmax`` = max |q| of the final iterate, which the host polls for
     convergence (exact after network-depth sweeps: the dependency is
-    triangular; ``qmax`` sets the dtype-resolution convergence floor)."""
-    delta = jnp.asarray(jnp.inf, q.dtype)
+    triangular; ``qmax`` sets the dtype-resolution convergence floor).
+
+    ``accel_lin > 0`` enables fused linearized-propagation acceleration
+    (see ``RoutingConfig.strict_accel``): between consecutive sweeps
+    (never after the final one, so the returned outputs and ``delta``
+    always come from a true sweep) the iterate jumps by the geometric
+    series ``sum_j (g .* U)^j dq`` truncated at ``accel_lin`` terms —
+    each term one banded upstream sum times the per-lane gain, no
+    secant solve.  The gain is refreshed every sweep from the lanes'
+    measured response ``g = (G_k - G_{k-1}) / (u_k - u_{k-1})`` (valid
+    across accel jumps since each lane's output is a pure function of
+    its upstream sum), which captures the secant's depth feedback; it
+    falls back to the analytic fixed-depth partial dq_dc/dq_uc = C2 =
+    (dt/2 - Km X)/(Km(1-X) + dt/2), Km = max(dt, dx/ck)
+    (ops/muskingum.py:169-174) where the drive is unresolvable, and is
+    zeroed on reservoir and gage lanes.  Everything runs in ONE
+    compiled program — measured essential on the tunneled chip, where
+    per-dispatch latency had eaten the sweep savings of a host-side
+    alternating form."""
+    dtype = q_est.dtype
+    compute_gain = accel_lin > 0
+    delta = jnp.asarray(jnp.inf, dtype)
     v = d = courant = nudge = None
+    quc_prev = g_prev = gain = None
     res_elev_c, lo_val_c, lo_time_c, da_states_c = (res_elev, lo_val,
                                                     lo_time, da_states)
-    for _ in range(n_sweeps):
+    for k in range(n_sweeps):
         quc = _upstream_sum_stepped(q_est, upstream, uplan)
         (q_new, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
          da_states_c, courant) = _one_short_step(
             q, depth, res_elev, lo_val, lo_time, ql_t, obs_t, t_seconds,
             upstream, chan, res_params, is_res, res_rows, gage_rows,
             decay_coeff, dt, res_da=res_da, da_states=da_states,
-            month_i=month_i, return_courant=return_courant, uplan=uplan,
+            month_i=month_i,
+            return_courant=(return_courant or compute_gain), uplan=uplan,
             quc=quc)
-        delta = jnp.max(jnp.abs(q_new - q_est))
+        dq = q_new - q_est
+        delta = jnp.max(jnp.abs(dq))
         q_est = q_new
+        if compute_gain and k < n_sweeps - 1:
+            tiny = jnp.finfo(dtype).tiny
+            ck, x = courant[:, 1], courant[:, 2]
+            km = jnp.where(ck > 0.0,
+                           jnp.maximum(jnp.asarray(dt, dtype),
+                                       chan.dx / jnp.maximum(ck, tiny)),
+                           jnp.asarray(dt, dtype))
+            den = km * (1.0 - x) + dt / 2.0
+            gain = (dt / 2.0 - km * x) / jnp.where(den != 0.0, den, 1.0)
+            if k >= 1:
+                du = quc - quc_prev
+                floor = 16.0 * jnp.finfo(dtype).eps * (jnp.abs(quc) + 1.0)
+                g_emp = (q_new - g_prev) / jnp.where(jnp.abs(du) > floor,
+                                                     du, 1.0)
+                ok = (jnp.abs(du) > floor) & jnp.isfinite(g_emp) \
+                    & (jnp.abs(g_emp) < 1.0)
+                gain = jnp.where(ok, g_emp, gain)
+            gain = jnp.where(is_res, 0.0, gain)
+            if gage_rows.shape[0]:
+                gain = gain.at[gage_rows].set(0.0)
+            # insert after every sweep incl. the first (k=0 runs on the
+            # analytic C2 alone): in-jit linear terms are ~0.04 ms each
+            # at CONUS scale (measured — XLA fuses the banded shifts),
+            # so an extra insertion is worth it even when it only
+            # shaves a fraction of a sweep
+            acc = q_est
+            lin = dq
+            for _ in range(accel_lin):
+                lin = gain * _upstream_sum_stepped(lin, upstream, uplan)
+                acc = acc + lin
+            q_est = jnp.maximum(acc, 0.0)
+        if compute_gain:
+            quc_prev, g_prev = quc, q_new
     return (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
-            da_states_c, courant, delta, jnp.max(jnp.abs(q_est)))
+            da_states_c, courant if return_courant else None, delta,
+            jnp.max(jnp.abs(q_est)))
 
 
 @functools.partial(jax.jit,
@@ -1041,6 +1123,11 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                   and all(s > 0 for s in uplan.shifts)
                   and q.shape[0] == uplan.n_pad
                   and q.shape[0] % C_gs == 0)
+        # linearized-propagation acceleration (see RoutingConfig): needs
+        # the banded plan so each linear term is a bandwidth op
+        use_accel = (cfg.strict_accel and not use_gs and uplan is not None
+                     and q.shape[0] == uplan.n_pad
+                     and cfg.strict_accel_lin > 0)
         # each GS sweep advances chains C_gs lanes (vs 1 for Jacobi), so
         # a few sweeps reach the dtype floor — poll in small chunks
         GS_CHUNK = max(1, SWEEPS // 8)
@@ -1082,8 +1169,12 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                         res_da=res_da, da_states=da_states,
                         month_i=month_i)
                     total += chunk
-                    tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
-                    if float(delta) <= tol_eff:
+                    # one blocking transfer for both poll scalars (each
+                    # float() is its own device->host round trip, and
+                    # tunnel round trips are ~tens of ms)
+                    dm = np.asarray(jnp.stack([delta, qmax]))
+                    tol_eff = max(cfg.strict_tol, eps4 * float(dm[1]))
+                    if float(dm[0]) <= tol_eff:
                         break
                 # committed state from ONE standard sweep at the converged
                 # iterate — identical final semantics to the Jacobi path
@@ -1097,11 +1188,17 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     return_courant=cfg.return_courant, uplan=net.uplan)
                 total += 1
             else:
+                # accelerated chunks fuse linear propagation between
+                # sweeps (accel_lin>0) and converge in ~half the
+                # sweeps, so they poll in smaller chunks
+                SW = (max(2, int(cfg.strict_accel_chunk)) if use_accel
+                      else SWEEPS)
+                LIN = int(cfg.strict_accel_lin) if use_accel else 0
                 while True:
                     # never exceed the configured cap: the tail chunk
                     # shrinks so sweep counts match step_strict_iter's
                     # k < cap exactly
-                    chunk = min(SWEEPS, cfg.strict_max_sweeps - total)
+                    chunk = min(SW, cfg.strict_max_sweeps - total)
                     (q_est, v, d, res_elev_c, lo_val_c, lo_time_c,
                      nudge_t, da_states_c, cour_t, delta,
                      qmax) = _strict_sweep_kernel(
@@ -1111,12 +1208,17 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                         cfg.dt, n_sweeps=chunk, res_da=res_da,
                         da_states=da_states, month_i=month_i,
                         return_courant=cfg.return_courant,
-                        uplan=net.uplan)
+                        uplan=net.uplan,
+                        accel_lin=(LIN if chunk >= 3 else 0))
                     total += chunk
                     # dtype-resolution floor: see step_strict_iter — f32
-                    # cannot resolve strict_tol-sized |dq| on large flows
-                    tol_eff = max(cfg.strict_tol, eps4 * float(qmax))
-                    if float(delta) <= tol_eff \
+                    # cannot resolve strict_tol-sized |dq| on large
+                    # flows.  Both poll scalars ride ONE blocking
+                    # transfer (separate float() calls are separate
+                    # tunnel round trips at ~tens of ms each).
+                    dm = np.asarray(jnp.stack([delta, qmax]))
+                    tol_eff = max(cfg.strict_tol, eps4 * float(dm[1]))
+                    if float(dm[0]) <= tol_eff \
                             or total >= cfg.strict_max_sweeps:
                         break
             sweep_counts.append(total)
