@@ -552,8 +552,9 @@ def route(net: NetworkArrays, chan: ChannelParams,
         up_prev = _upstream_sum_net(state.q, net)
         now = t.astype(dtype) * dt
 
-        def sweep_once(q_est):
-            quc = _upstream_sum_net(q_est, net)
+        def sweep_once(q_est, quc=None):
+            if quc is None:
+                quc = _upstream_sum_net(q_est, net)
             out = muskingum_cunge(up_prev, quc, state.q, ql_t, chan.dx,
                                   chan.bw, chan.tw, chan.twcc, chan.n,
                                   chan.ncc, chan.cs, chan.s0, state.depth,
@@ -580,21 +581,65 @@ def route(net: NetworkArrays, chan: ChannelParams,
         # fixed point at the dtype's own resolution.
         eps4 = 4.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
 
+        # linearized-propagation acceleration inside the while body (the
+        # same scheme as _strict_sweep_kernel — see RoutingConfig
+        # .strict_accel): each iteration is one true sweep plus
+        # strict_accel_lin cheap linear terms.  The accel jump is
+        # skipped (lax.select) once delta nears the tolerance so the
+        # exit iterate is a plain sweep result; the post-loop commit
+        # sweep then matches the unaccelerated contract to O(tol).
+        use_accel_iter = cfg.strict_accel and cfg.strict_accel_lin > 0
+
         def body(carry):
-            q_est, _d, _qm, k = carry
-            q_new = sweep_once(q_est)[0]
-            delta = jnp.max(jnp.abs(q_new - q_est))
+            q_est, _d, _qm, k, g_prev, u_prev = carry
+            quc = _upstream_sum_net(q_est, net)
+            sw = sweep_once(q_est, quc)
+            q_new, out = sw[0], sw[10]
+            dq = q_new - q_est
+            delta = jnp.max(jnp.abs(dq))
             qmax = jnp.max(jnp.abs(q_new))
-            return q_new, delta, qmax, k + 1
+            q_next = q_new
+            if use_accel_iter:
+                tiny = jnp.finfo(dtype).tiny
+                km = jnp.where(out.ck > 0.0,
+                               jnp.maximum(jnp.asarray(dt, dtype),
+                                           chan.dx /
+                                           jnp.maximum(out.ck, tiny)),
+                               jnp.asarray(dt, dtype))
+                den = km * (1.0 - out.X) + dt / 2.0
+                gain = (dt / 2.0 - km * out.X) / \
+                    jnp.where(den != 0.0, den, 1.0)
+                du = quc - u_prev
+                floor = 16.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype) \
+                    * (jnp.abs(quc) + 1.0)
+                g_emp = (q_new - g_prev) / \
+                    jnp.where(jnp.abs(du) > floor, du, 1.0)
+                ok = (k >= 1) & (jnp.abs(du) > floor) \
+                    & jnp.isfinite(g_emp) & (jnp.abs(g_emp) < 1.0)
+                gain = jnp.where(ok, g_emp, gain)
+                gain = jnp.where(res_mask, 0.0, gain)
+                if have_da:
+                    gain = gain.at[da.rows].set(0.0)
+                acc = q_new
+                lin = dq
+                for _ in range(int(cfg.strict_accel_lin)):
+                    lin = gain * _upstream_sum_net(lin, net)
+                    acc = acc + lin
+                tol = jnp.maximum(jnp.asarray(cfg.strict_tol, dtype),
+                                  eps4 * qmax)
+                q_next = jnp.where(delta > 4.0 * tol,
+                                   jnp.maximum(acc, 0.0), q_new)
+            return q_next, delta, qmax, k + 1, q_new, quc
 
         def cond(c):
             tol = jnp.maximum(jnp.asarray(cfg.strict_tol, dtype),
                               eps4 * c[2])
             return (c[3] < cfg.strict_max_sweeps) & (c[1] > tol)
 
-        q_fp, _, _, _ = jax.lax.while_loop(
+        q_fp, _, _, _, _, _ = jax.lax.while_loop(
             cond, body, (state.q, jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0.0, dtype), jnp.int32(0)))
+                         jnp.asarray(0.0, dtype), jnp.int32(0),
+                         state.q, up_prev))
 
         (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, hyb, rfc,
          gl, out) = sweep_once(q_fp)
