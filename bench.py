@@ -27,16 +27,41 @@ import numpy as np
 
 
 def force(*arrays):
-    """Force completion by fetching one element of each array to host.
+    """Force completion by round-tripping a value derived from EVERY
+    array in ONE device->host transfer.
 
     ``jax.block_until_ready`` through the tunneled TPU runtime returns
     early for some programs (measured: a 2.2 s dispatch reported "ready"
-    in 7 ms), so honest timing must round-trip a value.
+    in 7 ms), so honest timing must round-trip a value.  A separate
+    ``float(a[0])`` per output costs one ~30 ms tunnel round trip EACH;
+    combining one element of each output on device (the jitted sum
+    depends on all input buffers, so fetching it proves every output
+    completed) keeps the forcing honest at a single round trip.
     """
-    out = 0.0
-    for a in arrays:
-        out += float(a[(0,) * a.ndim])
-    return out
+    return float(_force_combiner(*arrays))
+
+
+def _make_force_combiner():
+    import jax
+
+    @jax.jit
+    def f(*arrays):
+        s = None
+        for a in arrays:
+            v = a.ravel()[0].astype("float32")
+            s = v if s is None else s + v
+        return s
+    return f
+
+
+_FORCE_FN = []    # deferred jit construction: bench legs run in
+                  # subprocesses that must not touch the backend at import
+
+
+def _force_combiner(*arrays):
+    if not _FORCE_FN:
+        _FORCE_FN.append(_make_force_combiner())
+    return _FORCE_FN[0](*arrays)
 
 CONUS_SEGMENTS = 2_729_077
 CONUS_BASINS = 14_713

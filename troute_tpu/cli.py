@@ -664,7 +664,7 @@ def main_v04(argv=None) -> dict:
             strict_accel=bool(getattr(cfg.compute_parameters,
                                       "strict_accel", True)),
             strict_accel_lin=int(getattr(cfg.compute_parameters,
-                                         "strict_accel_lin", 12)),
+                                         "strict_accel_lin", 8)),
             strict_accel_chunk=int(getattr(cfg.compute_parameters,
                                            "strict_accel_chunk", 8)))
         pcm = str(cfg.compute_parameters.parallel_compute_method or "")

@@ -787,7 +787,7 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
             sweep_chunk=(getattr(cfg, "strict_accel_chunk", 8)
                          if getattr(cfg, "strict_accel", True)
                          else getattr(cfg, "strict_sweep_chunk", 16)),
-            accel_lin=(getattr(cfg, "strict_accel_lin", 12)
+            accel_lin=(getattr(cfg, "strict_accel_lin", 8)
                        if getattr(cfg, "strict_accel", True) else 0))
     else:
         res = route_sharded(mesh, inp, cfg.dt, cfg.nts,

@@ -364,7 +364,7 @@ def route_sharded_strict_stepped(mesh: Mesh, inp: ShardedInputs,
                                  strict_tol: float = 1e-9,
                                  strict_max_sweeps: int = 64,
                                  sweep_chunk: int = 8,
-                                 accel_lin: int = 12,
+                                 accel_lin: int = 8,
                                  collect: bool = True) -> ShardedRunResult:
     """STRICT production multi-device routing: host-polled fixed-point
     sweeps of the Pallas block kernel with a per-sweep ppermute halo

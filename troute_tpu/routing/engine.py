@@ -201,14 +201,16 @@ class RoutingConfig(NamedTuple):
     # convergence is still judged only on true-sweep deltas and the
     # committed state always comes from a true sweep, so the fixed
     # point and final semantics are unchanged — only the sweep count
-    # drops (measured on one v5e, CONUS-scale warm strict steps:
-    # 16 -> 8-9 sweeps/step).  Requires the banded plan (a gather-form
-    # linear term would cost ~80 ms/iter at CONUS scale); gated off
-    # under strict_gs.  `strict_accel_chunk` is the accelerated poll
-    # chunk (accelerated steps converge in ~half the sweeps, so the
-    # chunk is half of strict_sweep_chunk).
+    # drops.  Measured on one v5e (CONUS-scale warm strict windows,
+    # same-session best-of-4, 2026-08-20): plain 16 sweeps/step 1.45e7
+    # seg-ts/s; accel 8 sweeps/step 2.42e7 (1.67x); lin 4 vs 8 vs 12
+    # within noise (2.42/2.31/2.34e7), lin 24 measurably slower
+    # (2.05e7); chunk 7 under-converges (14 sweeps via two chunks,
+    # 1.54e7) — 8 is the warm convergence floor, so the chunk matches
+    # it.  Requires the banded plan (a gather-form linear term would
+    # cost ~80 ms/iter at CONUS scale); gated off under strict_gs.
     strict_accel: bool = True
-    strict_accel_lin: int = 12
+    strict_accel_lin: int = 8
     strict_accel_chunk: int = 8
 
 
