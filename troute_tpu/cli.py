@@ -661,8 +661,8 @@ def main_v04(argv=None) -> dict:
                                           "strict_iterative", False)),
             strict_sweep_chunk=int(getattr(cfg.compute_parameters,
                                            "strict_sweep_chunk", 16)),
-            strict_accel=bool(getattr(cfg.compute_parameters,
-                                      "strict_accel", True)),
+            strict_accel=getattr(cfg.compute_parameters,
+                                 "strict_accel", "auto"),
             strict_accel_lin=int(getattr(cfg.compute_parameters,
                                          "strict_accel_lin", 8)),
             strict_accel_chunk=int(getattr(cfg.compute_parameters,

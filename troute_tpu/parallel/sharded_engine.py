@@ -29,7 +29,8 @@ from troute_tpu.ops.reservoir_da import (
     GreatLakesDAState, HybridDAState, RfcDAState,
     typed_reservoir_dispatch)
 from troute_tpu.parallel.partition import NetworkPartition, scatter_to_shards
-from troute_tpu.routing.engine import ChannelParams
+from troute_tpu.routing.engine import (ChannelParams,
+                                       _accel_enabled)
 
 AXIS = "basin"
 
@@ -382,7 +383,7 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                   exchange: str = "neighbor",
                   band_shifts: tuple | None = None,
                   strict: bool = False, strict_tol: float = 1e-9,
-                  strict_max_sweeps: int = 64):
+                  strict_max_sweeps: int = 64, accel_lin: int = 0):
     """Compiled multi-device routing run.
 
     ``strict=True`` runs reference-exact within-step coupling as
@@ -548,8 +549,9 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
 
         up_prev = sums_full(q)
 
-        def sweep(q_est):
-            quc = sums_full(q_est)
+        def sweep(q_est, quc=None):
+            if quc is None:
+                quc = sums_full(q_est)
             out = mc_rows(up_prev, q, qlat_t, depth, chan, quc=quc)
             q_new = jnp.where(valid & ~is_res, out.qdc, q)
             v_new = jnp.where(valid & ~is_res, out.velc, 0.0)
@@ -564,12 +566,23 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
                 q_new, gage_slot, gage_obs, lo_val, lo_time, t_idx,
                 t_seconds, decay_coeff)
             return (q_new, v_new, d_new, elev_c, lo_val_c, lo_time_c,
-                    nudge, hyb_c, rfc_c, gl_c)
+                    nudge, hyb_c, rfc_c, gl_c, out)
 
         # dtype-resolution convergence floor (see step_strict_iter):
         # strict_tol-sized |dq| may be unrepresentable at f32 on large
         # flows, so also converge at a few ulps of the largest flow
         eps4 = 4.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        # shard-local linearized-propagation acceleration (see
+        # engine.RoutingConfig.strict_accel and the stepped driver's
+        # _make_strict_sweep_fn): gain zeroed at boundary rows (their
+        # upstream residual lives on other shards), gage and reservoir
+        # lanes; the accel jump is select-skipped near convergence so
+        # the exit iterate is a plain sweep result
+        use_accel = accel_lin > 0 and band_shifts is not None
+        b_scat = jnp.where(boundary_rows >= 0,
+                           jnp.maximum(boundary_rows, 0), n_local)
+        g_scat = jnp.where(gage_slot >= 0,
+                           jnp.maximum(gage_slot, 0), n_local)
 
         def cond(c):
             k, delta, qmax = c[0], c[1], c[2]
@@ -577,21 +590,54 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             return (k < strict_max_sweeps) & (delta > tol)
 
         def body(c):
-            k, _, _, q_est = c
-            q_next = sweep(q_est)[0]
-            delta = jax.lax.pmax(jnp.max(jnp.abs(q_next - q_est)), AXIS)
-            qmax = jax.lax.pmax(jnp.max(jnp.abs(q_next)), AXIS)
-            return (k + 1, delta, qmax, q_next)
+            k, _, _, q_est, g_prev, u_prev = c
+            quc = sums_full(q_est)
+            sw = sweep(q_est, quc)
+            q_new, out = sw[0], sw[10]
+            dq = q_new - q_est
+            delta = jax.lax.pmax(jnp.max(jnp.abs(dq)), AXIS)
+            qmax = jax.lax.pmax(jnp.max(jnp.abs(q_new)), AXIS)
+            q_next = q_new
+            if use_accel:
+                tiny = jnp.finfo(dtype).tiny
+                km = jnp.where(out.ck > 0.0,
+                               jnp.maximum(dt_, chan.dx /
+                                           jnp.maximum(out.ck, tiny)),
+                               dt_)
+                den = km * (1.0 - out.X) + dt_ / 2.0
+                gain = (dt_ / 2.0 - km * out.X) / \
+                    jnp.where(den != 0.0, den, 1.0)
+                du = quc - u_prev
+                floor = 16.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype) \
+                    * (jnp.abs(quc) + 1.0)
+                g_emp = (q_new - g_prev) / \
+                    jnp.where(jnp.abs(du) > floor, du, 1.0)
+                ok = (k >= 1) & (jnp.abs(du) > floor) \
+                    & jnp.isfinite(g_emp) & (jnp.abs(g_emp) < 1.0)
+                gain = jnp.where(ok, g_emp, gain)
+                gain = jnp.where(valid & ~is_res, gain, 0.0)
+                gain = gain.at[b_scat].set(0.0, mode="drop")
+                gain = gain.at[g_scat].set(0.0, mode="drop")
+                acc = q_new
+                lin = dq
+                for _ in range(accel_lin):
+                    lin = gain * interior_sum(lin)
+                    acc = acc + lin
+                tol = jnp.maximum(jnp.asarray(strict_tol, dtype),
+                                  eps4 * qmax)
+                q_next = jnp.where(delta > 4.0 * tol,
+                                   jnp.maximum(acc, 0.0), q_new)
+            return (k + 1, delta, qmax, q_next, q_new, quc)
 
         # iterate exactly like route()'s step_strict_iter: while_loop to
         # the fixed point (or the sweep cap), then commit ONE final sweep
         # from the exited iterate — identical sweep counts in both exit
         # modes, so the two engines agree even when the cap binds
-        _, _, _, q_fp = jax.lax.while_loop(
+        _, _, _, q_fp, _, _ = jax.lax.while_loop(
             cond, body, (jnp.int32(0), jnp.asarray(jnp.inf, dtype),
-                         jnp.asarray(0.0, dtype), q))
+                         jnp.asarray(0.0, dtype), q, q, up_prev))
         (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge, hyb_s,
-         rfc_s, gl_s) = sweep(q_fp)
+         rfc_s, gl_s, _) = sweep(q_fp)
         fvd = jnp.stack([q_new, v_new, d_new], axis=-1)
         return (q_new, d_new, res_elev, lo_val, lo_time, hyb_s, rfc_s,
                 gl_s), (fvd, nudge)
@@ -785,10 +831,10 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
             strict_tol=getattr(cfg, "strict_tol", 1e-9),
             strict_max_sweeps=getattr(cfg, "strict_max_sweeps", 64),
             sweep_chunk=(getattr(cfg, "strict_accel_chunk", 8)
-                         if getattr(cfg, "strict_accel", True)
+                         if _accel_enabled(cfg, stepped=True)
                          else getattr(cfg, "strict_sweep_chunk", 16)),
             accel_lin=(getattr(cfg, "strict_accel_lin", 8)
-                       if getattr(cfg, "strict_accel", True) else 0))
+                       if _accel_enabled(cfg, stepped=True) else 0))
     else:
         res = route_sharded(mesh, inp, cfg.dt, cfg.nts,
                             qts_subdivisions=cfg.qts_subdivisions,
@@ -799,7 +845,10 @@ def route_sharded_global(mesh: Mesh, topo, chan_np: dict,
                             strict=not cfg.assume_short_ts,
                             strict_tol=getattr(cfg, "strict_tol", 1e-9),
                             strict_max_sweeps=getattr(
-                                cfg, "strict_max_sweeps", 64))
+                                cfg, "strict_max_sweeps", 64),
+                            accel_lin=(getattr(cfg, "strict_accel_lin", 8)
+                                       if _accel_enabled(
+                                           cfg, stepped=False) else 0))
 
     # ---- reassemble global outputs ----
     fvd_sh = np.asarray(res.fvd)                       # [D, nts, L, 3]

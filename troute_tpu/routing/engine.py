@@ -209,9 +209,30 @@ class RoutingConfig(NamedTuple):
     # 1.54e7) — 8 is the warm convergence floor, so the chunk matches
     # it.  Requires the banded plan (a gather-form linear term would
     # cost ~80 ms/iter at CONUS scale); gated off under strict_gs.
-    strict_accel: bool = True
+    # Default "auto": ON for the host-stepped production drivers
+    # (route_stepped and the sharded stepped driver), OFF for the
+    # in-scan XLA forms (route() and the in-scan sharded driver) — the
+    # two in-scan engines are each other's ulp-level cross-check
+    # (tests/test_cli.py sharded-matches-default), and that invariant
+    # only holds when both follow the SAME iteration trajectory: any
+    # trajectory change lands f32 trickle lanes on different secant
+    # branches and compounds O(tol_eff) per step on small active flows
+    # (measured ~1% after 24 LowerColorado steps).  Explicit True/False
+    # overrides apply to every driver.
+    strict_accel: bool | str = "auto"
     strict_accel_lin: int = 8
     strict_accel_chunk: int = 8
+
+
+def _accel_enabled(cfg: "RoutingConfig", stepped: bool) -> bool:
+    """Resolve ``strict_accel`` ("auto" -> ON for the host-stepped
+    production drivers, OFF for the in-scan XLA forms, which serve as
+    each other's same-trajectory ulp-level cross-check — see the
+    RoutingConfig comment)."""
+    v = cfg.strict_accel
+    if v == "auto":
+        return stepped
+    return bool(v)
 
 
 class RoutingState(NamedTuple):
@@ -590,7 +611,8 @@ def route(net: NetworkArrays, chan: ChannelParams,
         # skipped (lax.select) once delta nears the tolerance so the
         # exit iterate is a plain sweep result; the post-loop commit
         # sweep then matches the unaccelerated contract to O(tol).
-        use_accel_iter = cfg.strict_accel and cfg.strict_accel_lin > 0
+        use_accel_iter = (_accel_enabled(cfg, stepped=False)
+                          and cfg.strict_accel_lin > 0)
 
         def body(carry):
             q_est, _d, _qm, k, g_prev, u_prev = carry
@@ -1172,7 +1194,8 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                   and q.shape[0] % C_gs == 0)
         # linearized-propagation acceleration (see RoutingConfig): needs
         # the banded plan so each linear term is a bandwidth op
-        use_accel = (cfg.strict_accel and not use_gs and uplan is not None
+        use_accel = (_accel_enabled(cfg, stepped=True) and not use_gs
+                     and uplan is not None
                      and q.shape[0] == uplan.n_pad
                      and cfg.strict_accel_lin > 0)
         # each GS sweep advances chains C_gs lanes (vs 1 for Jacobi), so
