@@ -30,7 +30,8 @@ from troute_tpu.ops.reservoir_da import (
     typed_reservoir_dispatch)
 from troute_tpu.parallel.partition import NetworkPartition, scatter_to_shards
 from troute_tpu.routing.engine import (ChannelParams,
-                                       _accel_enabled)
+                                       _accel_enabled,
+                                       mc_linear_gain)
 
 AXIS = "basin"
 
@@ -599,22 +600,15 @@ def route_sharded(mesh: Mesh, inp: ShardedInputs, dt: float, nts: int,
             qmax = jax.lax.pmax(jnp.max(jnp.abs(q_new)), AXIS)
             q_next = q_new
             if use_accel:
-                tiny = jnp.finfo(dtype).tiny
-                km = jnp.where(out.ck > 0.0,
-                               jnp.maximum(dt_, chan.dx /
-                                           jnp.maximum(out.ck, tiny)),
-                               dt_)
-                den = km * (1.0 - out.X) + dt_ / 2.0
-                gain = (dt_ / 2.0 - km * out.X) / \
-                    jnp.where(den != 0.0, den, 1.0)
-                du = quc - u_prev
-                floor = 16.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype) \
-                    * (jnp.abs(quc) + 1.0)
-                g_emp = (q_new - g_prev) / \
-                    jnp.where(jnp.abs(du) > floor, du, 1.0)
-                ok = (k >= 1) & (jnp.abs(du) > floor) \
-                    & jnp.isfinite(g_emp) & (jnp.abs(g_emp) < 1.0)
-                gain = jnp.where(ok, g_emp, gain)
+                # k is traced inside while_loop: lane-wise gate on k>=1
+                # (at k=0 du is vs the previous timestep, not a sweep
+                # response)
+                gain = jnp.where(
+                    k >= 1,
+                    mc_linear_gain(out.ck, out.X, chan.dx, dt_, dtype,
+                                   q_new=q_new, g_prev=g_prev, quc=quc,
+                                   quc_prev=u_prev),
+                    mc_linear_gain(out.ck, out.X, chan.dx, dt_, dtype))
                 gain = jnp.where(valid & ~is_res, gain, 0.0)
                 gain = gain.at[b_scat].set(0.0, mode="drop")
                 gain = gain.at[g_scat].set(0.0, mode="drop")

@@ -46,7 +46,8 @@ from troute_tpu.parallel.sharded_engine import (
     AXIS, ShardedInputs, ShardedResDA, ShardedRunResult, apply_local_nudge,
     input_specs, make_exchange, make_interior_sum, reservoir_update,
     zero_da_states)
-from troute_tpu.routing.engine import ChannelParams
+from troute_tpu.routing.engine import (ChannelParams,
+                                       mc_linear_gain)
 
 
 @functools.lru_cache(maxsize=64)
@@ -295,24 +296,11 @@ def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
             q_est = q_new
             if want_diag:
                 # shard-local linearized propagation (see docstring and
-                # engine._strict_sweep_kernel for the gain estimator)
-                tiny = jnp.finfo(dtype).tiny
-                km = jnp.where(out.ck > 0.0,
-                               jnp.maximum(dt_, chan_l.dx /
-                                           jnp.maximum(out.ck, tiny)),
-                               dt_)
-                den = km * (1.0 - out.X) + dt_ / 2.0
-                gain = (dt_ / 2.0 - km * out.X) / \
-                    jnp.where(den != 0.0, den, 1.0)
-                if k >= 1:
-                    du = quc - quc_prev
-                    floor = 16.0 * jnp.finfo(dtype).eps * \
-                        (jnp.abs(quc) + 1.0)
-                    g_emp = (q_new - g_prev) / \
-                        jnp.where(jnp.abs(du) > floor, du, 1.0)
-                    ok = (jnp.abs(du) > floor) & jnp.isfinite(g_emp) \
-                        & (jnp.abs(g_emp) < 1.0)
-                    gain = jnp.where(ok, g_emp, gain)
+                # engine.mc_linear_gain for the gain estimator)
+                emp = (dict(q_new=q_new, g_prev=g_prev, quc=quc,
+                            quc_prev=quc_prev) if k >= 1 else {})
+                gain = mc_linear_gain(out.ck, out.X, chan_l.dx, dt,
+                                      dtype, **emp)
                 gain = jnp.where(valid_l & ~is_res_l, gain, 0.0)
                 gain = gain.at[scat_b].set(0.0, mode="drop")
                 gain = gain.at[jnp.where(gage_slot_l >= 0,

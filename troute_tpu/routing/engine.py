@@ -224,6 +224,38 @@ class RoutingConfig(NamedTuple):
     strict_accel_chunk: int = 8
 
 
+def mc_linear_gain(ck, x, dx, dt, dtype, q_new=None, g_prev=None,
+                   quc=None, quc_prev=None):
+    """Per-lane linear gain dq_dc/dq_uc for the strict accelerators.
+
+    Analytic fixed-depth partial C2 = (dt/2 - Km X)/(Km(1-X) + dt/2),
+    Km = max(dt, dx/ck) (ops/muskingum.py:169-174, reference
+    ``MCsingleSegStime_f2py_NOLOOP.f90``), blended with the measured
+    lane response g = (G_k - G_{k-1})/(u_k - u_{k-1}) when the last two
+    sweeps' outputs/drives are supplied — the empirical estimate
+    includes the secant's depth feedback the fixed-depth C2 misses
+    (measured: C2-only captures ~half the coupling) and stays valid
+    across accel jumps since each lane's output is a pure function of
+    its upstream sum.  Kept only where the drive is resolvable and the
+    ratio is a contraction; C2 elsewhere."""
+    import jax.numpy as jnp
+
+    tiny = jnp.finfo(dtype).tiny
+    dt_ = jnp.asarray(dt, dtype)
+    km = jnp.where(ck > 0.0,
+                   jnp.maximum(dt_, dx / jnp.maximum(ck, tiny)), dt_)
+    den = km * (1.0 - x) + dt_ / 2.0
+    gain = (dt_ / 2.0 - km * x) / jnp.where(den != 0.0, den, 1.0)
+    if q_new is not None:
+        du = quc - quc_prev
+        floor = 16.0 * jnp.finfo(dtype).eps * (jnp.abs(quc) + 1.0)
+        g_emp = (q_new - g_prev) / jnp.where(jnp.abs(du) > floor, du, 1.0)
+        ok = (jnp.abs(du) > floor) & jnp.isfinite(g_emp) \
+            & (jnp.abs(g_emp) < 1.0)
+        gain = jnp.where(ok, g_emp, gain)
+    return gain
+
+
 def _accel_enabled(cfg: "RoutingConfig", stepped: bool) -> bool:
     """Resolve ``strict_accel`` ("auto" -> ON for the host-stepped
     production drivers, OFF for the in-scan XLA forms, which serve as
@@ -624,23 +656,15 @@ def route(net: NetworkArrays, chan: ChannelParams,
             qmax = jnp.max(jnp.abs(q_new))
             q_next = q_new
             if use_accel_iter:
-                tiny = jnp.finfo(dtype).tiny
-                km = jnp.where(out.ck > 0.0,
-                               jnp.maximum(jnp.asarray(dt, dtype),
-                                           chan.dx /
-                                           jnp.maximum(out.ck, tiny)),
-                               jnp.asarray(dt, dtype))
-                den = km * (1.0 - out.X) + dt / 2.0
-                gain = (dt / 2.0 - km * out.X) / \
-                    jnp.where(den != 0.0, den, 1.0)
-                du = quc - u_prev
-                floor = 16.0 * jnp.asarray(jnp.finfo(dtype).eps, dtype) \
-                    * (jnp.abs(quc) + 1.0)
-                g_emp = (q_new - g_prev) / \
-                    jnp.where(jnp.abs(du) > floor, du, 1.0)
-                ok = (k >= 1) & (jnp.abs(du) > floor) \
-                    & jnp.isfinite(g_emp) & (jnp.abs(g_emp) < 1.0)
-                gain = jnp.where(ok, g_emp, gain)
+                # inside while_loop k is traced, so the empirical
+                # estimate is gated lane-wise on k >= 1 (at k=0 the
+                # drive du is vs the previous TIMESTEP's sums — not a
+                # sweep response — and must not be used)
+                gain = mc_linear_gain(out.ck, out.X, chan.dx, dt, dtype)
+                gain_e = mc_linear_gain(out.ck, out.X, chan.dx, dt,
+                                        dtype, q_new=q_new, g_prev=g_prev,
+                                        quc=quc, quc_prev=u_prev)
+                gain = jnp.where(k >= 1, gain_e, gain)
                 gain = jnp.where(res_mask, 0.0, gain)
                 if have_da:
                     gain = gain.at[da.rows].set(0.0)
@@ -947,22 +971,10 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
         delta = jnp.max(jnp.abs(dq))
         q_est = q_new
         if compute_gain and k < n_sweeps - 1:
-            tiny = jnp.finfo(dtype).tiny
-            ck, x = courant[:, 1], courant[:, 2]
-            km = jnp.where(ck > 0.0,
-                           jnp.maximum(jnp.asarray(dt, dtype),
-                                       chan.dx / jnp.maximum(ck, tiny)),
-                           jnp.asarray(dt, dtype))
-            den = km * (1.0 - x) + dt / 2.0
-            gain = (dt / 2.0 - km * x) / jnp.where(den != 0.0, den, 1.0)
-            if k >= 1:
-                du = quc - quc_prev
-                floor = 16.0 * jnp.finfo(dtype).eps * (jnp.abs(quc) + 1.0)
-                g_emp = (q_new - g_prev) / jnp.where(jnp.abs(du) > floor,
-                                                     du, 1.0)
-                ok = (jnp.abs(du) > floor) & jnp.isfinite(g_emp) \
-                    & (jnp.abs(g_emp) < 1.0)
-                gain = jnp.where(ok, g_emp, gain)
+            emp = (dict(q_new=q_new, g_prev=g_prev, quc=quc,
+                        quc_prev=quc_prev) if k >= 1 else {})
+            gain = mc_linear_gain(courant[:, 1], courant[:, 2], chan.dx,
+                                  dt, dtype, **emp)
             gain = jnp.where(is_res, 0.0, gain)
             if gage_rows.shape[0]:
                 gain = gain.at[gage_rows].set(0.0)
