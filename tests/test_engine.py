@@ -300,3 +300,57 @@ def test_strict_iterative_deep_chain():
                                     None)["flowveldepth"])
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6,
                                atol=1e-8)
+
+
+def test_strict_iterative_accel_opt_in_same_fixed_point():
+    """route()'s while-loop linearized-propagation accelerator
+    (strict_accel=True — 'auto' resolves OFF for the in-scan engine) is
+    a trajectory change only: in f64 the accelerated and plain
+    iterations converge to the same fixed point to ~the convergence
+    tolerance.  Junction-rich forest so the accel's banded propagation
+    actually crosses junctions."""
+    from troute_tpu.network.topology import build_topology
+    from troute_tpu.ops.levelpool import LevelpoolParams
+    from troute_tpu.routing.engine import (
+        ChannelParams, RoutingConfig, network_arrays_from_topology, route)
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    idx = np.arange(n)
+    j = np.minimum(idx + rng.integers(1, 5, n), n - 1)
+    down = ids[j]
+    down[idx == n - 1] = 0
+    topo = build_topology(ids, down)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    assert net.uplan is not None
+    dtype = jnp.float64
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(500, 3000, n), dtype),
+        bw=jnp.asarray(rng.uniform(2, 20, n), dtype),
+        tw=jnp.asarray(rng.uniform(25, 60, n), dtype),
+        twcc=jnp.asarray(rng.uniform(80, 200, n), dtype),
+        n=jnp.full((n,), 0.055, dtype), ncc=jnp.full((n,), 0.11, dtype),
+        cs=jnp.asarray(rng.uniform(0.3, 1.5, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.001, 0.02, n), dtype))
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    q0 = jnp.asarray(rng.uniform(0.5, 5.0, n), dtype)
+    d0 = jnp.asarray(rng.uniform(0.05, 0.8, n), dtype)
+    qlat = jnp.asarray(rng.uniform(0.1, 2.0, (3, n)), dtype)
+    # warm the state first: cold random starts bind the 64-sweep cap on
+    # junction-rich forests, and cap-bound UNconverged iterates are
+    # trajectory-dependent by construction
+    cfg_w = RoutingConfig(dt=300.0, nts=12, qts_subdivisions=6,
+                          assume_short_ts=True)
+    st = route(net, cp, lp, cfg_w, q0, d0, jnp.zeros((1,), dtype),
+               qlat, None)["state"]
+    outs = {}
+    for accel in (False, True):
+        cfg = RoutingConfig(dt=300.0, nts=8, qts_subdivisions=4,
+                            assume_short_ts=False, strict_iterative=True,
+                            strict_accel=accel)
+        outs[accel] = np.asarray(route(net, cp, lp, cfg, st.q, st.depth,
+                                       jnp.zeros((1,), dtype), qlat,
+                                       None)["flowveldepth"])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6,
+                               atol=1e-7)

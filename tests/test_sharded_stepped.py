@@ -151,6 +151,33 @@ def test_strict_stepped_matches_strict_scan():
                                rtol=2e-7, atol=1e-7)
 
 
+def test_in_scan_strict_accel_opt_in_same_fixed_point():
+    """The in-scan sharded strict driver's opt-in accelerator
+    (accel_lin>0; OFF by default so the ulp-level cross-check with the
+    single-device engine holds) converges to the same strict fixed
+    point: f64, forced cuts, per-sweep halo exchange — agreement to
+    ~fixed-point tolerance."""
+    nts, dt = 6, 300.0
+    dtype = jnp.float64
+    topo, chan, q0, depth0, qlat_cols, lake_row = _global_setup()
+    n_dev = 8
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("basin",))
+    assignment = (np.arange(topo.n_nodes) % n_dev).astype(np.int32)
+    part = partition_network(topo, n_dev, assignment)
+    assert part.band_shifts is not None
+    inp = build_sharded_inputs(
+        part, topo, chan, LAKE_ROWVALS, q0, depth0, {lake_row: ELEV0},
+        qlat_cols, dtype=dtype)
+    res_p = route_sharded(mesh, inp, dt, nts, qts_subdivisions=2,
+                          band_shifts=part.band_shifts, strict=True)
+    res_a = route_sharded(mesh, inp, dt, nts, qts_subdivisions=2,
+                          band_shifts=part.band_shifts, strict=True,
+                          accel_lin=8)
+    np.testing.assert_allclose(np.asarray(res_a.fvd),
+                               np.asarray(res_p.fvd),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_route_sharded_global_stepped_driver():
     """The CLI glue (route_sharded_global) with driver='stepped' — the
     TPU production selection — returns the same full output contract as
