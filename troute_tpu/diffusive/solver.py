@@ -1201,6 +1201,18 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
         tol_eff = jnp.maximum(jnp.asarray(tol, dtype), eps4 * c[2])
         return (c[3] < max_sweeps) & (c[1] > tol_eff)
 
+    # Junction-head linearized-propagation acceleration (the diffusive
+    # analog of engine.RoutingConfig.strict_accel — the GS sweep solves
+    # each reach exactly given its bottom BC, so the iteration is a
+    # fixed point on the [R] head-elevation vector, one junction level
+    # per sweep) was built and MEASURED OUT (2026-08-20, same-session
+    # A/B on one v5e, bench shape [2048,16] f32/u128): 2.40e6 plain vs
+    # 2.17e6 accelerated seg-ts/s.  Unlike MC strict (16 sweeps/step at
+    # the f32 floor), the substep-warm-started corrector already
+    # converges in a few sweeps, and the accel's per-sweep [R]
+    # head gathers/scatter + extra while-carries cost more than the
+    # saved sweeps.  Do not re-attempt without evidence of a
+    # sweep-bound regime (e.g. cold starts or much deeper reach trees).
     newY, _, _, _ = jax.lax.while_loop(
         sweep_cond, sweep_gs if ugrids is not None else sweep,
         (st.y, jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
