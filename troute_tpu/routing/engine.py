@@ -965,8 +965,9 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
             upstream, chan, res_params, is_res, res_rows, gage_rows,
             decay_coeff, dt, res_da=res_da, da_states=da_states,
             month_i=month_i,
-            return_courant=(return_courant or compute_gain), uplan=uplan,
-            quc=quc)
+            return_courant=(return_courant
+                            or (compute_gain and k < n_sweeps - 1)),
+            uplan=uplan, quc=quc)
         dq = q_new - q_est
         delta = jnp.max(jnp.abs(dq))
         q_est = q_new
