@@ -918,7 +918,7 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
                          gage_rows, decay_coeff, dt, n_sweeps,
                          res_da=None, da_states=None, month_i=None,
                          return_courant=False, uplan=None,
-                         accel_lin=0):
+                         accel_lin=0, gain0=None):
     """``n_sweeps`` fixed-point sweeps of ONE strict timestep in one
     compiled program (cf. ``route()``'s ``step_strict_iter``, which runs
     the same iteration as a device-side ``while_loop`` with the XLA MC
@@ -976,6 +976,12 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
                         quc_prev=quc_prev) if k >= 1 else {})
             gain = mc_linear_gain(courant[:, 1], courant[:, 2], chan.dx,
                                   dt, dtype, **emp)
+            if k == 0 and gain0 is not None:
+                # cross-timestep gain carry: the previous step's
+                # empirical gain beats the analytic C2 for the first
+                # insertion (gains drift slowly between warm steps)
+                gain = jnp.where(jnp.isfinite(gain0)
+                                 & (jnp.abs(gain0) < 1.0), gain0, gain)
             gain = jnp.where(is_res, 0.0, gain)
             if gage_rows.shape[0]:
                 gain = gain.at[gage_rows].set(0.0)
@@ -992,9 +998,12 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
             q_est = jnp.maximum(acc, 0.0)
         if compute_gain:
             quc_prev, g_prev = quc, q_new
-    return (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
-            da_states_c, courant if return_courant else None, delta,
-            jnp.max(jnp.abs(q_est)))
+    out = (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
+           da_states_c, courant if return_courant else None, delta,
+           jnp.max(jnp.abs(q_est)))
+    if compute_gain:
+        out = out + (gain,)   # for the driver's cross-timestep carry
+    return out
 
 
 @functools.partial(jax.jit,
@@ -1214,6 +1223,7 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         # each GS sweep advances chains C_gs lanes (vs 1 for Jacobi), so
         # a few sweeps reach the dtype floor — poll in small chunks
         GS_CHUNK = max(1, SWEEPS // 8)
+        gain_carry = None      # accel: last empirical gain, carried
         for t in range(1, cfg.nts + 1):
             ql_t = qlat[(t - 1) // cfg.qts_subdivisions]
             if have_da:
@@ -1282,17 +1292,24 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     # shrinks so sweep counts match step_strict_iter's
                     # k < cap exactly
                     chunk = min(SW, cfg.strict_max_sweeps - total)
-                    (q_est, v, d, res_elev_c, lo_val_c, lo_time_c,
-                     nudge_t, da_states_c, cour_t, delta,
-                     qmax) = _strict_sweep_kernel(
+                    accel_k = LIN if chunk >= 3 else 0
+                    res_k = _strict_sweep_kernel(
                         q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
                         obs_t, t_seconds, net.upstream, chan, res_params,
                         net.is_reservoir, net.res_rows, gage_rows, decay,
                         cfg.dt, n_sweeps=chunk, res_da=res_da,
                         da_states=da_states, month_i=month_i,
                         return_courant=cfg.return_courant,
-                        uplan=net.uplan,
-                        accel_lin=(LIN if chunk >= 3 else 0))
+                        uplan=net.uplan, accel_lin=accel_k,
+                        gain0=(gain_carry if accel_k else None))
+                    (q_est, v, d, res_elev_c, lo_val_c, lo_time_c,
+                     nudge_t, da_states_c, cour_t, delta,
+                     qmax) = res_k[:11]
+                    if accel_k:
+                        # cross-timestep carry: warm steps' gains drift
+                        # slowly, so the next step's first insertion
+                        # reuses this chunk's last empirical gain
+                        gain_carry = res_k[11]
                     total += chunk
                     # dtype-resolution floor: see step_strict_iter — f32
                     # cannot resolve strict_tol-sized |dq| on large
