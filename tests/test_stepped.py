@@ -220,6 +220,40 @@ def test_strict_floor_converges_large_flows_f32():
     assert all(s < cfg.strict_max_sweeps for s in sweeps), sweeps
 
 
+def test_strict_accel_zero_forcing_stays_zero():
+    """Zero forcing + zero initial state through the accelerated strict
+    driver must produce exactly zero flows — the empirical-gain ratio is
+    0/0 on every lane (du below the resolvability floor), which must
+    fall back to the analytic gain, never NaN-poison the iterate."""
+    n = 64
+    conn = {i: [i + 1] for i in range(1, n)}
+    conn[n] = []
+    from troute_tpu.network.topology import from_connections
+    topo = from_connections(conn)
+    dtype = jnp.float32
+    rng = np.random.default_rng(2)
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(500, 3000, n), dtype),
+        bw=jnp.asarray(rng.uniform(2, 20, n), dtype),
+        tw=jnp.asarray(rng.uniform(25, 60, n), dtype),
+        twcc=jnp.asarray(rng.uniform(80, 200, n), dtype),
+        n=jnp.full((n,), 0.055, dtype), ncc=jnp.full((n,), 0.11, dtype),
+        cs=jnp.asarray(rng.uniform(0.3, 1.5, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.001, 0.02, n), dtype))
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    z = jnp.zeros((n,), dtype)
+    qlat = jnp.zeros((2, n), dtype)
+    cfg = RoutingConfig(dt=300.0, nts=4, qts_subdivisions=2,
+                        assume_short_ts=False, strict_iterative=True,
+                        kernel="pallas", strict_accel=True)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    out = route_stepped(net, cp, lp, cfg, z, z, jnp.zeros((1,), dtype),
+                        qlat, None)
+    fvd = np.asarray(out["flowveldepth"])
+    assert np.isfinite(fvd).all()
+    np.testing.assert_array_equal(fvd[:, :, 0], 0.0)
+
+
 def test_strict_linear_accel_matches_plain_with_fewer_sweeps():
     """The linearized-propagation accelerator (strict_accel) must reach
     the same strict fixed point as the plain Jacobi sweep loop — the
