@@ -1206,7 +1206,8 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         SWEEPS = max(int(cfg.strict_sweep_chunk), 1)
         n_obs_t = da.obs.shape[0] if have_da else 0
         sweep_counts = []
-        q_prev_step = None      # q at t-2, for the extrapolated warm start
+        q_prev_step = None      # q at t-1 / t-2: extrapolated warm start
+        q_prev2 = None
         uplan = net.uplan
         C_gs = int(cfg.strict_gs_cols)
         use_gs = (cfg.strict_gs and uplan is not None
@@ -1224,6 +1225,9 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
         # a few sweeps reach the dtype floor — poll in small chunks
         GS_CHUNK = max(1, SWEEPS // 8)
         gain_carry = None      # accel: last empirical gain, carried
+        sw_adapt = max(2, int(cfg.strict_accel_chunk))
+        sw_streak = 0
+        sw_fail = None
         for t in range(1, cfg.nts + 1):
             ql_t = qlat[(t - 1) // cfg.qts_subdivisions]
             if have_da:
@@ -1236,15 +1240,19 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                                             - 1)]
                        if res_da is not None else None)
             t_seconds = jnp.asarray(t * cfg.dt, dtype)
-            # linear-extrapolation warm start 2*q_{t-1} - q_{t-2}: flows
-            # evolve smoothly between timesteps, so the extrapolated
-            # iterate starts ~O(dt^2) from the fixed point instead of
-            # O(dt) — fewer sweeps to converge.  Any start converges to
-            # the same fixed point; only the sweep count changes.
+            # extrapolated warm start: flows evolve smoothly between
+            # timesteps, so a quadratic extrapolation 3q_{t-1} -
+            # 3q_{t-2} + q_{t-3} starts ~O(dt^3) from the fixed point
+            # (linear 2q-q_prev for the second step, plain carry for
+            # the first).  Any start converges to the same fixed point;
+            # only the sweep count changes.
             if q_prev_step is None:
                 q_est = q
-            else:
+            elif q_prev2 is None:
                 q_est = jnp.maximum(2.0 * q - q_prev_step, 0.0)
+            else:
+                q_est = jnp.maximum(3.0 * (q - q_prev_step) + q_prev2,
+                                    0.0)
             total = 0
             eps4 = 4.0 * float(jnp.finfo(dtype).eps)
             if use_gs:
@@ -1283,15 +1291,25 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
             else:
                 # accelerated chunks fuse linear propagation between
                 # sweeps (accel_lin>0) and converge in ~half the
-                # sweeps, so they poll in smaller chunks
-                SW = (max(2, int(cfg.strict_accel_chunk)) if use_accel
-                      else SWEEPS)
+                # sweeps, so they poll in smaller chunks.  The warm
+                # convergence floor varies by regime (measured 7 with
+                # the quadratic warm start + gain carry, 8 without),
+                # so the first-chunk size adapts: after 3 consecutive
+                # one-chunk convergences try one sweep fewer; a size
+                # that ever needs a second chunk is never revisited
+                # (sweep counts are monotone in regime difficulty, and
+                # a miss costs a full extra chunk).
+                SW = (sw_adapt if use_accel else SWEEPS)
                 LIN = int(cfg.strict_accel_lin) if use_accel else 0
+                first_chunk = min(SW, cfg.strict_max_sweeps)
                 while True:
                     # never exceed the configured cap: the tail chunk
                     # shrinks so sweep counts match step_strict_iter's
-                    # k < cap exactly
-                    chunk = min(SW, cfg.strict_max_sweeps - total)
+                    # k < cap exactly.  After a first-chunk miss the
+                    # iterate is near-converged, so tails poll in small
+                    # chunks of 3 instead of paying a full chunk again
+                    sw_t = SW if (not use_accel or total == 0) else 3
+                    chunk = min(sw_t, cfg.strict_max_sweeps - total)
                     accel_k = LIN if chunk >= 3 else 0
                     res_k = _strict_sweep_kernel(
                         q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
@@ -1321,7 +1339,21 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     if float(dm[0]) <= tol_eff \
                             or total >= cfg.strict_max_sweeps:
                         break
+                if use_accel:
+                    if total <= first_chunk:
+                        sw_streak += 1
+                        if sw_streak >= 3 and sw_adapt > 3 \
+                                and (sw_fail is None
+                                     or sw_adapt - 1 > sw_fail):
+                            sw_adapt -= 1
+                            sw_streak = 0
+                    else:
+                        sw_fail = first_chunk
+                        sw_adapt = min(first_chunk + 1,
+                                       cfg.strict_max_sweeps)
+                        sw_streak = 0
             sweep_counts.append(total)
+            q_prev2 = q_prev_step
             q_prev_step = q
             q, depth, res_elev = q_est, d, res_elev_c
             lo_val, lo_time, da_states = lo_val_c, lo_time_c, da_states_c
