@@ -389,18 +389,32 @@ def route_sharded_strict_stepped(mesh: Mesh, inp: ShardedInputs,
     eps4 = 4.0 * float(jnp.finfo(dtype).eps)
     fvd_steps, nudge_steps = [], []
     res = None
-    q_prev_step = None
+    q_prev_step = q_prev2 = None
+    use_accel = accel_lin > 0 and band_shifts is not None
+    # adaptive first-chunk size + quadratic warm start, exactly like
+    # engine.route_stepped's accel driver (see the controller comments
+    # there): descend after 3 one-chunk convergences, never revisit a
+    # missed size, poll near-converged tails in chunks of 3
+    sw_adapt = max(sweep_chunk, 1)
+    sw_streak = 0
+    sw_fail = None
     for t in range(1, nts + 1):
-        q_est = (q if q_prev_step is None
-                 else jnp.maximum(2.0 * q - q_prev_step, 0.0))
+        if q_prev_step is None:
+            q_est = q
+        elif q_prev2 is None:
+            q_est = jnp.maximum(2.0 * q - q_prev_step, 0.0)
+        else:
+            q_est = jnp.maximum(3.0 * (q - q_prev_step) + q_prev2, 0.0)
         total = 0
+        first_chunk = min(sw_adapt, strict_max_sweeps)
         while True:
-            chunk = min(max(sweep_chunk, 1), strict_max_sweeps - total)
+            sw_t = first_chunk if (not use_accel or total == 0) else 3
+            chunk = min(max(sw_t, 1), strict_max_sweeps - total)
             fn = _make_strict_sweep_fn(
                 mesh, chunk, float(dt), int(qts_subdivisions),
                 float(decay_coeff), exchange, band_shifts, perms,
                 have_res_da, lookback, rda_treedef,
-                accel_lin=(int(accel_lin) if band_shifts is not None
+                accel_lin=(int(accel_lin) if use_accel
                            and chunk >= 3 else 0))
             res, delta, qmax = fn(q_est, q, depth, res_elev, lo_val,
                                   lo_time, hyb, rfc, gl, jnp.int32(t),
@@ -413,6 +427,18 @@ def route_sharded_strict_stepped(mesh: Mesh, inp: ShardedInputs,
             tol_eff = max(strict_tol, eps4 * float(dm[1]))
             if float(dm[0]) <= tol_eff or total >= strict_max_sweeps:
                 break
+        if use_accel:
+            if total <= first_chunk:
+                sw_streak += 1
+                if sw_streak >= 3 and sw_adapt > 3 \
+                        and (sw_fail is None or sw_adapt - 1 > sw_fail):
+                    sw_adapt -= 1
+                    sw_streak = 0
+            else:
+                sw_fail = first_chunk
+                sw_adapt = min(first_chunk + 1, strict_max_sweeps)
+                sw_streak = 0
+        q_prev2 = q_prev_step
         q_prev_step = q
         q, depth, res_elev = res.q, res.depth, res.res_elev
         lo_val, lo_time = res.lo_val, res.lo_time
