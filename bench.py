@@ -413,11 +413,14 @@ def main():
           f"{seg_ts_per_s:.3e} segment-timesteps/s", file=sys.stderr)
 
     # strict-mode production stepping (reference-exact within-step
-    # coupling as host-polled fixed-point Pallas sweeps): warm regime,
-    # few steps — each timestep costs sweeps-to-fixed-point MC solves
+    # coupling as host-polled fixed-point Pallas sweeps): warm regime.
+    # 12-step windows (production AnA windows are 288 steps): the
+    # adaptive chunk controller probes the sweep floor once per window,
+    # so 4-step windows underreport steady state by ~25% (measured
+    # 1.8e7 at 4 steps vs 2.4-2.6e7 at 12, 2026-08-20)
     strict = None
     try:
-        nts_s = 4
+        nts_s = 12
         cfg_s = RoutingConfig(dt=dt, nts=nts_s, qts_subdivisions=2,
                               assume_short_ts=False, strict_iterative=True,
                               kernel="pallas")
