@@ -892,14 +892,16 @@ def main_v04(argv=None) -> dict:
             for g, gi in enumerate(groups):
                 z_m[gi] = np.asarray(bdom.z[g])[:len(gi)]
                 dx_m[gi] = np.asarray(bdom.dx[g])[:len(gi)]
+            # one stacked device->host transfer for every save (per-save
+            # np.asarray costs a tunnel round trip each on remote TPU)
+            qn_all, yn_all = HybridDomain._saves_to_host(bsaves)
             saves = []
-            for t_s, qb, yb in bsaves:
-                qn, yn = np.asarray(qb), np.asarray(yb)
+            for k, (t_s, _, _) in enumerate(bsaves):
                 q_m = np.zeros((R, C))
                 y_m = np.zeros((R, C))
                 for g, gi in enumerate(groups):
-                    q_m[gi] = qn[g, :len(gi)]
-                    y_m[gi] = yn[g, :len(gi)]
+                    q_m[gi] = qn_all[k, g, :len(gi)]
+                    y_m[gi] = yn_all[k, g, :len(gi)]
                 saves.append((t_s, q_m, y_m))
             dom = SimpleNamespace(z=z_m, dx=dx_m, n_cols=C)
         else:

@@ -201,6 +201,54 @@ def _uinterp(utab, lo, step, x, cols, umin):
     return out
 
 
+_UCOLS_SRC = (COL_CONV, COL_DKDA, COL_TOPW, COL_SKK)
+
+
+@functools.partial(jax.jit, static_argnames=("nel_u_",))
+def _resample_uniform(tab, nel_u_):
+    """One chunk of ``attach_uniform_tables``: resample the hot columns
+    of [r, C, n_cols, nel] exact tables onto sqrt-stretched uniform
+    grids.  Module-level jit: a per-call closure would recompile on
+    every ``build_domain`` (measured 0.34 s/call on the Laura domain)."""
+    cols = _UCOLS_SRC
+    el = tab[:, :, COL_ELEV, :]                      # [r, C, nel]
+    nel = el.shape[-1]
+    lo = el[..., 0]
+    hi = el[..., -1]
+    # sqrt-stretched knots: el_k = lo + (k*step)^2 (see _ugrid_bracket)
+    step = jnp.sqrt(hi - lo) / (nel_u_ - 1)
+    tgt = lo[..., None] + (step[..., None]
+                           * jnp.arange(nel_u_, dtype=tab.dtype)) ** 2
+    # exact bracket on the original (sorted) grid: compare-all, then
+    # one-hot fetches XLA fuses (no [.., nel_u, nel] materialization;
+    # per-lane gathers are poison off-CPU)
+    idx = jnp.clip(
+        (el[..., None, :] <= tgt[..., None]).sum(-1) - 1,
+        0, nel - 2)                                  # [r, C, nel_u]
+
+    def fetch(v, i):
+        if jax.default_backend() == "cpu":
+            return jnp.take_along_axis(v, i, -1)
+        k = jax.lax.broadcasted_iota(jnp.int32, i.shape + (nel,),
+                                     i.ndim)
+        return jnp.where(k == i[..., None], v[..., None, :],
+                         0.0).sum(-1)
+
+    idx2 = jnp.minimum(idx + 1, nel - 1)
+    g1 = fetch(el, idx)
+    g2 = fetch(el, idx2)
+    w = (tgt - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
+    outs = []
+    for c in cols:
+        v = tab[:, :, c, :]
+        v1 = fetch(v, idx)
+        v2 = fetch(v, idx2)
+        outs.append(v1 + (v2 - v1) * w)
+    ut = jnp.stack(outs, axis=-2)                    # [r, C, 4, nel_u]
+    umin = jnp.stack([tab[:, :, c, :].min(-1) for c in cols], -1)
+    return ut, lo, step, umin
+
+
 def attach_uniform_tables(dom: DiffusiveDomain,
                           nel_u: int = NEL_UNIFORM,
                           chunk: int = 256) -> DiffusiveDomain:
@@ -223,52 +271,12 @@ def attach_uniform_tables(dom: DiffusiveDomain,
         xs2 = xs
     n_rows = xs2.shape[0]
     dtype = xs.dtype
-    cols = (COL_CONV, COL_DKDA, COL_TOPW, COL_SKK)
-
-    @functools.partial(jax.jit, static_argnames=("nel_u_",))
-    def _resample(tab, nel_u_):
-        el = tab[:, :, COL_ELEV, :]                      # [r, C, nel]
-        nel = el.shape[-1]
-        lo = el[..., 0]
-        hi = el[..., -1]
-        # sqrt-stretched knots: el_k = lo + (k*step)^2 (see _ugrid_bracket)
-        step = jnp.sqrt(hi - lo) / (nel_u_ - 1)
-        tgt = lo[..., None] + (step[..., None]
-                               * jnp.arange(nel_u_, dtype=tab.dtype)) ** 2
-        # exact bracket on the original (sorted) grid: compare-all, then
-        # one-hot fetches XLA fuses (no [.., nel_u, nel] materialization;
-        # per-lane gathers are poison off-CPU)
-        idx = jnp.clip(
-            (el[..., None, :] <= tgt[..., None]).sum(-1) - 1,
-            0, nel - 2)                                  # [r, C, nel_u]
-
-        def fetch(v, i):
-            if jax.default_backend() == "cpu":
-                return jnp.take_along_axis(v, i, -1)
-            k = jax.lax.broadcasted_iota(jnp.int32, i.shape + (nel,),
-                                         i.ndim)
-            return jnp.where(k == i[..., None], v[..., None, :],
-                             0.0).sum(-1)
-
-        idx2 = jnp.minimum(idx + 1, nel - 1)
-        g1 = fetch(el, idx)
-        g2 = fetch(el, idx2)
-        w = (tgt - g1) / jnp.where(g2 != g1, g2 - g1, 1.0)
-        outs = []
-        for c in cols:
-            v = tab[:, :, c, :]
-            v1 = fetch(v, idx)
-            v2 = fetch(v, idx2)
-            outs.append(v1 + (v2 - v1) * w)
-        ut = jnp.stack(outs, axis=-2)                    # [r, C, 4, nel_u]
-        umin = jnp.stack([tab[:, :, c, :].min(-1) for c in cols], -1)
-        return ut, lo, step, umin
 
     if jax.default_backend() != "cpu":
         chunk = min(chunk, 64)
     uts, los, steps, umins = [], [], [], []
     for s in range(0, n_rows, chunk):
-        t, lo, st, um = _resample(xs2[s:s + chunk], int(nel_u))
+        t, lo, st, um = _resample_uniform(xs2[s:s + chunk], int(nel_u))
         uts.append(t)
         los.append(lo)
         steps.append(st)
@@ -278,10 +286,10 @@ def attach_uniform_tables(dom: DiffusiveDomain,
     step = jnp.concatenate(steps).astype(dtype)
     umin = jnp.concatenate(umins).astype(dtype)
     if batched:
-        utab = utab.reshape(B, R, C, len(cols), nel_u)
+        utab = utab.reshape(B, R, C, len(_UCOLS_SRC), nel_u)
         lo = lo.reshape(B, R, C)
         step = step.reshape(B, R, C)
-        umin = umin.reshape(B, R, C, len(cols))
+        umin = umin.reshape(B, R, C, len(_UCOLS_SRC))
     return dom._replace(utab=utab, ugrid_lo=lo, ugrid_step=step,
                         utab_min=umin)
 

@@ -329,6 +329,107 @@ def _monotone_smooth(el, v):
     return v
 
 
+def _build_xsec_tables_jit(z, bo, traps, tw, twcc, mann, manncc, dx, nel_,
+                           so_llm_):
+    import jax
+    import jax.numpy as jnp
+
+    hbf = (tw - bo) / (2.0 * traps)
+    z_notch = z - 0.01
+    el_incr = 2.0 * hbf / (nel_ - 6.0)
+    k = jnp.arange(nel_, dtype=z.dtype)[:, None, None]
+    el = jnp.where(
+        k == 0, z_notch[None] + 1e-5,
+        jnp.where(k < 5, z_notch[None] + 0.01 * k / 4.0,
+                  z[None] + el_incr[None] * (k - 4)))
+
+    notch_depth = 0.01
+    xc3 = (twcc - tw) / 2.0
+    zb, bob, trb, twb, hbfb = (a[None] for a in (z, bo, traps, tw, hbf))
+    znb = zb - notch_depth
+    d_notch = jnp.clip(el - znb, 0.0, notch_depth)
+    frac = d_notch / notch_depth
+    notch_area = 0.5 * (bob * frac) * d_notch
+    notch_side = jnp.sqrt((bob / 2.0) ** 2 + notch_depth ** 2)
+    notch_peri = 2.0 * notch_side * frac
+    notch_topw = bob * frac
+    d_trap = jnp.clip(el - zb, 0.0, hbfb)
+    trap_area = bob * d_trap + trb * d_trap ** 2
+    trap_peri = 2.0 * d_trap * jnp.sqrt(1.0 + trb ** 2)
+    trap_topw_add = 2.0 * trb * d_trap
+    d_above = jnp.maximum(el - (zb + hbfb), 0.0)
+    above_area = twb * d_above
+    in_notch = el <= zb
+    main_area = notch_area + trap_area + above_area
+    main_peri = notch_peri + trap_peri
+    main_topw = jnp.where(in_notch, notch_topw, bob + trap_topw_add)
+    d_fp = jnp.maximum(el - (zb + hbfb), 0.0)
+    wall = jnp.minimum(d_fp, (TIMES_DEPTH - 1.0) * hbfb)
+    fp_area = xc3[None] * d_fp
+    fp_peri = jnp.where(d_fp > 0.0, xc3[None] + wall, 0.0)
+    fp_topw = jnp.where(d_fp > 0.0, xc3[None], 0.0)
+
+    def sub_conv(a, p, n):
+        r = jnp.where(p > 1e-8, a / p, 0.0)
+        return jnp.where(p > 1e-8, (1.0 / n) * a * r ** (2.0 / 3.0),
+                         0.0)
+
+    conv = (sub_conv(fp_area, fp_peri, manncc[None]) * 2.0
+            + sub_conv(main_area, main_peri, mann[None]))
+    area = 2.0 * fp_area + main_area
+    peri = 2.0 * fp_peri + main_peri
+    topw = 2.0 * fp_topw + main_topw
+    radius = jnp.where(peri > 1e-10, area / peri, 0.0)
+
+    dA = jnp.diff(area, axis=0)
+    safe_dA = jnp.where(jnp.abs(dA) > 1e-12, dA, 1e-12)
+    dPdA = jnp.concatenate([
+        peri[:1] / jnp.maximum(area[:1], 1e-12),
+        jnp.diff(peri, axis=0) / safe_dA])
+    dKdA = jnp.concatenate([
+        conv[:1] / jnp.maximum(area[:1], 1e-12),
+        jnp.diff(conv, axis=0) / safe_dA])
+
+    centers = 0.5 * (el[1:] + el[:-1])
+    z1 = jnp.zeros_like(area[:1])
+    # lax.associative_scan, NOT jnp.cumsum: XLA:CPU lowers cumsum to
+    # an O(nel^2) reduce_window (minutes at mainstem scale)
+    csum = lambda x: jax.lax.associative_scan(jnp.add, x, axis=0)
+    cs_a = jnp.concatenate([z1, csum(dA)])
+    cs_ac = jnp.concatenate([z1, csum(dA * centers)])
+    first_moment = el * cs_a - cs_ac
+
+    # dry-section guard: see build_xsec_tables (f32 cannot resolve
+    # z_notch + 1e-5 at |z| > ~84 m, making row 0's perimeter 0)
+    peri_fp = jnp.abs(fp_peri)
+    peri_mn = jnp.abs(main_peri)
+    peri_tot = 2.0 * peri_fp + peri_mn
+    comp_mann = jnp.where(
+        peri_tot > 1e-12,
+        jnp.sqrt((2.0 * peri_fp * manncc[None] ** 2
+                  + peri_mn * mann[None] ** 2)
+                 / jnp.maximum(peri_tot, 1e-12)),
+        mann[None])
+    skk = 1.0 / comp_mann
+
+    slope = jnp.zeros_like(z)
+    if z.shape[1] > 1:
+        slope = slope.at[:, :-1].set(
+            (z[:, :-1] - z[:, 1:]) / jnp.maximum(dx[:, :-1], 1e-12))
+        slope = slope.at[:, -1].set(
+            (z[:, -2] - z[:, -1]) / jnp.maximum(dx[:, -2], 1e-12))
+    slope = jnp.maximum(slope, so_llm_)
+    uniform = conv * jnp.sqrt(slope)[None]
+
+    tab = jnp.stack([el, area, peri, radius, conv, topw, first_moment,
+                     dPdA, dKdA, uniform, skk])
+    return jnp.transpose(tab, (2, 3, 0, 1))   # [R, C, 11, nel]
+
+
+_BUILD_JIT = []     # lazily-jitted module-level _build_xsec_tables_jit:
+                    # a per-call jit closure would recompile every call
+
+
 def build_xsec_tables_jax(z, bo, traps, tw, twcc, mann, manncc, dx,
                           so_llm=0.0001, nel=NEL, dtype=None):
     """Device-side synthetic-trapezoid table build (same math as
@@ -346,104 +447,12 @@ def build_xsec_tables_jax(z, bo, traps, tw, twcc, mann, manncc, dx,
     import jax.numpy as jnp
 
     z_np = np.asarray(z, np.float64)
-
-    @functools.partial(jax.jit, static_argnames=("nel_", "so_llm_"))
-    def _build(z, bo, traps, tw, twcc, mann, manncc, dx, nel_, so_llm_):
-        hbf = (tw - bo) / (2.0 * traps)
-        z_notch = z - 0.01
-        el_incr = 2.0 * hbf / (nel_ - 6.0)
-        k = jnp.arange(nel_, dtype=z.dtype)[:, None, None]
-        el = jnp.where(
-            k == 0, z_notch[None] + 1e-5,
-            jnp.where(k < 5, z_notch[None] + 0.01 * k / 4.0,
-                      z[None] + el_incr[None] * (k - 4)))
-
-        notch_depth = 0.01
-        xc3 = (twcc - tw) / 2.0
-        zb, bob, trb, twb, hbfb = (a[None] for a in (z, bo, traps, tw, hbf))
-        znb = zb - notch_depth
-        d_notch = jnp.clip(el - znb, 0.0, notch_depth)
-        frac = d_notch / notch_depth
-        notch_area = 0.5 * (bob * frac) * d_notch
-        notch_side = jnp.sqrt((bob / 2.0) ** 2 + notch_depth ** 2)
-        notch_peri = 2.0 * notch_side * frac
-        notch_topw = bob * frac
-        d_trap = jnp.clip(el - zb, 0.0, hbfb)
-        trap_area = bob * d_trap + trb * d_trap ** 2
-        trap_peri = 2.0 * d_trap * jnp.sqrt(1.0 + trb ** 2)
-        trap_topw_add = 2.0 * trb * d_trap
-        d_above = jnp.maximum(el - (zb + hbfb), 0.0)
-        above_area = twb * d_above
-        in_notch = el <= zb
-        main_area = notch_area + trap_area + above_area
-        main_peri = notch_peri + trap_peri
-        main_topw = jnp.where(in_notch, notch_topw, bob + trap_topw_add)
-        d_fp = jnp.maximum(el - (zb + hbfb), 0.0)
-        wall = jnp.minimum(d_fp, (TIMES_DEPTH - 1.0) * hbfb)
-        fp_area = xc3[None] * d_fp
-        fp_peri = jnp.where(d_fp > 0.0, xc3[None] + wall, 0.0)
-        fp_topw = jnp.where(d_fp > 0.0, xc3[None], 0.0)
-
-        def sub_conv(a, p, n):
-            r = jnp.where(p > 1e-8, a / p, 0.0)
-            return jnp.where(p > 1e-8, (1.0 / n) * a * r ** (2.0 / 3.0),
-                             0.0)
-
-        conv = (sub_conv(fp_area, fp_peri, manncc[None]) * 2.0
-                + sub_conv(main_area, main_peri, mann[None]))
-        area = 2.0 * fp_area + main_area
-        peri = 2.0 * fp_peri + main_peri
-        topw = 2.0 * fp_topw + main_topw
-        radius = jnp.where(peri > 1e-10, area / peri, 0.0)
-
-        dA = jnp.diff(area, axis=0)
-        safe_dA = jnp.where(jnp.abs(dA) > 1e-12, dA, 1e-12)
-        dPdA = jnp.concatenate([
-            peri[:1] / jnp.maximum(area[:1], 1e-12),
-            jnp.diff(peri, axis=0) / safe_dA])
-        dKdA = jnp.concatenate([
-            conv[:1] / jnp.maximum(area[:1], 1e-12),
-            jnp.diff(conv, axis=0) / safe_dA])
-
-        centers = 0.5 * (el[1:] + el[:-1])
-        z1 = jnp.zeros_like(area[:1])
-        # lax.associative_scan, NOT jnp.cumsum: XLA:CPU lowers cumsum to
-        # an O(nel^2) reduce_window (minutes at mainstem scale)
-        csum = lambda x: jax.lax.associative_scan(jnp.add, x, axis=0)
-        cs_a = jnp.concatenate([z1, csum(dA)])
-        cs_ac = jnp.concatenate([z1, csum(dA * centers)])
-        first_moment = el * cs_a - cs_ac
-
-        # dry-section guard: see build_xsec_tables (f32 cannot resolve
-        # z_notch + 1e-5 at |z| > ~84 m, making row 0's perimeter 0)
-        peri_fp = jnp.abs(fp_peri)
-        peri_mn = jnp.abs(main_peri)
-        peri_tot = 2.0 * peri_fp + peri_mn
-        comp_mann = jnp.where(
-            peri_tot > 1e-12,
-            jnp.sqrt((2.0 * peri_fp * manncc[None] ** 2
-                      + peri_mn * mann[None] ** 2)
-                     / jnp.maximum(peri_tot, 1e-12)),
-            mann[None])
-        skk = 1.0 / comp_mann
-
-        slope = jnp.zeros_like(z)
-        if z.shape[1] > 1:
-            slope = slope.at[:, :-1].set(
-                (z[:, :-1] - z[:, 1:]) / jnp.maximum(dx[:, :-1], 1e-12))
-            slope = slope.at[:, -1].set(
-                (z[:, -2] - z[:, -1]) / jnp.maximum(dx[:, -2], 1e-12))
-        slope = jnp.maximum(slope, so_llm_)
-        uniform = conv * jnp.sqrt(slope)[None]
-
-        tab = jnp.stack([el, area, peri, radius, conv, topw, first_moment,
-                         dPdA, dKdA, uniform, skk])
-        return jnp.transpose(tab, (2, 3, 0, 1))   # [R, C, 11, nel]
-
-    import jax.numpy as jnp
+    if not _BUILD_JIT:
+        _BUILD_JIT.append(jax.jit(
+            _build_xsec_tables_jit, static_argnames=("nel_", "so_llm_")))
     dt = dtype or jnp.float64
     args = [jnp.asarray(np.asarray(a, np.float64), dt)
             for a in (z, bo, traps, tw, twcc, mann, manncc, dx)]
-    tab = _build(*args, nel_=int(nel), so_llm_=float(so_llm))
+    tab = _BUILD_JIT[0](*args, nel_=int(nel), so_llm_=float(so_llm))
     return tab, z_np - 0.01
 

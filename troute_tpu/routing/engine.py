@@ -32,6 +32,7 @@ Semantics parity notes (vs ``mc_reach.pyx``):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -370,7 +371,48 @@ def route(net: NetworkArrays, chan: ChannelParams,
         dict with 'flowveldepth' [nts, N, 3] (q, vel, depth-or-elev),
         'nudge' [nts, n_gages] (if da), 'courant' [nts, N, 3] (if enabled),
         and the final RoutingState.
+
+    The computation runs under one module-level ``jax.jit`` with every
+    array as an ARGUMENT: tracing the scan eagerly would close over the
+    network arrays as jaxpr constants, so each CLI invocation (fresh
+    arrays, same shapes) would recompile the whole program (measured
+    1.2 s of a 1.6 s warm Laura run).  Only the strict level-scan's
+    gage/reservoir level tables are built host-side here.
     """
+    if not cfg.assume_short_ts and not cfg.strict_iterative:
+        # which wavefront level each gage / reservoir row lives at
+        if net.level_nodes is None:
+            raise ValueError("strict mode requires NetworkArrays.level_nodes")
+        ln_np = np.asarray(net.level_nodes)
+        rows_np = (np.asarray(da.rows)
+                   if da is not None and int(da.rows.shape[0]) > 0
+                   else np.zeros(0, np.int64))
+        gla = np.zeros((ln_np.shape[0], rows_np.size), bool)
+        for gi, r in enumerate(rows_np):
+            lvl = np.nonzero((ln_np == r).any(axis=1))[0]
+            gla[lvl, gi] = True
+        gage_level_active = jnp.asarray(gla)
+        n_res_static = int(net.res_rows.shape[0])
+        rla = np.zeros((ln_np.shape[0], max(n_res_static, 1)), bool)
+        for si, r in enumerate(np.asarray(net.res_rows)):
+            lvl = np.nonzero((ln_np == r).any(axis=1))[0]
+            rla[lvl, si] = True
+        res_level_active = jnp.asarray(rla)
+    else:
+        gage_level_active = None
+        res_level_active = None
+    return _route_jit(net, chan, res_params, q0, depth0, res_elev0,
+                      qlat, da, res_da, gage_level_active,
+                      res_level_active, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _route_jit(net: NetworkArrays, chan: ChannelParams,
+               res_params: LevelpoolParams,
+               q0: jax.Array, depth0: jax.Array, res_elev0: jax.Array,
+               qlat: jax.Array, da: GageDA | None,
+               res_da: ReservoirDAData | None,
+               gage_level_active, res_level_active, cfg: RoutingConfig):
     # Pad the node axis to a multiple of 1024 (8 sublanes x 128 lanes):
     # unaligned gathers compile pathologically on TPU (minutes vs ~1s) and
     # the Pallas kernel wants whole tiles.  Pad rows are isolated no-flow
@@ -699,34 +741,7 @@ def route(net: NetworkArrays, chan: ChannelParams,
             ys["courant"] = jnp.stack([out.cn, out.ck, out.X], axis=-1)
         return new_state, ys
 
-    # reservoir slot lookup for strict mode (static host-side array)
-    n_res = int(net.res_rows.shape[0])
-    slot_table = np.full(n + 1, 0, np.int32)
-    if n_res:
-        slot_table[np.asarray(net.res_rows)] = np.arange(n_res, dtype=np.int32)
-    slot_dev = jnp.asarray(slot_table)
-
-    def topo_res_slot_safe(rows):
-        return slot_dev[rows]
-
-    # which wavefront level each gage / reservoir row lives at (strict mode)
     n_res_static = int(net.res_rows.shape[0])
-    if not cfg.assume_short_ts and not cfg.strict_iterative:
-        ln_np = np.asarray(net.level_nodes)
-        rows_np = np.asarray(da.rows)
-        gla = np.zeros((ln_np.shape[0], rows_np.size), bool)
-        for gi, r in enumerate(rows_np):
-            lvl = np.nonzero((ln_np == r).any(axis=1))[0]
-            gla[lvl, gi] = True
-        gage_level_active = jnp.asarray(gla)
-        rla = np.zeros((ln_np.shape[0], max(n_res_static, 1)), bool)
-        for si, r in enumerate(np.asarray(net.res_rows)):
-            lvl = np.nonzero((ln_np == r).any(axis=1))[0]
-            rla[lvl, si] = True
-        res_level_active = jnp.asarray(rla)
-    else:
-        gage_level_active = None
-        res_level_active = None
 
     ts = jnp.arange(1, cfg.nts + 1, dtype=jnp.int32)
     qlat_cols = ((ts - 1) // cfg.qts_subdivisions).astype(jnp.int32)
@@ -768,9 +783,6 @@ def route(net: NetworkArrays, chan: ChannelParams,
     if cfg.return_courant:
         out["courant"] = ys["courant"]
     return out
-
-
-import functools
 
 
 def _upstream_sum_stepped(q, upstream, uplan):

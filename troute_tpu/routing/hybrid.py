@@ -532,6 +532,22 @@ class HybridDomain:
                             dt_db=getattr(self, "coastal_dt_db", 3600.0),
                             nel_uniform=nel_uniform)
 
+    @staticmethod
+    def _saves_to_host(saves):
+        """Stack save snapshots into host [n_saves, R, C] arrays.
+
+        Device-resident saves are stacked ON DEVICE and fetched in ONE
+        transfer: per-element ``float(...)`` fetches cost a full tunnel
+        round trip EACH on a remote TPU (measured 10.2 s of a 13.2 s
+        Laura run before this fix)."""
+        q_list = [q for _, q, _ in saves]
+        y_list = [y for _, _, y in saves]
+        if isinstance(q_list[0], np.ndarray):
+            return np.stack(q_list), np.stack(y_list)
+        import jax.numpy as jnp
+        qy = np.asarray(jnp.stack([jnp.stack(q_list), jnp.stack(y_list)]))
+        return qy[0], qy[1]
+
     def saves_to_segments(self, saves, dom):
         """Map solver snapshots to per-mainstem-segment series.
 
@@ -540,21 +556,19 @@ class HybridDomain:
         (``diffusive_utils_v02.unpack_output``).
         """
         C = int(dom.n_cols)
-        n_saves = len(saves)
         q_out = {}
         d_out = {}
         z = np.asarray(dom.z)
         if self.refac:
             return self._refac_saves_to_segments(saves, dom)
+        qs, ys = self._saves_to_host(saves)       # [n_saves, R, C]
         for ri, r in enumerate(self.reaches):
             ncomp = len(r) + 1
             off = C - ncomp
             for i, s in enumerate(r):
-                q_out[s] = np.array([float(saves[k][1][ri, off + i])
-                                     for k in range(n_saves)])
-                d_out[s] = np.array(
-                    [float(saves[k][2][ri, off + i]) - z[ri, off + i]
-                     for k in range(n_saves)])
+                q_out[s] = qs[:, ri, off + i].astype(np.float64)
+                d_out[s] = (ys[:, ri, off + i]
+                            - z[ri, off + i]).astype(np.float64)
         return q_out, d_out
 
     def _refac_saves_to_segments(self, saves, dom):
@@ -567,8 +581,7 @@ class HybridDomain:
         link is covered)."""
         C = int(dom.n_cols)
         z = np.asarray(dom.z)
-        qs = np.stack([np.asarray(q) for _, q, _ in saves])   # [n_s, R, C]
-        ys = np.stack([np.asarray(y) for _, _, y in saves])
+        qs, ys = self._saves_to_host(saves)                   # [n_s, R, C]
         q_out, d_out = {}, {}
         for ri, r in enumerate(self.reaches):
             ncomp = len(r) + 1
