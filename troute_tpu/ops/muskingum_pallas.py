@@ -17,6 +17,7 @@ XLA and Pallas paths are bit-identical in exact arithmetic).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +33,6 @@ LANE = 128
 # grid-scheduling overhead outweighs the coarser per-block early exit.
 # Per-lane results are block-size independent (converged lanes hold
 # their values under the masked update).  TROUTE_MC_SUBLANES overrides.
-import os
-
 DEFAULT_SUBLANES = int(os.environ.get("TROUTE_MC_SUBLANES", "16"))
 
 _IN_NAMES = ("qup", "quc", "qdp", "ql", "dx", "bw", "tw", "twcc", "n",

@@ -46,8 +46,8 @@ from troute_tpu.parallel.sharded_engine import (
     AXIS, ShardedInputs, ShardedResDA, ShardedRunResult, apply_local_nudge,
     input_specs, make_exchange, make_interior_sum, reservoir_update,
     zero_da_states)
-from troute_tpu.routing.engine import (ChannelParams,
-                                       mc_linear_gain)
+from troute_tpu.routing.engine import (ChannelParams, accel_gain,
+                                       apply_linear_accel)
 
 
 @functools.lru_cache(maxsize=64)
@@ -187,7 +187,6 @@ def _make_block_fn(mesh: Mesh, k_steps: int, dt: float, qts: int,
 
 
 @functools.lru_cache(maxsize=64)
-@functools.lru_cache(maxsize=64)
 def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
                           decay_coeff: float, exchange: str,
                           band_shifts: tuple | None, perms: tuple,
@@ -296,22 +295,17 @@ def _make_strict_sweep_fn(mesh: Mesh, n_sweeps: int, dt: float, qts: int,
             q_est = q_new
             if want_diag:
                 # shard-local linearized propagation (see docstring and
-                # engine.mc_linear_gain for the gain estimator)
-                emp = (dict(q_new=q_new, g_prev=g_prev, quc=quc,
-                            quc_prev=quc_prev) if k >= 1 else {})
-                gain = mc_linear_gain(out.ck, out.X, chan_l.dx, dt,
-                                      dtype, **emp)
+                # engine.accel_gain for the gain estimator)
+                gain = accel_gain(out.ck, out.X, chan_l.dx, dt, dtype,
+                                  q_new, g_prev, quc, quc_prev,
+                                  emp_ok=(k >= 1))
                 gain = jnp.where(valid_l & ~is_res_l, gain, 0.0)
                 gain = gain.at[scat_b].set(0.0, mode="drop")
                 gain = gain.at[jnp.where(gage_slot_l >= 0,
                                          jnp.maximum(gage_slot_l, 0),
                                          n_local)].set(0.0, mode="drop")
-                acc = q_est
-                lin = dq
-                for _ in range(accel_lin):
-                    lin = gain * interior_sum(lin)
-                    acc = acc + lin
-                q_est = jnp.maximum(acc, 0.0)
+                q_est = apply_linear_accel(q_est, dq, gain, interior_sum,
+                                           accel_lin)
             quc_prev, g_prev = quc, q_new
 
         add1 = lambda a: a[None]

@@ -257,6 +257,44 @@ def mc_linear_gain(ck, x, dx, dt, dtype, q_new=None, g_prev=None,
     return gain
 
 
+def accel_gain(ck, x, dx, dt, dtype, q_new, g_prev, quc, quc_prev,
+               emp_ok):
+    """Gain estimate for one accelerator insertion (shared by the three
+    strict accelerators — ``route()``'s while body, the host-polled
+    ``_strict_sweep_kernel`` and the sharded sweep fn).
+
+    ``emp_ok`` says whether (``g_prev``, ``quc_prev``) really are the
+    previous sweep's response pair (k >= 1): a Python bool at trace-time
+    sweep indices, a traced bool inside ``while_loop`` (selected
+    lane-wise).  When not, the analytic fixed-depth C2 alone is used —
+    at k = 0 the drive would be vs the previous TIMESTEP's sums, not a
+    sweep response.  Callers still zero the gain on reservoir / gage
+    (and, sharded, boundary) lanes, which differ structurally per
+    driver."""
+    if emp_ok is False or g_prev is None:
+        return mc_linear_gain(ck, x, dx, dt, dtype)
+    g_emp = mc_linear_gain(ck, x, dx, dt, dtype, q_new=q_new,
+                           g_prev=g_prev, quc=quc, quc_prev=quc_prev)
+    if emp_ok is True:
+        return g_emp
+    return jnp.where(emp_ok, g_emp,
+                     mc_linear_gain(ck, x, dx, dt, dtype))
+
+
+def apply_linear_accel(q_new, dq, gain, sum_fn, n_terms: int):
+    """Linearized-propagation jump: q* ~ q_new + sum_{j=1..n} (g.*U)^j dq
+    with U applied by ``sum_fn`` (the driver's upstream-sum form) — the
+    shared core of the three strict accelerators (see
+    ``RoutingConfig.strict_accel``).  Clamped at zero like the sweeps'
+    own output."""
+    acc = q_new
+    lin = dq
+    for _ in range(int(n_terms)):
+        lin = gain * sum_fn(lin)
+        acc = acc + lin
+    return jnp.maximum(acc, 0.0)
+
+
 def _accel_enabled(cfg: "RoutingConfig", stepped: bool) -> bool:
     """Resolve ``strict_accel`` ("auto" -> ON for the host-stepped
     production drivers, OFF for the in-scan XLA forms, which serve as
@@ -702,23 +740,18 @@ def _route_jit(net: NetworkArrays, chan: ChannelParams,
                 # estimate is gated lane-wise on k >= 1 (at k=0 the
                 # drive du is vs the previous TIMESTEP's sums — not a
                 # sweep response — and must not be used)
-                gain = mc_linear_gain(out.ck, out.X, chan.dx, dt, dtype)
-                gain_e = mc_linear_gain(out.ck, out.X, chan.dx, dt,
-                                        dtype, q_new=q_new, g_prev=g_prev,
-                                        quc=quc, quc_prev=u_prev)
-                gain = jnp.where(k >= 1, gain_e, gain)
+                gain = accel_gain(out.ck, out.X, chan.dx, dt, dtype,
+                                  q_new, g_prev, quc, u_prev,
+                                  emp_ok=(k >= 1))
                 gain = jnp.where(res_mask, 0.0, gain)
                 if have_da:
                     gain = gain.at[da.rows].set(0.0)
-                acc = q_new
-                lin = dq
-                for _ in range(int(cfg.strict_accel_lin)):
-                    lin = gain * _upstream_sum_net(lin, net)
-                    acc = acc + lin
+                acc = apply_linear_accel(
+                    q_new, dq, gain, lambda v: _upstream_sum_net(v, net),
+                    cfg.strict_accel_lin)
                 tol = jnp.maximum(jnp.asarray(cfg.strict_tol, dtype),
                                   eps4 * qmax)
-                q_next = jnp.where(delta > 4.0 * tol,
-                                   jnp.maximum(acc, 0.0), q_new)
+                q_next = jnp.where(delta > 4.0 * tol, acc, q_new)
             return q_next, delta, qmax, k + 1, q_new, quc
 
         def cond(c):
@@ -984,10 +1017,9 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
         delta = jnp.max(jnp.abs(dq))
         q_est = q_new
         if compute_gain and k < n_sweeps - 1:
-            emp = (dict(q_new=q_new, g_prev=g_prev, quc=quc,
-                        quc_prev=quc_prev) if k >= 1 else {})
-            gain = mc_linear_gain(courant[:, 1], courant[:, 2], chan.dx,
-                                  dt, dtype, **emp)
+            gain = accel_gain(courant[:, 1], courant[:, 2], chan.dx, dt,
+                              dtype, q_new, g_prev, quc, quc_prev,
+                              emp_ok=(k >= 1))
             if k == 0 and gain0 is not None:
                 # cross-timestep gain carry: the previous step's
                 # empirical gain beats the analytic C2 for the first
@@ -1002,12 +1034,10 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
             # at CONUS scale (measured — XLA fuses the banded shifts),
             # so an extra insertion is worth it even when it only
             # shaves a fraction of a sweep
-            acc = q_est
-            lin = dq
-            for _ in range(accel_lin):
-                lin = gain * _upstream_sum_stepped(lin, upstream, uplan)
-                acc = acc + lin
-            q_est = jnp.maximum(acc, 0.0)
+            q_est = apply_linear_accel(
+                q_est, dq, gain,
+                lambda v: _upstream_sum_stepped(v, upstream, uplan),
+                accel_lin)
         if compute_gain:
             quc_prev, g_prev = quc, q_new
     out = (q_est, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
