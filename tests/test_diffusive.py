@@ -254,3 +254,55 @@ def test_xsec_tables_finite_at_high_elevation_f32():
                                   ones, 60 * ones, 180 * ones,
                                   0.035 * ones, 0.07 * ones, 1500 * ones)
     assert np.isfinite(tab_np).all()
+
+
+def test_f64_offcpu_guard():
+    """Reference-precision f64 domains beyond the measured crash size
+    must be refused off-CPU with an actionable error; CPU placement,
+    f32, and at-threshold sizes pass (VERDICT r4 #5)."""
+    from troute_tpu.diffusive import solver as S
+
+    # direct guard semantics
+    with pytest.raises(RuntimeError, match="fault the tunneled TPU"):
+        S.guard_f64_domain({"tpu"}, jnp.float64, 2048)
+    S.guard_f64_domain({"cpu"}, jnp.float64, 2048)          # CPU: fine
+    S.guard_f64_domain({"tpu"}, jnp.float32, 4096)          # f32: fine
+    S.guard_f64_domain({"tpu"}, jnp.float64,
+                       S.F64_OFFCPU_MAX_R)                  # at bar: fine
+
+    # run_diffusive consults the guard with the domain's real placement
+    dom = _single_reach_domain()
+    st = initialize_state(dom, jnp.full((1, dom.n_cols), 150.0,
+                                        jnp.float64), dtini_min=30.0)
+    calls = []
+    orig = S.guard_f64_domain
+
+    def spy(platforms, dtype, n_reaches):
+        calls.append((frozenset(platforms), n_reaches))
+        return orig(platforms, dtype, n_reaches)
+
+    S.guard_f64_domain = spy
+    try:
+        run_diffusive(dom, st, t_final=300.0, save_interval=300.0)
+    finally:
+        S.guard_f64_domain = spy  # keep for the raise check below
+        # simulate an off-CPU oversized placement: the entry point must
+        # raise before dispatch
+        S._domain_platforms_orig = S._domain_platforms
+        S._domain_platforms = lambda d: {"tpu"}
+        try:
+            big = jax.tree.map(
+                lambda a: (jnp.repeat(a, 2000, axis=0)
+                           if hasattr(a, "ndim") and a.ndim >= 1
+                           and a.shape[:1] == (1,) else a), dom)
+            stb = jax.tree.map(
+                lambda a: (jnp.repeat(a, 2000, axis=0)
+                           if hasattr(a, "ndim") and a.ndim >= 1
+                           and a.shape[:1] == (1,) else a), st)
+            with pytest.raises(RuntimeError, match="fault the tunneled"):
+                run_diffusive(big, stb, t_final=300.0,
+                              save_interval=300.0)
+        finally:
+            S._domain_platforms = S._domain_platforms_orig
+            S.guard_f64_domain = orig
+    assert calls and all("cpu" in p for p, _ in calls[:1])

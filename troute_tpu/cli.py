@@ -850,72 +850,87 @@ def main_v04(argv=None) -> dict:
 
         diff_dtype = (jnp.float32 if hp_dtype_str == "float32"
                       else jnp.float64)
+        # pinned reference-precision f64 runs the diffusive solve on the
+        # host CPU backend: f64 is emulated on TPU (below one Fortran
+        # core) and f64 programs above R=1024 FAULT the tunneled worker
+        # (solver.guard_f64_domain); CPU is both safe and faster here.
+        import contextlib
+        diff_on_cpu = (diff_dtype == jnp.float64
+                       and jax.default_backend() != "cpu")
+        diff_ctx = (jax.default_device(jax.devices("cpu")[0])
+                    if diff_on_cpu else contextlib.nullcontext())
+        if diff_on_cpu:
+            LOG.info("float64 diffusive routed to the host CPU backend "
+                     "(reference precision; f64 is emulated on TPU and "
+                     "large domains fault the tunneled worker)")
         groups = hyb.tailwater_groups()
         q0val = float(trib_q[0].sum()) / max(hyb.n_reaches, 1)
-        if str(getattr(hp, "diffusive_batching", "auto")) != "never" \
-                and len(groups) > 1:
-            # one batch lane per tailwater tree: each runs its own
-            # adaptive-dt loop, like the reference's per-domain diffnw
-            from types import SimpleNamespace
+        with diff_ctx:
+            if str(getattr(hp, "diffusive_batching", "auto")) != "never" \
+                    and len(groups) > 1:
+                # one batch lane per tailwater tree: each runs its own
+                # adaptive-dt loop, like the reference's per-domain diffnw
+                from types import SimpleNamespace
 
-            from troute_tpu.diffusive.domain import stack_domains
-            from troute_tpu.diffusive.solver import (
-                initialize_state_batched, run_diffusive_batched)
-
-            doms = [hyb.build_diffusive_domain(
-                        qlat_rows, dt_qlat=dt * qts, trib_q=trib_q,
-                        dt_trib=dt, dtini=dt, dtype=diff_dtype,
-                        reach_idx=g, nel_uniform=hp_nel)
-                    for g in groups]
-            bdom = stack_domains(doms)
-            B, Rb, Cb = bdom.z.shape
-            q_init = jnp.maximum(
-                jnp.full((B, Rb, Cb), q0val, diff_dtype), 0.1)
-            dst = initialize_state_batched(bdom, q_init,
-                                           dtini_min=dt / 10.0)
-            if shard_ctx is not None:
-                # sharded runs spread the independent tailwater lanes
-                # over the same device mesh as the MC routing
+                from troute_tpu.diffusive.domain import stack_domains
                 from troute_tpu.diffusive.solver import (
-                    shard_batched_domains)
-                bdom, dst, _ = shard_batched_domains(bdom, dst,
-                                                     shard_ctx[0])
-            dst, bsaves = run_diffusive_batched(
-                bdom, dst, t_final=total_steps * dt, save_interval=dt,
-                corrector_mode=hp.diffusive_corrector)
-            # scatter lanes back into the merged [R, C] layout (every
-            # group pads to the global max reach length, so lane rows
-            # are already right-aligned at the merged width)
-            R, C = hyb.n_reaches, Cb
-            z_m = np.zeros((R, C))
-            dx_m = np.ones((R, C))
-            for g, gi in enumerate(groups):
-                z_m[gi] = np.asarray(bdom.z[g])[:len(gi)]
-                dx_m[gi] = np.asarray(bdom.dx[g])[:len(gi)]
-            # one stacked device->host transfer for every save (per-save
-            # np.asarray costs a tunnel round trip each on remote TPU)
-            qn_all, yn_all = HybridDomain._saves_to_host(bsaves)
-            saves = []
-            for k, (t_s, _, _) in enumerate(bsaves):
-                q_m = np.zeros((R, C))
-                y_m = np.zeros((R, C))
+                    initialize_state_batched, run_diffusive_batched)
+
+                doms = [hyb.build_diffusive_domain(
+                            qlat_rows, dt_qlat=dt * qts, trib_q=trib_q,
+                            dt_trib=dt, dtini=dt, dtype=diff_dtype,
+                            reach_idx=g, nel_uniform=hp_nel)
+                        for g in groups]
+                bdom = stack_domains(doms)
+                B, Rb, Cb = bdom.z.shape
+                q_init = jnp.maximum(
+                    jnp.full((B, Rb, Cb), q0val, diff_dtype), 0.1)
+                dst = initialize_state_batched(bdom, q_init,
+                                               dtini_min=dt / 10.0)
+                if shard_ctx is not None and not diff_on_cpu:
+                    # sharded runs spread the independent tailwater lanes
+                    # over the same device mesh as the MC routing
+                    # (skipped for pinned f64, which stays on CPU)
+                    from troute_tpu.diffusive.solver import (
+                        shard_batched_domains)
+                    bdom, dst, _ = shard_batched_domains(bdom, dst,
+                                                         shard_ctx[0])
+                dst, bsaves = run_diffusive_batched(
+                    bdom, dst, t_final=total_steps * dt, save_interval=dt,
+                    corrector_mode=hp.diffusive_corrector)
+                # scatter lanes back into the merged [R, C] layout (every
+                # group pads to the global max reach length, so lane rows
+                # are already right-aligned at the merged width)
+                R, C = hyb.n_reaches, Cb
+                z_m = np.zeros((R, C))
+                dx_m = np.ones((R, C))
                 for g, gi in enumerate(groups):
-                    q_m[gi] = qn_all[k, g, :len(gi)]
-                    y_m[gi] = yn_all[k, g, :len(gi)]
-                saves.append((t_s, q_m, y_m))
-            dom = SimpleNamespace(z=z_m, dx=dx_m, n_cols=C)
-        else:
-            dom = hyb.build_diffusive_domain(
-                qlat_rows, dt_qlat=dt * qts, trib_q=trib_q, dt_trib=dt,
-                dtini=dt, dtype=diff_dtype,
-                nel_uniform=hp_nel)
-            q_init = jnp.maximum(
-                jnp.full((dom.n_reaches, dom.n_cols), q0val,
-                         diff_dtype), 0.1)
-            dst = initialize_state(dom, q_init, dtini_min=dt / 10.0)
-            dst, saves = run_diffusive(
-                dom, dst, t_final=total_steps * dt, save_interval=dt,
-                corrector_mode=hp.diffusive_corrector)
+                    z_m[gi] = np.asarray(bdom.z[g])[:len(gi)]
+                    dx_m[gi] = np.asarray(bdom.dx[g])[:len(gi)]
+                # one stacked device->host transfer for every save (per-save
+                # np.asarray costs a tunnel round trip each on remote TPU)
+                qn_all, yn_all = HybridDomain._saves_to_host(bsaves)
+                saves = []
+                for k, (t_s, _, _) in enumerate(bsaves):
+                    q_m = np.zeros((R, C))
+                    y_m = np.zeros((R, C))
+                    for g, gi in enumerate(groups):
+                        q_m[gi] = qn_all[k, g, :len(gi)]
+                        y_m[gi] = yn_all[k, g, :len(gi)]
+                    saves.append((t_s, q_m, y_m))
+                dom = SimpleNamespace(z=z_m, dx=dx_m, n_cols=C)
+            else:
+                dom = hyb.build_diffusive_domain(
+                    qlat_rows, dt_qlat=dt * qts, trib_q=trib_q, dt_trib=dt,
+                    dtini=dt, dtype=diff_dtype,
+                    nel_uniform=hp_nel)
+                q_init = jnp.maximum(
+                    jnp.full((dom.n_reaches, dom.n_cols), q0val,
+                             diff_dtype), 0.1)
+                dst = initialize_state(dom, q_init, dtini_min=dt / 10.0)
+                dst, saves = run_diffusive(
+                    dom, dst, t_final=total_steps * dt, save_interval=dt,
+                    corrector_mode=hp.diffusive_corrector)
         q_seg, d_seg = hyb.saves_to_segments(saves, dom)
         diffusive_out = {"ids": np.asarray(list(q_seg.keys()), np.int64),
                          "q": np.stack(list(q_seg.values()), axis=1),

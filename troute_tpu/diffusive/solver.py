@@ -1494,6 +1494,43 @@ def shard_batched_domains(dom: DiffusiveDomain, st: DiffusiveState,
     return jax.tree.map(prep, dom), jax.tree.map(prep, st), b
 
 
+# float64 diffusive programs above this reach count FAULT the tunneled
+# TPU worker (measured: R=1024 runs, R=2048 kills the worker process —
+# f64 is emulated on TPU, doubling the program, and the per-lane table
+# fetches inside the while_loop hit a toolchain fault at that size).
+F64_OFFCPU_MAX_R = 1024
+
+
+def _domain_platforms(dom: DiffusiveDomain) -> set:
+    """Device platforms the domain's arrays are committed to."""
+    try:
+        return {d.platform for d in dom.z.devices()}
+    except Exception:
+        return {jax.default_backend()}
+
+
+def guard_f64_domain(platforms: set, dtype, n_reaches: int):
+    """Refuse reference-precision f64 diffusive runs that would fault the
+    tunneled TPU worker (VERDICT r4 #5: the crash needs a guard with an
+    actionable message, not a dead worker).  The CLI never reaches this:
+    it routes pinned-f64 diffusive to the host CPU backend, which is
+    also the faster choice (measured: f64 exact-table TPU 1.9e4 seg-ts/s
+    vs CPU above the 1-core Fortran bar — see USAGE.md)."""
+    if dtype != jnp.float64 or "cpu" in platforms:
+        return
+    if n_reaches > F64_OFFCPU_MAX_R:
+        raise RuntimeError(
+            f"float64 diffusive domain with {n_reaches} reaches on "
+            f"{sorted(platforms)}: f64 programs above R="
+            f"{F64_OFFCPU_MAX_R} fault the tunneled TPU worker (known "
+            "toolchain fault; f64 is emulated on TPU).  Options: "
+            "(a) run reference-precision f64 on CPU — place the domain "
+            "arrays on a CPU device (the CLI does this automatically "
+            "for diffusive_dtype: float64), or (b) use the TPU fast "
+            "path (diffusive_dtype: float32 with diffusive_table_nel: "
+            "128 — accuracy study in tests/test_diffusive_uniform.py).")
+
+
 def run_diffusive_batched(dom: DiffusiveDomain, st: DiffusiveState,
                           t_final: float, save_interval: float,
                           corrector_mode: str = "wavefront"):
@@ -1516,6 +1553,8 @@ def run_diffusive_batched(dom: DiffusiveDomain, st: DiffusiveState,
     boundaries; padded reaches/columns (``valid`` False) carry garbage
     — mask before use.
     """
+    guard_f64_domain(_domain_platforms(dom), dom.z.dtype,
+                     int(dom.z.shape[0]) * int(dom.z.shape[1]))
     dtini_min = float(dom.dtini_given) / DTINI_DIVISOR
     t0 = np.asarray(st.t)
     t_start = float(t0.reshape(-1)[0])
@@ -1552,6 +1591,8 @@ def run_diffusive(dom: DiffusiveDomain, st: DiffusiveState, t_final: float,
     """
     if dispatch == "auto":
         dispatch = "host" if jax.default_backend() == "cpu" else "device"
+    guard_f64_domain(_domain_platforms(dom), dom.z.dtype,
+                     int(dom.z.shape[0]))
     dtini_min = float(dom.dtini_given) / DTINI_DIVISOR
     t_start = float(st.t)
     if dispatch == "device":
