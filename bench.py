@@ -68,6 +68,34 @@ CONUS_BASINS = 14_713
 BASELINE_CALCS_PER_S = 7.0e6
 
 
+def tenancy_probe():
+    """Fixed reference kernel timing the chip's CURRENT contention state
+    (VERDICT r4 #4): 64 chained 4096x4096 bf16 matmuls (~8.8e12 flops,
+    ~45 ms at v5e bf16 peak), jitted once, fetch-forced, best of 3.
+    The shared tunneled chip varies ~5x run-to-run; recording this at
+    the start and end of every bench run makes 'tenancy or regression?'
+    answerable when comparing BENCH_r{N} files: workload numbers should
+    be compared at similar probe readings."""
+    import jax
+    import jax.numpy as jnp
+
+    dim, iters = 4096, 64
+
+    @jax.jit
+    def f(x):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, a: (a @ a) * (1.0 / dim), x)
+
+    x = jnp.full((dim, dim), 1e-2, jnp.bfloat16)
+    force(f(x))                    # compile + warm
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        force(f(x))
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def synthetic_conus(n=CONUS_SEGMENTS, n_basins=CONUS_BASINS, span=4, seed=0):
     """Synthetic CONUS drainage forest.
 
@@ -340,6 +368,14 @@ def main():
         ChannelParams, RoutingConfig, network_arrays_from_topology,
         route_stepped)
 
+    # contention calibration bracketing the on-chip legs (VERDICT r4 #4)
+    try:
+        probe_start = tenancy_probe()
+        print(f"tenancy probe (start): {probe_start:.4f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"tenancy probe failed: {e!r}", file=sys.stderr)
+        probe_start = None
+
     n = CONUS_SEGMENTS
     nts = 24
     dt = 300.0
@@ -466,6 +502,13 @@ def main():
     except Exception as e:
         print(f"real-domain bench failed: {e!r}", file=sys.stderr)
 
+    try:
+        probe_end = tenancy_probe()
+        print(f"tenancy probe (end): {probe_end:.4f}s", file=sys.stderr)
+    except Exception as e:
+        print(f"tenancy probe failed: {e!r}", file=sys.stderr)
+        probe_end = None
+
     # measured reference bar (BASELINE.md "measured parity bar"):
     # bracketed 1-core compiled-Fortran estimates from the scalar oracles
     DIFF_BAR_CENTRAL = 2.0e5      # benchmarks/measure_reference_bar.py
@@ -478,6 +521,9 @@ def main():
         "vs_baseline": round(seg_ts_per_s / BASELINE_CALCS_PER_S, 3),
         "cold_start_seg_ts_per_s": round(n * nts / best_cold, 1),
         "strict_mode_seg_ts_per_s": strict,
+        "strict_window_steps": 12,
+        "tenancy_probe_start_s": probe_start,
+        "tenancy_probe_end_s": probe_end,
         "sharded_1dev_tpu_seg_ts_per_s": sharded,
         "sharded_vs_stepped_max_rel_diff": sharded_rel,
         "diffusive_f32_uniform128_seg_ts_per_s": diff.get("f32_uniform128"),
