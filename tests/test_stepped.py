@@ -310,3 +310,94 @@ def test_strict_linear_accel_matches_plain_with_fewer_sweeps():
     assert s_accel < s_plain, (s_accel, s_plain)
     # warm junction-rich regime: expect ~2x or better (measured 16 -> 5)
     assert s_accel <= 0.75 * s_plain, (s_accel, s_plain)
+
+
+def test_pallas_skip_kernel_semantics():
+    """Active-set kernel contract: an inactive block writes through the
+    previous outputs bit-exactly; an active block matches the plain
+    kernel bit-exactly (ops/muskingum_pallas._mc_block_kernel_skip)."""
+    from troute_tpu.ops.muskingum_pallas import (LANE, DEFAULT_SUBLANES,
+                                                 muskingum_cunge_pallas)
+    rng = np.random.default_rng(7)
+    blk = DEFAULT_SUBLANES * LANE
+    n = 2 * blk                      # exactly two blocks
+    dtype = jnp.float32
+    a = lambda lo, hi: jnp.asarray(rng.uniform(lo, hi, n), dtype)
+    args = dict(qup=a(0, 5), quc=a(0, 5), qdp=a(0, 5), ql=a(0.01, 1),
+                dx=a(500, 3000), bw=a(2, 20), tw=a(25, 60),
+                twcc=a(80, 200), n=jnp.full((n,), 0.055, dtype),
+                ncc=jnp.full((n,), 0.11, dtype), cs=a(0.3, 1.5),
+                s0=a(0.001, 0.02), depthp=a(0.05, 0.8))
+    full = muskingum_cunge_pallas(*args.values(), 300.0)
+    # 'prev' distinct from the real solution so pass-through is visible
+    prev = full._replace(qdc=full.qdc + 7.0, velc=full.velc + 7.0,
+                         depthc=full.depthc + 7.0)
+    active = jnp.concatenate([jnp.ones(blk, bool), jnp.zeros(blk, bool)])
+    out = muskingum_cunge_pallas(*args.values(), 300.0,
+                                 active_rows=active, prev=prev)
+    np.testing.assert_array_equal(np.asarray(out.qdc[:blk]),
+                                  np.asarray(full.qdc[:blk]))
+    np.testing.assert_array_equal(np.asarray(out.qdc[blk:]),
+                                  np.asarray(prev.qdc[blk:]))
+    np.testing.assert_array_equal(np.asarray(out.depthc[blk:]),
+                                  np.asarray(prev.depthc[blk:]))
+    # a single moved lane activates its whole block
+    active1 = active.at[blk + 5].set(True)
+    out1 = muskingum_cunge_pallas(*args.values(), 300.0,
+                                  active_rows=active1, prev=prev)
+    np.testing.assert_array_equal(np.asarray(out1.qdc),
+                                  np.asarray(full.qdc))
+
+
+def test_strict_block_skip_matches_full_sweeps():
+    """Block-granular active-set sweeping (strict_block_skip) must reach
+    the same strict fixed point as full sweeping: skipped blocks' drives
+    moved at most tol_eff/4 since their last executed solve, so the
+    committed state deviates by O(skip_tol) at most."""
+    rng = np.random.default_rng(11)
+    n = 4096
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    idx = np.arange(n)
+    hop = rng.integers(1, 5, n)
+    j = np.minimum(idx + hop, n - 1)
+    down = ids[j]
+    down[idx == n - 1] = 0
+    from troute_tpu.network.topology import build_topology
+    topo = build_topology(ids, down)
+    net = network_arrays_from_topology(topo, need_levels=False)
+    dtype = jnp.float32
+    cp = ChannelParams(
+        dx=jnp.asarray(rng.uniform(500, 3000, n), dtype),
+        bw=jnp.asarray(rng.uniform(2, 20, n), dtype),
+        tw=jnp.asarray(rng.uniform(25, 60, n), dtype),
+        twcc=jnp.asarray(rng.uniform(80, 200, n), dtype),
+        n=jnp.full((n,), 0.055, dtype), ncc=jnp.full((n,), 0.11, dtype),
+        cs=jnp.asarray(rng.uniform(0.3, 1.5, n), dtype),
+        s0=jnp.asarray(rng.uniform(0.001, 0.02, n), dtype))
+    lp = LevelpoolParams(*[jnp.ones((1,), dtype)] * 9)
+    q0 = jnp.asarray(rng.uniform(0.5, 5.0, n), dtype)
+    d0 = jnp.asarray(rng.uniform(0.05, 0.8, n), dtype)
+    qlat = jnp.asarray(rng.uniform(0.1, 2.0, (2, n)), dtype)
+    z1 = jnp.zeros((1,), dtype)
+    cfg_w = RoutingConfig(dt=300.0, nts=12, qts_subdivisions=6,
+                          assume_short_ts=True, kernel="pallas")
+    out_w = route_stepped(net, cp, lp, cfg_w, q0, d0, z1, qlat, None,
+                          collect=False)
+    q_w, d_w = out_w["state"].q, out_w["state"].depth
+
+    base = dict(dt=300.0, nts=4, qts_subdivisions=2,
+                assume_short_ts=False, strict_iterative=True,
+                kernel="pallas")
+    out_f = route_stepped(net, cp, lp, RoutingConfig(
+        **base, strict_block_skip=False), q_w, d_w, z1, qlat, None)
+    out_s = route_stepped(net, cp, lp, RoutingConfig(
+        **base, strict_block_skip=True), q_w, d_w, z1, qlat, None)
+    # the committed state always comes from a true final sweep, but the
+    # ITERATE PATH differs, so convergence can stop at a different point
+    # inside the tolerance band: agreement is convergence-floor-scale
+    # (f32 floor 4*eps*max|q| ~ 1e-5 here; measured 1 lane in 49k at
+    # 3e-5 rel after 4 steps), not ulp-level
+    np.testing.assert_allclose(np.asarray(out_s["flowveldepth"]),
+                               np.asarray(out_f["flowveldepth"]),
+                               rtol=1e-4, atol=1e-4)
+    assert np.isfinite(np.asarray(out_s["flowveldepth"])).all()

@@ -223,6 +223,32 @@ class RoutingConfig(NamedTuple):
     strict_accel: bool | str = "auto"
     strict_accel_lin: int = 8
     strict_accel_chunk: int = 8
+    # route_stepped strict mode: block-granular ACTIVE-SET sweeping
+    # (VERDICT r4 #2) — MEASURED DEAD END in the production accel
+    # regime; default stays OFF.  The machinery is real and correct
+    # (ops/muskingum_pallas._mc_block_kernel_skip: per-sweep flags on
+    # drives that moved more than tol_eff/4 since a block's last
+    # executed solve; quiescent blocks pass through previous outputs
+    # under pl.when; the chunk's final sweep always runs fully so the
+    # committed state is a true sweep) and tests pin its semantics, but
+    # three measured effects kill the win at CONUS scale (one v5e,
+    # 2026-08-20, benchmarks/probe_strict_active.py +
+    # bench_strict_skip.py):
+    #  1. the accel deliberately propagates residual globally between
+    #     sweeps, so sweeps 1-4 of ~8 are 100% active (5: 8%, 6: 2%,
+    #     8+: 0%) — Amdahl caps the skip win at ~1.6x before costs;
+    #  2. the exact-commit final sweep recomputes coasting lanes, whose
+    #     corrections land above tol via f32 secant branch flips, so
+    #     convergence needs MORE sweeps (measured 7-8 -> 11-18/step);
+    #  3. without the exact commit, committed lanes deviate ~15x the
+    #     tolerance (measured 1.9e-4 abs f32) — breaks the 1e-9 strict
+    #     contract.
+    # Interleaved paired windows: skip OFF 1.35e7 seg-ts/s, ON 1.09e7.
+    # NOT the dead straggler-compaction idea (no permutation, no
+    # gathers) — but dead for the same underlying reason: the accel
+    # already harvests the residual-front structure.  Explicit True
+    # remains available for depth-bound non-accel regimes.
+    strict_block_skip: bool | str = "auto"   # auto == False (see above)
 
 
 def mc_linear_gain(ck, x, dx, dt, dtype, q_new=None, g_prev=None,
@@ -832,7 +858,8 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
                     res_params: LevelpoolParams, is_res, res_rows,
                     gage_rows, decay_coeff, dt, res_da=None,
                     da_states=None, month_i=None, return_courant=False,
-                    uplan=None, quc=None):
+                    uplan=None, quc=None, active_rows=None, prev=None,
+                    want_raw=False):
     """Body of one short-timestep routing step (Pallas MC + reservoirs +
     nudging, optional typed reservoir DA); traced inside the jitted
     single/multi-step kernels.
@@ -851,7 +878,8 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
     out = muskingum_cunge_pallas(
         up_prev, quc, q, ql_t, chan.dx, chan.bw, chan.tw, chan.twcc,
         chan.n, chan.ncc, chan.cs, chan.s0, depth, float(dt),
-        with_diagnostics=return_courant)
+        with_diagnostics=return_courant, active_rows=active_rows,
+        prev=prev)
     # cn/ck/X diagnostics straight from the kernel, like the reference hot
     # loop (MCsingleSegStime_f2py_NOLOOP.f90:342-367) and route()'s modes
     courant = (jnp.stack([out.cn, out.ck, out.X], axis=-1)
@@ -893,8 +921,9 @@ def _one_short_step(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
         q_new, nudge, lo_val, lo_time = _apply_nudging(
             q_new, t_seconds, da, lo_val, lo_time, obs_t)
 
-    return (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge,
-            da_states, courant)
+    res = (q_new, v_new, d_new, res_elev, lo_val, lo_time, nudge,
+           da_states, courant)
+    return res + (out,) if want_raw else res
 
 
 @functools.partial(jax.jit, static_argnames=("decay_coeff", "dt"))
@@ -963,7 +992,7 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
                          gage_rows, decay_coeff, dt, n_sweeps,
                          res_da=None, da_states=None, month_i=None,
                          return_courant=False, uplan=None,
-                         accel_lin=0, gain0=None):
+                         accel_lin=0, gain0=None, skip_tol=None):
     """``n_sweeps`` fixed-point sweeps of ONE strict timestep in one
     compiled program (cf. ``route()``'s ``step_strict_iter``, which runs
     the same iteration as a device-side ``while_loop`` with the XLA MC
@@ -995,24 +1024,46 @@ def _strict_sweep_kernel(q_est, q, depth, res_elev, lo_val, lo_time,
     compiled program — measured essential on the tunneled chip, where
     per-dispatch latency had eaten the sweep savings of a host-side
     alternating form."""
+    from troute_tpu.ops.muskingum_pallas import block_active_lanes
+
     dtype = q_est.dtype
     compute_gain = accel_lin > 0
     delta = jnp.asarray(jnp.inf, dtype)
     v = d = courant = nudge = None
     quc_prev = g_prev = gain = None
+    quc_ref = prev_raw = None
     res_elev_c, lo_val_c, lo_time_c, da_states_c = (res_elev, lo_val,
                                                     lo_time, da_states)
     for k in range(n_sweeps):
         quc = _upstream_sum_stepped(q_est, upstream, uplan)
+        # block-granular active-set sweeping (strict_block_skip): a
+        # block none of whose lanes' drives moved more than skip_tol
+        # since its LAST EXECUTED solve skips the secant; quc_ref holds
+        # each lane's drive at that solve, so staleness stays bounded
+        # by skip_tol however many sweeps a block coasts.  The chunk's
+        # LAST sweep always runs fully — the committed state (and the
+        # polled delta) must come from a true sweep, like the accel
+        # path; without it, stale committed lanes deviated ~15x the
+        # tolerance through secant branch flips (measured f32)
+        active_rows = None
+        if skip_tol is not None and 1 <= k < n_sweeps - 1:
+            active_rows = jnp.abs(quc - quc_ref) > skip_tol
         (q_new, v, d, res_elev_c, lo_val_c, lo_time_c, nudge,
-         da_states_c, courant) = _one_short_step(
+         da_states_c, courant, prev_raw) = _one_short_step(
             q, depth, res_elev, lo_val, lo_time, ql_t, obs_t, t_seconds,
             upstream, chan, res_params, is_res, res_rows, gage_rows,
             decay_coeff, dt, res_da=res_da, da_states=da_states,
             month_i=month_i,
             return_courant=(return_courant
                             or (compute_gain and k < n_sweeps - 1)),
-            uplan=uplan, quc=quc)
+            uplan=uplan, quc=quc, active_rows=active_rows, prev=prev_raw,
+            want_raw=True)
+        if skip_tol is not None:
+            if active_rows is None:
+                quc_ref = quc
+            else:
+                ran = block_active_lanes(active_rows)
+                quc_ref = jnp.where(ran, quc, quc_ref)
         dq = q_new - q_est
         delta = jnp.max(jnp.abs(dq))
         q_est = q_new
@@ -1263,6 +1314,14 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                      and uplan is not None
                      and q.shape[0] == uplan.n_pad
                      and cfg.strict_accel_lin > 0)
+        # block-granular active-set sweeping: measured dead end in the
+        # production accel regime, so "auto" resolves OFF (see the
+        # RoutingConfig.strict_block_skip ledger entry); explicit True
+        # enables it.  skip_tol needs a qmax estimate, so the first
+        # chunk of a run sweeps fully and later chunks use the latest
+        # polled tolerance.
+        use_skip = cfg.strict_block_skip is True and not use_gs
+        tol_latest = None
         # each GS sweep advances chains C_gs lanes (vs 1 for Jacobi), so
         # a few sweeps reach the dtype floor — poll in small chunks
         GS_CHUNK = max(1, SWEEPS // 8)
@@ -1353,6 +1412,9 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     sw_t = SW if (not use_accel or total == 0) else 3
                     chunk = min(sw_t, cfg.strict_max_sweeps - total)
                     accel_k = LIN if chunk >= 3 else 0
+                    skip_t = (jnp.asarray(0.25 * tol_latest, dtype)
+                              if use_skip and tol_latest is not None
+                              else None)
                     res_k = _strict_sweep_kernel(
                         q_est, q, depth, res_elev, lo_val, lo_time, ql_t,
                         obs_t, t_seconds, net.upstream, chan, res_params,
@@ -1361,7 +1423,8 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                         da_states=da_states, month_i=month_i,
                         return_courant=cfg.return_courant,
                         uplan=net.uplan, accel_lin=accel_k,
-                        gain0=(gain_carry if accel_k else None))
+                        gain0=(gain_carry if accel_k else None),
+                        skip_tol=skip_t)
                     (q_est, v, d, res_elev_c, lo_val_c, lo_time_c,
                      nudge_t, da_states_c, cour_t, delta,
                      qmax) = res_k[:11]
@@ -1378,6 +1441,7 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
                     # tunnel round trips at ~tens of ms each).
                     dm = np.asarray(jnp.stack([delta, qmax]))
                     tol_eff = max(cfg.strict_tol, eps4 * float(dm[1]))
+                    tol_latest = tol_eff
                     if float(dm[0]) <= tol_eff \
                             or total >= cfg.strict_max_sweeps:
                         break
