@@ -308,6 +308,37 @@ def bench_sharded_1dev(net, topo, chan, cfg, q_w, d_w, qlats, n, nts):
     return rate, rel
 
 
+def partition_scaling_stats(topo, step_ms_1dev):
+    """8-way CONUS partition accounting + projected 8-chip efficiency
+    (VERDICT r4 #3/#8; full N-sweep + CPU-mesh measured exchange share
+    in benchmarks/multichip_scaling.py -> SCALING.json).  Assumptions:
+    v5e ICI ~45 GB/s usable per link, ~1.5 us per small message."""
+    from troute_tpu.parallel.partition import (balanced_assignment,
+                                               partition_network)
+    t0 = time.time()
+    assign = balanced_assignment(topo, 8)
+    part = partition_network(topo, 8, assign)
+    sizes = np.bincount(assign, minlength=8)
+    balance = float(sizes.max() / sizes.mean())
+    assert balance <= 1.15, balance
+    rounds = int(part.perm_pairs.shape[0])
+    halo_vals = int((part.halo_src_dev >= 0).sum(axis=1).max())
+    per_exchange_us = rounds * 1.5 + halo_vals * 4 / 45e3
+    t_comp_us = step_ms_1dev * 1e3 / 8
+    eff = t_comp_us / (t_comp_us + per_exchange_us)
+    print(f"8-way partition: balance {balance:.3f}, "
+          f"{part.cut_edges} cut edges, {rounds} ppermute rounds, "
+          f"projected 8-chip efficiency {eff:.4f} "
+          f"({time.time()-t0:.1f}s)", file=sys.stderr)
+    return {
+        "partition_8way_cut_edges": int(part.cut_edges),
+        "partition_8way_balance_max_over_mean": round(balance, 4),
+        "partition_8way_ppermute_rounds": rounds,
+        "halo_bytes_per_step": int(part.cut_edges) * 4,
+        "projected_8chip_efficiency": round(eff, 6),
+    }
+
+
 def chan_params_dev(chan):
     import jax.numpy as jnp
     from troute_tpu.routing.engine import ChannelParams
@@ -502,6 +533,13 @@ def main():
     except Exception as e:
         print(f"real-domain bench failed: {e!r}", file=sys.stderr)
 
+    # multi-chip partition accounting + projected efficiency (host-side)
+    part_stats = {}
+    try:
+        part_stats = partition_scaling_stats(topo, best / nts * 1e3)
+    except Exception as e:
+        print(f"partition stats failed: {e!r}", file=sys.stderr)
+
     try:
         probe_end = tenancy_probe()
         print(f"tenancy probe (end): {probe_end:.4f}s", file=sys.stderr)
@@ -537,6 +575,7 @@ def main():
         "vs_fortran_1core_mc": round(seg_ts_per_s / MC_BAR_CENTRAL, 1),
         "vs_fortran_1core_diffusive": (round(d_fast / DIFF_BAR_CENTRAL, 2)
                                        if d_fast else None),
+        **part_stats,
     }))
 
 
