@@ -650,8 +650,18 @@ def main_v04(argv=None) -> dict:
                 gl_obs_time=res_da.gl_obs_time - off,
                 month_idx=res_da.month_idx[step_offset:])
         t_start = time.time()
-        kernel = ("pallas" if str(cfg.compute_parameters.compute_kernel)
-                  .lower() in ("pallas", "tpu") else "xla")
+        ck = str(cfg.compute_parameters.compute_kernel).lower()
+        if ck == "auto":
+            # driver auto-selection by domain size (docs/USAGE.md):
+            # small domains want the in-scan XLA engine (ONE dispatch
+            # per run set — host-stepped dispatches dominate wall time
+            # on a remote TPU: measured 288 ms/step on the Laura
+            # hybrid), CONUS-scale domains want the host-stepped Pallas
+            # block kernel (per-block secant early exit + banded plan)
+            kernel = ("pallas" if topo.n_nodes >= 200_000
+                      and jax.default_backend() != "cpu" else "xla")
+        else:
+            kernel = "pallas" if ck in ("pallas", "tpu") else "xla"
         rcfg = RoutingConfig(
             dt=dt, nts=run["nts"], qts_subdivisions=qts,
             assume_short_ts=cfg.compute_parameters.assume_short_ts,
