@@ -30,7 +30,7 @@ from troute_tpu.diffusive.domain import build_domain
 from troute_tpu.diffusive.solver import (DiffusiveState, corrector_jacobi,
                                          initialize_state, predictor)
 
-K = 100
+K = 10
 R, C = 2048, 16
 
 
@@ -99,8 +99,11 @@ def main():
 
     for name, fn in (("predictor", pred_k), ("corrector", corr_k),
                      ("full substep", substep_k)):
+        print(f"compiling {name}...", flush=True)
+        t0 = time.time()
         out = fn(st)
         force(out.q, out.y)
+        print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
         best = np.inf
         for _ in range(4):
             t0 = time.time()
