@@ -72,15 +72,17 @@ def main():
     dtini = jnp.asarray(60.0, jnp.float32)
     dtini_min = 30.0
 
+    # dom must be an ARGUMENT: closing over it ships the 700 MB xsec
+    # table as a compile-payload constant (remote_compile HTTP 413)
     @jax.jit
-    def pred_k(st):
+    def pred_k(dom, st):
         def body(_, s):
             qp, qpx = predictor(dom, s, dtini, s.t)
             return s._replace(q=qp, qpx=qpx)
         return jax.lax.fori_loop(0, K, body, st)
 
     @jax.jit
-    def corr_k(st):
+    def corr_k(dom, st):
         def body(_, s):
             newY, cel, dif = corrector_jacobi(dom, s, s.q, dtini_min,
                                               t_next=s.t)
@@ -88,7 +90,7 @@ def main():
         return jax.lax.fori_loop(0, K, body, st)
 
     @jax.jit
-    def substep_k(st):
+    def substep_k(dom, st):
         def body(_, s):
             qp, qpx = predictor(dom, s, dtini, s.t)
             newY, cel, dif = corrector_jacobi(dom, s, qp, dtini_min,
@@ -101,13 +103,13 @@ def main():
                      ("full substep", substep_k)):
         print(f"compiling {name}...", flush=True)
         t0 = time.time()
-        out = fn(st)
+        out = fn(dom, st)
         force(out.q, out.y)
         print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
         best = np.inf
         for _ in range(4):
             t0 = time.time()
-            out = fn(st)
+            out = fn(dom, st)
             force(out.q, out.y)
             best = min(best, time.time() - t0)
         print(f"{name}: {best/K*1000:.3f} ms/iter (K={K}, best total "

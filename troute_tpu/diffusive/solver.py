@@ -1221,6 +1221,24 @@ def corrector_jacobi(dom: DiffusiveDomain, st: DiffusiveState, qp,
     # head gathers/scatter + extra while-carries cost more than the
     # saved sweeps.  Do not re-attempt without evidence of a
     # sweep-bound regime (e.g. cold starts or much deeper reach trees).
+    #
+    # Fused-Pallas-substep probe (VERDICT r4 #7, measured 2026-08-21,
+    # benchmarks/probe_diffusive_substep.py, warm in-jit fori loops at
+    # [2048, 16] f32/u128 on one v5e): predictor 3.34 ms, corrector
+    # 5.45 ms, full substep 8.59 ms == their exact sum — XLA composes
+    # the two stages with ZERO overhead, so there is no region-level
+    # fusion left to win; the cost sits INSIDE the stages as per-op
+    # launch overhead on 128 KB arrays (substep traffic floor ~0.7 ms:
+    # one 131 MB normal-depth exact-grid pass + ~3 sweeps x ~3 Newton
+    # iters x ~50 MB one-hot table reads — the substep runs ~12x above
+    # it).  A whole-substep Pallas kernel is the only structure that
+    # could collapse that, and it is TOOLCHAIN-BLOCKED: production
+    # diffusive must run inside the single-dispatch adaptive
+    # ``while_loop`` (host-stepping pays ~30 ms tunnel RTT per substep
+    # against this 8.6 ms body), and pallas_call inside lax scans/loops
+    # hangs the remote Mosaic compiler (the documented reason the
+    # K-step VMEM MC kernel died).  Dead end on this toolchain; revisit
+    # only if Pallas-in-loop compiles on a future stack.
     newY, _, _, _ = jax.lax.while_loop(
         sweep_cond, sweep_gs if ugrids is not None else sweep,
         (st.y, jnp.asarray(jnp.inf, dtype), jnp.asarray(0.0, dtype),
