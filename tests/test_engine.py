@@ -354,3 +354,26 @@ def test_strict_iterative_accel_opt_in_same_fixed_point():
                                        None)["flowveldepth"])
     np.testing.assert_allclose(outs[True], outs[False], rtol=1e-6,
                                atol=1e-7)
+
+
+def test_route_does_not_recompile_across_calls():
+    """The CLI builds FRESH (same-shape) arrays every invocation; route()
+    must hit the jit cache, not re-trace/re-compile.  Eager-scan tracing
+    used to close over the network arrays as jaxpr constants, costing a
+    full recompile per call (measured 1.2 s of a 1.6 s warm Laura run —
+    round-5 fix; see _route_jit)."""
+    from troute_tpu.routing.engine import _route_jit
+
+    ids, chan, q0, depth0, qlat, gages = _setup(with_gage=False)
+    _route_jit._clear_cache()
+    outs = []
+    for _ in range(2):
+        # fresh arrays each call, like a fresh CLI invocation
+        out, _idx = _run_engine(ids, chan, dict(q0), dict(depth0),
+                                {k: v.copy() for k, v in qlat.items()},
+                                None, nts=8, dt=300.0, short=True)
+        outs.append(out)
+    assert _route_jit._cache_size() == 1, _route_jit._cache_size()
+    np.testing.assert_array_equal(
+        np.asarray(outs[0]["flowveldepth"]),
+        np.asarray(outs[1]["flowveldepth"]))
