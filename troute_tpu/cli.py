@@ -860,20 +860,31 @@ def main_v04(argv=None) -> dict:
 
         diff_dtype = (jnp.float32 if hp_dtype_str == "float32"
                       else jnp.float64)
-        # pinned reference-precision f64 runs the diffusive solve on the
-        # host CPU backend: f64 is emulated on TPU (below one Fortran
-        # core) and f64 programs above R=1024 FAULT the tunneled worker
-        # (solver.guard_f64_domain); CPU is both safe and faster here.
+        groups = hyb.tailwater_groups()
+        # pinned-f64 domains beyond the measured crash bound fall back
+        # to the host CPU backend: f64 programs above that size FAULT
+        # the tunneled TPU worker (solver.guard_f64_domain).  At or
+        # below the bound, TPU f64 is kept — it is ~3x ONE CPU core at
+        # R=1024 despite the emulation (measured 1.87e4 vs 5.9e3
+        # seg-ts/s, 2026-08-21); the fallback is a safety valve, not a
+        # speed win.
         import contextlib
+        from troute_tpu.diffusive.solver import F64_OFFCPU_MAX_R
+        use_batched = (str(getattr(hp, "diffusive_batching", "auto"))
+                       != "never" and len(groups) > 1)
+        eff_reaches = (len(groups) * max(len(g) for g in groups)
+                       if use_batched else hyb.n_reaches)
         diff_on_cpu = (diff_dtype == jnp.float64
-                       and jax.default_backend() != "cpu")
+                       and jax.default_backend() != "cpu"
+                       and eff_reaches > F64_OFFCPU_MAX_R)
         diff_ctx = (jax.default_device(jax.devices("cpu")[0])
                     if diff_on_cpu else contextlib.nullcontext())
         if diff_on_cpu:
-            LOG.info("float64 diffusive routed to the host CPU backend "
-                     "(reference precision; f64 is emulated on TPU and "
-                     "large domains fault the tunneled worker)")
-        groups = hyb.tailwater_groups()
+            LOG.info("float64 diffusive domain (%d effective reaches) "
+                     "exceeds the safe off-CPU size %d; routed to the "
+                     "host CPU backend (f64 programs this large fault "
+                     "the tunneled TPU worker)", eff_reaches,
+                     F64_OFFCPU_MAX_R)
         q0val = float(trib_q[0].sum()) / max(hyb.n_reaches, 1)
         with diff_ctx:
             if str(getattr(hp, "diffusive_batching", "auto")) != "never" \

@@ -1531,9 +1531,10 @@ def guard_f64_domain(platforms: set, dtype, n_reaches: int):
     """Refuse reference-precision f64 diffusive runs that would fault the
     tunneled TPU worker (VERDICT r4 #5: the crash needs a guard with an
     actionable message, not a dead worker).  The CLI never reaches this:
-    it routes pinned-f64 diffusive to the host CPU backend, which is
-    also the faster choice (measured: f64 exact-table TPU 1.9e4 seg-ts/s
-    vs CPU above the 1-core Fortran bar — see USAGE.md)."""
+    it routes oversized pinned-f64 domains to the host CPU backend.
+    At/below the bound TPU f64 stays — measured 1.87e4 seg-ts/s at
+    R=1024 vs 5.9e3 on one CPU core (2026-08-21), i.e. the emulated-f64
+    TPU still beats a core 3x; the CPU fallback is a safety valve."""
     if dtype != jnp.float64 or "cpu" in platforms:
         return
     if n_reaches > F64_OFFCPU_MAX_R:
