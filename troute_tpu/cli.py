@@ -925,9 +925,12 @@ def main_v04(argv=None) -> dict:
                 R, C = hyb.n_reaches, Cb
                 z_m = np.zeros((R, C))
                 dx_m = np.ones((R, C))
+                # one transfer for all groups' z/dx (per-group slices
+                # cost a tunnel round trip each on remote TPU)
+                zdx = np.asarray(jnp.stack([bdom.z, bdom.dx]))
                 for g, gi in enumerate(groups):
-                    z_m[gi] = np.asarray(bdom.z[g])[:len(gi)]
-                    dx_m[gi] = np.asarray(bdom.dx[g])[:len(gi)]
+                    z_m[gi] = zdx[0, g, :len(gi)]
+                    dx_m[gi] = zdx[1, g, :len(gi)]
                 # one stacked device->host transfer for every save (per-save
                 # np.asarray costs a tunnel round trip each on remote TPU)
                 qn_all, yn_all = HybridDomain._saves_to_host(bsaves)
