@@ -169,6 +169,15 @@ def _make_block_fn(mesh: Mesh, k_steps: int, dt: float, qts: int,
             lo_val=lo_val[None], lo_time=lo_time[None],
             hyb=hyb_f, rfc=rfc_f, gl=gl_f)
 
+    if int(np.prod(mesh.devices.shape)) == 1 and not has_boundary:
+        # degenerate single-device mesh with no cross-shard edges: the
+        # body contains no collectives, and running it as a PLAIN jit
+        # skips shard_map's partitioning overhead — measured 2.14e8 ->
+        # 4.88e8 seg-ts/s on the 1-dev CONUS mesh at matched
+        # tenancy-probe readings (round 5; the multi-device path is
+        # unchanged and the result stays bit-identical: same program
+        # body, same inputs)
+        return jax.jit(device_fn)
     da_specs = (
         HybridDAState(*[P(AXIS)] * len(HybridDAState._fields)),
         RfcDAState(*[P(AXIS)] * len(RfcDAState._fields)),
