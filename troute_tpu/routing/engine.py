@@ -946,27 +946,49 @@ def _stepped_kernel(q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
 
 @functools.partial(jax.jit,
                    static_argnames=("decay_coeff", "dt", "k_steps",
-                                    "collect", "return_courant"))
-def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, ql_block,
-                          obs_block, t0_seconds, upstream,
+                                    "qts", "collect", "return_courant"))
+def _stepped_kernel_multi(q, depth, res_elev, lo_val, lo_time, qlat,
+                          obs, t0_idx, upstream,
                           chan: ChannelParams,
                           res_params: LevelpoolParams, is_res, res_rows,
-                          gage_rows, decay_coeff, dt, k_steps,
+                          gage_rows, decay_coeff, dt, k_steps, qts,
                           collect, res_da=None, da_states=None,
-                          month_block=None, return_courant=False,
+                          month_idx=None, return_courant=False,
                           uplan=None):
     """``k_steps`` short timesteps unrolled in ONE compiled program (a
     Python loop, not ``lax.scan`` — see the Mosaic note above).  Amortizes
     the per-dispatch host/tunnel latency that otherwise dominates the
     production stepper's wall time.
+
+    The per-step forcing/observation/month rows are sliced from the FULL
+    device-resident tables in-jit (``t0_idx`` is the window's first
+    timestep): building the [k, N] blocks host-side cost 2-3 extra
+    tunnel round trips per window (measured ~18% of a warm CONUS
+    window, round 5).
     """
+    dtype = q.dtype
+    n_obs_t = obs.shape[0]
     fvds, nudges, courants = [], [], []
     for k in range(k_steps):
-        t_seconds = t0_seconds + jnp.asarray(k * dt, q.dtype)
-        month_i = month_block[k] if res_da is not None else None
+        t_idx = t0_idx + jnp.int32(k)
+        t_seconds = t_idx.astype(dtype) * jnp.asarray(dt, dtype)
+        col = (t_idx - 1) // qts
+        ql_t = jax.lax.dynamic_index_in_dim(qlat, col, 0, keepdims=False)
+        if obs.shape[1]:
+            oc = jnp.clip(t_idx, 0, n_obs_t - 1)
+            obs_t = jax.lax.dynamic_index_in_dim(obs, oc, 0,
+                                                 keepdims=False)
+            obs_t = jnp.where(t_idx < n_obs_t, obs_t, jnp.nan)
+        else:
+            obs_t = jnp.zeros((0,), dtype)
+        month_i = (jax.lax.dynamic_index_in_dim(
+                       month_idx,
+                       jnp.clip(t_idx, 0, month_idx.shape[0] - 1), 0,
+                       keepdims=False)
+                   if res_da is not None else None)
         (q, v, depth, res_elev, lo_val, lo_time, nudge,
          da_states, courant) = _one_short_step(
-            q, depth, res_elev, lo_val, lo_time, ql_block[k], obs_block[k],
+            q, depth, res_elev, lo_val, lo_time, ql_t, obs_t,
             t_seconds, upstream, chan, res_params, is_res, res_rows,
             gage_rows, decay_coeff, dt, res_da=res_da,
             da_states=da_states, month_i=month_i,
@@ -1488,33 +1510,19 @@ def route_stepped(net: NetworkArrays, chan: ChannelParams,
     # (tunnel) latency once for K compiled steps.  K trades compile size
     # for dispatch amortization; the tail reuses a smaller unroll.
     K = 24
+    obs_full = da.obs if have_da else jnp.zeros((1, 0), dtype)
     t = 1
     while t <= cfg.nts:
         k = min(K, cfg.nts - t + 1)
-        cols = jnp.asarray([(t + j - 1) // cfg.qts_subdivisions
-                            for j in range(k)], jnp.int32)
-        ql_block = qlat[cols]                          # [k, N]
-        if have_da:
-            ocols = jnp.asarray(
-                [min(t + j, n_obs_t - 1) if t + j < n_obs_t else 0
-                 for j in range(k)], jnp.int32)
-            obs_block = da.obs[ocols]
-            # rows beyond the obs table read NaN
-            miss = jnp.asarray([t + j >= n_obs_t for j in range(k)])
-            obs_block = jnp.where(miss[:, None], jnp.nan, obs_block)
-        else:
-            obs_block = jnp.zeros((k, 0), dtype)
-        t0_seconds = jnp.asarray(t * cfg.dt, dtype)
-        month_block = (res_da.month_idx[jnp.clip(
-            jnp.asarray([t + j for j in range(k)]), 0,
-            res_da.month_idx.shape[0] - 1)] if res_da is not None else None)
         (q, depth, res_elev, lo_val, lo_time, fvd_b, nudge_b,
          da_states, cour_b) = _stepped_kernel_multi(
-                q, depth, res_elev, lo_val, lo_time, ql_block, obs_block,
-                t0_seconds, net.upstream, chan, res_params,
+                q, depth, res_elev, lo_val, lo_time, qlat, obs_full,
+                jnp.int32(t), net.upstream, chan, res_params,
                 net.is_reservoir, net.res_rows, gage_rows, decay, cfg.dt,
-                k_steps=k, collect=collect, res_da=res_da,
-                da_states=da_states, month_block=month_block,
+                k_steps=k, qts=cfg.qts_subdivisions, collect=collect,
+                res_da=res_da, da_states=da_states,
+                month_idx=(res_da.month_idx if res_da is not None
+                           else None),
                 return_courant=cfg.return_courant, uplan=net.uplan)
         if collect:
             fvd_blocks.append(fvd_b[:, :n_real])
